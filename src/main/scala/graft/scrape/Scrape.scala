@@ -1,0 +1,198 @@
+package graft.scrape
+
+import graft.core.{LinkOut, PyUrl, ScrapedDoc, Span, Urls}
+import graft.scrape.HtmlTok._
+
+/** HTML → interleaved span document + links. One page in, one ScrapedDoc out —
+  * a pure per-row map, executed as a typed `Dataset.map` (no RDD).
+  *
+  * Span-emission contract (re-expressed from the reference's scrape+markdown
+  * pipeline — content_scraping_strategy.py:598-843 element pruning,
+  * :420-566 image scoring, :1044-1049 base64 stripping,
+  * markdown_generation_strategy.py:148-226 DOM-order emission):
+  *
+  *  1. `<script>/<style>/<noscript>` subtrees and any element with inline
+  *     `display:none` are dropped entirely; `<head>` produces no spans
+  *     (the `<title>` text is captured as metadata).
+  *  2. Text accumulates in document order; the buffer flushes to ONE text span
+  *     at every block-element boundary (open or close), whitespace-collapsed.
+  *     Spans with fewer than `minWords` words are dropped
+  *     (word_count_threshold semantics).
+  *  3. `<img>` flushes the text buffer, then emits a media span at the current
+  *     position if its score ≥ `imageScoreThreshold`:
+  *     +2 width or height ≥ 150, +1 non-empty alt, +1 known raster/vector
+  *     extension, +1 srcset, +1 inside `<picture>` (reference scoring shape,
+  *     content_scraping_strategy.py:420-566). `data:` URIs are blanked
+  *     (media_ref = "") but keep their position. Span text = alt.
+  *  4. `<video>/<audio>` emit one media span from their first `src` (inline or
+  *     first nested `<source>`).
+  *  5. `<tr>` rows flush as one text span with cells joined by " | "
+  *     (html2text table emission shape); tables are additionally extracted
+  *     structurally (is_data_table path, content_scraping_strategy.py:201-347).
+  *  6. `offset` = global emission index (0-based) — the per-row ordering key of
+  *     the span-sequence-equality invariant.
+  *  7. Links: every `<a href>` is canonicalized with the deep-crawl normalizer
+  *     (the visited-set key), deduped first-wins per canonical URL, split
+  *     internal/external by base domain.
+  */
+object Scrape {
+
+  final case class Config(
+      minWords: Int = 1,
+      imageScoreThreshold: Int = 2,
+      excludedTags: Set[String] = Set.empty)
+
+  private val alwaysExcluded = Set("script", "style", "noscript")
+  private val blockTags = Set(
+    "html", "body", "div", "section", "article", "main", "aside",
+    "h1", "h2", "h3", "h4", "h5", "h6", "p", "li", "ul", "ol",
+    "table", "thead", "tbody", "tr", "caption", "nav", "blockquote",
+    "pre", "header", "footer", "figure", "figcaption", "form", "br", "hr")
+  private val knownImgExt = Set("jpg", "jpeg", "png", "gif", "webp", "svg", "avif", "bmp")
+
+  def wordCount(s: String): Int = s.split("\\s+").count(_.nonEmpty)
+
+  def imageScore(attrs: Map[String, String], inPicture: Boolean): Int = {
+    var score = 0
+    def dim(a: String): Int =
+      attrs.get(a).flatMap(v => scala.util.Try(v.trim.toInt).toOption).getOrElse(0)
+    if (dim("width") >= 150 || dim("height") >= 150) score += 2
+    if (attrs.get("alt").exists(_.nonEmpty)) score += 1
+    val src = attrs.getOrElse("src", "")
+    val ext = {
+      val q = src.indexOf('?')
+      val clean = if (q >= 0) src.substring(0, q) else src
+      val dot = clean.lastIndexOf('.')
+      if (dot >= 0) clean.substring(dot + 1).toLowerCase else ""
+    }
+    if (knownImgExt.contains(ext)) score += 1
+    if (attrs.contains("srcset")) score += 1
+    if (inPicture) score += 1
+    score
+  }
+
+  def scrape(url: String, html: String, cfg: Config = Config()): ScrapedDoc = {
+    val excluded = alwaysExcluded ++ cfg.excludedTags
+    val base = Urls.baseDomain(url)
+    val spans = scala.collection.mutable.ArrayBuffer.empty[Span]
+    val links = scala.collection.mutable.LinkedHashMap.empty[String, LinkOut]
+    val buf = new StringBuilder
+    val title = new StringBuilder
+    var nWords = 0
+
+    // element stack: (tag, skipped) — skipped covers excluded tags + display:none
+    var stack = List.empty[(String, Boolean)]
+    def skipping: Boolean = stack.exists(_._2)
+    def inside(tag: String): Boolean = stack.exists(_._1 == tag)
+
+    var anchorText: StringBuilder = null
+    var anchorHref: String = null
+    var mediaSrcPending: String = null // inside <video>/<audio> awaiting <source>
+    var inTr = false
+    var rowHadCell = false
+
+    def flushText(): Unit = {
+      val text = HtmlTok.normSpace(buf.toString)
+      buf.clear()
+      if (text.nonEmpty) {
+        val wc = wordCount(text)
+        if (wc >= cfg.minWords) {
+          spans += Span("text", text, "", spans.length)
+          nWords += wc
+        }
+      }
+    }
+
+    def emitMedia(src: String, alt: String): Unit = {
+      flushText()
+      val ref =
+        if (src == null || src.isEmpty) ""
+        else if (src.startsWith("data:")) "" // base64 stripped, position kept
+        else PyUrl.urljoin(url, src.trim)
+      spans += Span("media", alt, ref, spans.length)
+    }
+
+    def addLink(href: String, text: String): Unit = {
+      val lower = href.toLowerCase
+      val special = Seq("mailto:", "tel:", "javascript:", "data:").exists(lower.startsWith)
+      if (!special) {
+        val canon = Urls.canonicalizeDeep(href, url)
+        if (canon != null && !links.contains(canon)) {
+          val internal = !Urls.isExternal(canon, base)
+          links(canon) = LinkOut(canon, HtmlTok.normSpace(text), internal, links.size)
+        }
+      }
+    }
+
+    val toks = HtmlTok.tokenize(html)
+    while (toks.hasNext) {
+      toks.next() match {
+        case Open(tag, attrs, selfClosing) =>
+          val skipThis = excluded.contains(tag) ||
+            attrs.get("style").exists(_.replaceAll("\\s", "").toLowerCase.contains("display:none"))
+          val skipped = skipping || skipThis
+          if (blockTags.contains(tag) && !skipped) {
+            if (tag == "tr") { inTr = true; rowHadCell = false }
+            flushText()
+          }
+          if ((tag == "td" || tag == "th") && !skipped && inTr) {
+            if (rowHadCell) buf ++= " | "
+            rowHadCell = true
+          }
+          if (!skipped) tag match {
+            case "img" =>
+              val score = imageScore(attrs, inside("picture"))
+              if (score >= cfg.imageScoreThreshold)
+                emitMedia(attrs.getOrElse("src", ""), attrs.getOrElse("alt", ""))
+            case "video" | "audio" =>
+              if (attrs.contains("src")) emitMedia(attrs("src"), attrs.getOrElse("alt", ""))
+              else if (!selfClosing) mediaSrcPending = tag
+            case "source" =>
+              if (mediaSrcPending != null && attrs.contains("src")) {
+                emitMedia(attrs("src"), "")
+                mediaSrcPending = null
+              }
+            case "a" =>
+              if (attrs.contains("href") && !selfClosing) {
+                anchorHref = attrs("href")
+                anchorText = new StringBuilder
+              } else if (attrs.contains("href")) addLink(attrs("href"), "")
+            case _ =>
+          }
+          if (!selfClosing) stack = (tag, skipThis) :: stack
+
+        case Close(tag) =>
+          // tolerant pop: drop frames up to and including the matching tag
+          val idx = stack.indexWhere(_._1 == tag)
+          if (idx >= 0) stack = stack.drop(idx + 1)
+          if (!skipping) {
+            if (tag == "a" && anchorHref != null) {
+              addLink(anchorHref, anchorText.toString)
+              anchorHref = null; anchorText = null
+            }
+            if (tag == "video" || tag == "audio") mediaSrcPending = null
+            if (tag == "tr") { flushText(); inTr = false }
+            else if (blockTags.contains(tag)) flushText()
+          }
+
+        case Text(s) =>
+          if (!skipping) {
+            if (inside("title")) title ++= s
+            else if (!inside("head")) {
+              buf ++= s
+              if (anchorText != null) anchorText ++= s
+            }
+          }
+      }
+    }
+    flushText()
+
+    ScrapedDoc(
+      doc_id = url,
+      url = url,
+      spans = spans.toSeq,
+      links = links.values.toSeq,
+      title = HtmlTok.normSpace(title.toString),
+      nWords = nWords)
+  }
+}

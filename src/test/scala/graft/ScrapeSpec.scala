@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{Span, Synth, Urls}
+import graft.scrape.{HtmlTok, Scrape}
+
+/** Span-sequence equality: the scraper's (kind, text, media_ref, order) per
+  * row must equal the generator-declared expected sequence for EVERY page of
+  * the synthetic site — the correctness invariant of BASELINE.json.
+  */
+class ScrapeSpec extends AnyFunSuite {
+
+  val cfg = Synth.SiteCfg(seed = 42L, nHosts = 3, cats = 3, subs = 2, prods = 5)
+
+  test("span-sequence equality on every synthetic page") {
+    val n = Synth.pageCount(cfg)
+    var checked = 0
+    (0L until n).foreach { i =>
+      val p = Synth.pageAt(cfg, i)
+      val doc = Scrape.scrape(p.url, p.html)
+      assert(doc.spans == p.expectedSpans,
+        s"span mismatch on ${p.url}\n got: ${doc.spans.mkString("\n  ")}\n exp: ${p.expectedSpans.mkString("\n  ")}")
+      checked += 1
+    }
+    assert(checked == n)
+  }
+
+  test("link extraction: canonicalized, first-wins deduped, internal/external split") {
+    val n = Synth.pageCount(cfg)
+    (0L until n).foreach { i =>
+      val p = Synth.pageAt(cfg, i)
+      val doc = Scrape.scrape(p.url, p.html)
+      assert(doc.links == p.expectedLinks,
+        s"link mismatch on ${p.url}\n got: ${doc.links.mkString("\n  ")}\n exp: ${p.expectedLinks.mkString("\n  ")}")
+    }
+  }
+
+  test("title captured, not emitted as span") {
+    val p = Synth.pageAt(cfg, 0L)
+    val doc = Scrape.scrape(p.url, p.html)
+    assert(doc.title == p.title)
+    assert(!doc.spans.exists(s => s.kind == "text" && s.text == p.title))
+  }
+
+  test("offsets are dense and 0-based") {
+    (0L until Synth.pageCount(cfg)).foreach { i =>
+      val p = Synth.pageAt(cfg, i)
+      val doc = Scrape.scrape(p.url, p.html)
+      assert(doc.spans.map(_.offset) == doc.spans.indices)
+    }
+  }
+
+  test("word_count_threshold prunes short blocks") {
+    val html = "<html><body><p>one two</p><p>a much longer paragraph with many words here</p></body></html>"
+    val doc = Scrape.scrape("http://x.com/a", html, Scrape.Config(minWords = 3))
+    assert(doc.spans.map(_.text) == Seq("a much longer paragraph with many words here"))
+  }
+
+  test("display:none, script, style subtrees excluded") {
+    val html =
+      """<html><body><div style="display:none"><p>hidden text</p><img src="/a.jpg" width="300" alt="x"></div>
+        |<script>var x = '<p>not text</p>';</script><style>p { color: red }</style>
+        |<p>visible</p></body></html>""".stripMargin
+    val doc = Scrape.scrape("http://x.com/a", html)
+    assert(doc.spans == Seq(Span("text", "visible", "", 0)))
+  }
+
+  test("image scoring thresholds") {
+    // icon: no dims, no alt, known ext → score 1 → dropped at default threshold 2
+    val html = """<html><body><img src="/i.png" width="16"><img src="/big.jpg" width="200"><p>t</p></body></html>"""
+    val doc = Scrape.scrape("http://x.com/a", html)
+    assert(doc.spans == Seq(Span("media", "", "http://x.com/big.jpg", 0), Span("text", "t", "", 1)))
+  }
+
+  test("data: URI media keeps position with blanked ref") {
+    val html = """<html><body><p>before</p><img src="data:image/png;base64,AA==" alt="badge" width="200"><p>after</p></body></html>"""
+    val doc = Scrape.scrape("http://x.com/a", html)
+    assert(doc.spans == Seq(
+      Span("text", "before", "", 0),
+      Span("media", "badge", "", 1),
+      Span("text", "after", "", 2)))
+  }
+
+  test("entities decode in text and attributes") {
+    assert(HtmlTok.decodeEntities("a &amp; b &lt;c&gt; &#65;&#x42;") == "a & b <c> AB")
+    val doc = Scrape.scrape("http://x.com/a", "<html><body><p>Q&amp;A</p></body></html>")
+    assert(doc.spans.head.text == "Q&A")
+  }
+
+  test("interleaving: media spans flush surrounding text in DOM order") {
+    val html = """<html><body><p>alpha <img src="/x.jpg" alt="pic" width="300"> beta</p></body></html>"""
+    val doc = Scrape.scrape("http://x.com/a", html)
+    assert(doc.spans == Seq(
+      Span("text", "alpha", "", 0),
+      Span("media", "pic", "http://x.com/x.jpg", 1),
+      Span("text", "beta", "", 2)))
+  }
+}
