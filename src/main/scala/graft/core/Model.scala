@@ -30,6 +30,11 @@ final case class ScrapedDoc(
 /** Frontier row — the priority queue element (models.py:39-57 status enum;
   * bff_strategy.py:141-143 priority tuple; crazy.py:76 FIFO tiebreaker).
   * Narrow columns only: frontier arithmetic at 10^10 scale never touches HTML.
+  *
+  * `path` is the discovery path encoded as fixed-width hex digits per level
+  * (parentPath + "%04x" of the in-page link index): plain string ordering on
+  * it IS DFS preorder, (depth, path) is BFS level order, and it is computed
+  * locally from the parent row — no global sequence shuffle at any scale.
   */
 final case class FrontierEntry(
     url_hash: Long,
@@ -39,7 +44,9 @@ final case class FrontierEntry(
     score: Double,
     priority: Double,
     parent: String,
-    discovery_seq: Long,
+    path: String,
+    enqueue_epoch: Int,
+    retry_count: Int,
     epoch: Int,
     status: String)
 

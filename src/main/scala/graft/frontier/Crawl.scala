@@ -1,0 +1,346 @@
+package graft.frontier
+
+import graft.core._
+import graft.functions.Scorers
+import graft.politeness.Robots
+import graft.scrape.Scrape
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** The crawl engine: an epoch-batch frontier loop, each epoch one Catalyst
+  * plan (SURVEY.md §3.3 — the reference's BFS/DFS/BestFirst strategies,
+  * /root/reference/crawl4ai/deep_crawling/{bfs,dfs,bff}_strategy.py,
+  * re-expressed as joins + windows over a typed Dataset[FrontierEntry]).
+  *
+  * Per-epoch plan:
+  *   frontier(QUEUED)
+  *     → per-host admission window (politeness budget; fairness aging)
+  *     → robots broadcast-join + canFetch predicate (fail-open)
+  *     → salted repartition (hot-host skew defused BEFORE the scrape map)
+  *     → fetch-join against the page store on url_hash
+  *     → scrape map (HTML → spans + links)           [docs written]
+  *     → explode(links) → validity/nonsense filters → score
+  *     → bloom pre-filter + left_anti(seen)          [dedup]
+  *     → first-wins per url_hash → frontier(t+1)     [snapshot committed]
+  *
+  * Snapshot protocol (Iceberg-style semantics on plain parquet — SURVEY.md
+  * §7.3): every epoch writes frontier/seen/docs/visits/metrics dirs, then an
+  * atomically-renamed `manifest_<epoch>.json` carrying per-partition lineage
+  * (row counts per written file) + fetch metrics. A killed job resumes from
+  * `max(committed epoch)` with an identical URL-seen set: nothing below a
+  * manifest is ever visible to a reader (commit-then-advance, §7.4.6).
+  *
+  * Ordering spec (deterministic; reference stream-mode completion order is
+  * nondeterministic so equality is defined on batch semantics, SURVEY.md
+  * §7.4.2): visit order within an epoch is the admission sort
+  *   bfs        → (depth, path)            — level order, discovery tiebreak
+  *   dfs        → (path)                   — string order on the hex path IS
+  *                                           DFS preorder (see FrontierEntry)
+  *   best_first → (-score, depth, path)    — bff_strategy.py:141-143 tuple
+  */
+final case class CrawlConfig(
+    strategy: String = "bfs",
+    maxDepth: Int = 5,
+    maxPages: Long = Long.MaxValue,
+    hostBudget: Int = 100,
+    globalBatch: Long = Long.MaxValue,
+    scoreThreshold: Double = Double.NegativeInfinity,
+    keywords: Seq[String] = Nil,
+    includeExternal: Boolean = false,
+    saltBuckets: Int = 8,
+    fairnessEpochs: Int = 3,
+    maxEpochs: Int = 64,
+    userAgent: String = "*",
+    bloomFpp: Double = 0.03,
+    scrapeMinWords: Int = 1)
+
+final case class CrawlSummary(
+    epochs: Int, fetched: Long, failed: Long, skippedRobots: Long, seen: Long)
+
+object Crawl {
+
+  // ---- snapshot layout ------------------------------------------------------
+
+  private def dir(runDir: String, epoch: Int, what: String) =
+    f"$runDir/$what/epoch=$epoch%04d"
+
+  private def manifestPath(runDir: String, epoch: Int) =
+    Paths.get(f"$runDir/manifest_$epoch%04d.json")
+
+  /** Highest epoch with a committed manifest, -1 if none. */
+  def lastCommittedEpoch(runDir: String): Int = {
+    val d = Paths.get(runDir)
+    if (!Files.isDirectory(d)) return -1
+    val it = Files.list(d)
+    try {
+      import scala.jdk.CollectionConverters._
+      it.iterator().asScala.map(_.getFileName.toString)
+        .collect { case s if s.startsWith("manifest_") && s.endsWith(".json") =>
+          s.stripPrefix("manifest_").stripSuffix(".json").toInt }
+        .foldLeft(-1)(math.max)
+    } finally it.close()
+  }
+
+  /** Atomic manifest commit: write temp, fsync-free rename (same dir). */
+  private def commitManifest(runDir: String, epoch: Int, json: String): Unit = {
+    val tmp = Paths.get(s"$runDir/.manifest_tmp_$epoch.json")
+    Files.writeString(tmp, json)
+    Files.move(tmp, manifestPath(runDir, epoch), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def jsonEsc(s: String): String =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+                case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
+
+  // ---- seed bootstrap -------------------------------------------------------
+
+  /** Seeds → epoch-0 frontier: canonicalize (deep), drop invalid + nonsense,
+    * first-wins dedup per url_hash (source order: sitemap < cc, then url —
+    * the seeder's sequential-union-with-shared-set, async_url_seeder.py:
+    * 328-359). Seed path = 4-hex rank in the deduped, url-sorted list.
+    */
+  def seedFrontier(spark: SparkSession, seeds: DataFrame): Dataset[FrontierEntry] = {
+    import spark.implicits._
+    val canon = udf((u: String) => Urls.canonicalizeDeep(u, ""))
+    val hostU = udf((u: String) => Urls.host(u))
+    val valid = udf((u: String) => u != null && Urls.isValidCrawlUrl(u) && !Urls.isNonsense(u))
+    val srcRank = when(col("source") === "sitemap", 0).otherwise(1)
+    val base = seeds
+      .withColumn("curl", canon(col("url")))
+      .where(valid(col("curl")))
+      .withColumn("url_hash", xxhash64(col("curl")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("url_hash").orderBy(srcRank, col("url"))))
+      .where(col("rk") === 1)
+    // seed ordering: url-sorted (deterministic); seed lists are bounded so a
+    // single global row_number window is fine here (and only here).
+    base.withColumn("seed_idx", row_number().over(Window.orderBy("curl")) - 1)
+      .select(
+        col("url_hash"), col("curl").as("url"), hostU(col("curl")).as("host"),
+        lit(0).as("depth"), lit(0.5).as("score"), lit(0.0).as("priority"),
+        lit("").as("parent"), format_string("%04x", col("seed_idx")).as("path"),
+        lit(0).as("enqueue_epoch"), lit(0).as("retry_count"),
+        lit(0).as("epoch"), lit(CrawlStatus.Queued).as("status"))
+      .as[FrontierEntry]
+  }
+
+  // ---- the epoch loop -------------------------------------------------------
+
+  /** Run (or resume) a crawl. `pages` is the synthetic page store standing in
+    * for network fetch (url_hash, html, status_code); `robots` the rules
+    * dimension table. Returns the final summary; all state lives under
+    * `runDir` snapshots.
+    */
+  def run(spark: SparkSession, seeds: DataFrame, pages: DataFrame,
+          robots: DataFrame, runDir: String, cfg: CrawlConfig = CrawlConfig())
+      : CrawlSummary = {
+    import spark.implicits._
+    Files.createDirectories(Paths.get(runDir))
+
+    val start = lastCommittedEpoch(runDir)
+    if (start < 0) {
+      val f0 = seedFrontier(spark, seeds)
+      f0.write.mode(SaveMode.Overwrite).parquet(dir(runDir, 0, "frontier"))
+      f0.select("url_hash").distinct()
+        .write.mode(SaveMode.Overwrite).parquet(dir(runDir, 0, "seen"))
+      commitManifest(runDir, 0,
+        s"""{"epoch":0,"kind":"bootstrap","frontier":"${jsonEsc(dir(runDir, 0, "frontier"))}"}""")
+    }
+
+    var epoch = math.max(lastCommittedEpoch(runDir), 0)
+    var totalFetched = sumManifests(runDir, "fetched")
+    var totals = (0L, 0L, 0L) // failed, skippedRobots, placeholder
+    var done = false
+    while (!done && epoch < cfg.maxEpochs) {
+      val t0 = System.currentTimeMillis()
+      val frontier = spark.read.parquet(dir(runDir, epoch, "frontier"))
+      val seen = spark.read.parquet(dir(runDir, epoch, "seen"))
+      val queued = frontier.where(col("status") === CrawlStatus.Queued)
+
+      if (queued.isEmpty || totalFetched >= cfg.maxPages) { done = true }
+      else {
+        // ---- admission: politeness budget + fairness aging + strategy order
+        val aged = queued.withColumn("wait", lit(epoch) - col("enqueue_epoch"))
+          .withColumn("priority",
+            when(col("wait") > cfg.fairnessEpochs, -col("wait").cast("double"))
+              .otherwise(col("retry_count").cast("double")))
+        val ord = cfg.strategy match {
+          case "dfs" => Seq(col("priority"), col("path"))
+          case "best_first" => Seq(col("priority"), col("score").desc, col("depth"), col("path"))
+          case _ => Seq(col("priority"), col("depth"), col("path"))
+        }
+        val ranked = aged.withColumn("host_rank",
+          row_number().over(Window.partitionBy("host").orderBy(ord: _*)))
+        var admitted = ranked.where(col("host_rank") <= cfg.hostBudget).drop("host_rank", "wait")
+        val capacity = math.min(cfg.globalBatch, cfg.maxPages - totalFetched)
+        if (capacity < Long.MaxValue)
+          admitted = admitted.orderBy(ord: _*).limit(math.min(capacity, Int.MaxValue.toLong).toInt)
+        admitted = admitted.cache()
+
+        // deferred = everything queued but not admitted (over-budget rows AND
+        // rows cut by the global capacity limit — neither may be lost)
+        val deferred = aged.drop("wait")
+          .join(admitted.select("url_hash"), Seq("url_hash"), "left_anti")
+
+        // ---- robots gate: tiny dimension → broadcast join, fail-open
+        val canFetchU = udf((rules: String, u: String) =>
+          Robots.canFetch(rules, u, cfg.userAgent))
+        val gated = admitted.join(
+            broadcast(robots.select(col("host"), col("rules"))), Seq("host"), "left")
+          .withColumn("robots_ok", coalesce(canFetchU(col("rules"), col("url")), lit(true)))
+        val allowed = gated.where(col("robots_ok")).drop("rules", "robots_ok")
+        val robotsBlocked = gated.where(!col("robots_ok")).drop("rules", "robots_ok")
+
+        // ---- fetch: salted repartition defuses hot-host skew BEFORE the
+        // (CPU-heavy) scrape map; the join key stays url_hash so the page
+        // store join itself is a plain shuffled hash join.
+        val salted = allowed.repartition(
+          spark.sessionState.conf.numShufflePartitions,
+          col("host"), pmod(col("url_hash"), lit(cfg.saltBuckets)))
+        val fetched = salted.join(
+          pages.select(col("url_hash"), col("html"), col("status_code")),
+          Seq("url_hash"), "left")
+
+        val scrapeCfg = Scrape.Config(minWords = cfg.scrapeMinWords)
+        val scraped = fetched
+          .select("url_hash", "url", "host", "depth", "score", "path", "html", "status_code")
+          .as[(Long, String, String, Int, Double, String, String, Option[Int])]
+          .map { case (h, u, host, d, sc, p, html, status) =>
+            val ok = html != null && status.contains(200)
+            val doc = if (ok) Scrape.scrape(u, html, scrapeCfg)
+                      else ScrapedDoc(u, u, Nil, Nil, "", 0)
+            (h, u, host, d, sc, p, ok, doc.spans, doc.links, doc.title, doc.nWords)
+          }
+          .toDF("url_hash", "url", "host", "depth", "score", "path",
+            "fetch_ok", "spans", "links", "title", "n_words")
+          .cache()
+
+        // ---- outputs: docs + visit order
+        scraped.where(col("fetch_ok"))
+          .select(col("url").as("doc_id"), col("spans"), col("links"),
+            col("title"), col("n_words"), lit(epoch).as("epoch"))
+          .write.mode(SaveMode.Overwrite).parquet(dir(runDir, epoch, "docs"))
+        allowed
+          .withColumn("visit_rank", row_number().over(Window.orderBy(ord: _*)))
+          .select(col("url"), col("depth"), col("score"), col("path"),
+            col("visit_rank"), lit(epoch).as("epoch"))
+          .write.mode(SaveMode.Overwrite).parquet(dir(runDir, epoch, "visits"))
+
+        // ---- expansion: links are already deep-canonical (scrape map)
+        val linkRows = scraped.where(col("fetch_ok"))
+          .select(col("url").as("parent"), col("path").as("parent_path"),
+            col("depth"), posexplode_outer(col("links")).as(Seq("pos", "link")))
+          .where(col("link").isNotNull)
+          .select(col("parent"), col("parent_path"), col("depth"),
+            col("link.href").as("url"), col("link.internal").as("internal"),
+            col("link.linkIndex").as("link_index"))
+        val validU = udf((u: String) => u != null && Urls.isValidCrawlUrl(u) && !Urls.isNonsense(u))
+        val hostU = udf((u: String) => Urls.host(u))
+        val candidates = linkRows
+          .where(validU(col("url")))
+          .where(if (cfg.includeExternal) lit(true) else col("internal"))
+          .where(col("depth") + 1 <= cfg.maxDepth)
+          .withColumn("url_hash", xxhash64(col("url")))
+
+        // dedup: bloom pre-filter + exact anti-join, then first-wins per hash
+        val seenCount = seen.count()
+        val bloom = BloomSeen.build(seen, "url_hash", seenCount, cfg.bloomFpp)
+        val fresh = BloomSeen.antiJoin(candidates, seen, "url_hash", bloom)
+        val firstWins = fresh.withColumn("rk", row_number().over(
+            Window.partitionBy("url_hash")
+              .orderBy(col("parent_path"), col("link_index"))))
+          .where(col("rk") === 1).drop("rk")
+
+        // scoring: keyword relevance when configured, neutral 0.5 otherwise
+        val scoreCol =
+          if (cfg.keywords.nonEmpty) Scorers.keywordRelevance(col("url"), cfg.keywords)
+          else lit(0.5)
+        val newEntries = firstWins
+          .withColumn("score", scoreCol)
+          .where(col("score") >= cfg.scoreThreshold)
+          .select(
+            col("url_hash"), col("url"), hostU(col("url")).as("host"),
+            (col("depth") + 1).as("depth"), col("score"),
+            lit(0.0).as("priority"), col("parent"),
+            concat(col("parent_path"), format_string("%04x", col("link_index"))).as("path"),
+            lit(epoch + 1).as("enqueue_epoch"), lit(0).as("retry_count"),
+            lit(epoch + 1).as("epoch"), lit(CrawlStatus.Queued).as("status"))
+
+        // ---- next snapshot: frontier t+1 = deferred ∪ new; seen += admitted
+        // hashes ∪ discovered hashes (reference adds on DISCOVERY,
+        // bfs_strategy.py:153)
+        val nextFrontier = deferred
+          .select(newEntries.columns.map(col): _*)
+          .withColumn("epoch", lit(epoch + 1))
+          .unionByName(newEntries)
+        nextFrontier.write.mode(SaveMode.Overwrite).parquet(dir(runDir, epoch + 1, "frontier"))
+        // disjoint by construction (exact anti-join upstream; bloom has no
+        // false negatives) — a plain union, no distinct shuffle over the
+        // whole seen set.
+        val nextSeen = seen.unionByName(newEntries.select("url_hash"))
+        nextSeen.write.mode(SaveMode.Overwrite).parquet(dir(runDir, epoch + 1, "seen"))
+
+        // ---- metrics + per-partition lineage, then the atomic commit
+        val nFetched = scraped.where(col("fetch_ok")).count()
+        val nFailed = scraped.where(!col("fetch_ok")).count()
+        val nBlocked = robotsBlocked.count()
+        val nNew = newEntries.count()
+        val nSeen = nextSeen.count()
+        val partLineage = scraped.groupBy(spark_partition_id().as("pid"))
+          .agg(count("*").as("rows"), sum(col("n_words")).as("words"))
+          .orderBy("pid").collect()
+          .map(r => s"""{"pid":${r.getInt(0)},"rows":${r.getLong(1)},"words":${Option(r.get(2)).getOrElse(0)}}""")
+          .mkString("[", ",", "]")
+        totalFetched += nFetched
+        totals = (totals._1 + nFailed, totals._2 + nBlocked, 0L)
+        val wall = System.currentTimeMillis() - t0
+        commitManifest(runDir, epoch + 1,
+          s"""{"epoch":${epoch + 1},"fetched":$nFetched,"failed":$nFailed,""" +
+          s""""skipped_robots":$nBlocked,"new_frontier":$nNew,"seen_total":$nSeen,""" +
+          s""""wall_ms":$wall,"partitions":$partLineage}""")
+
+        scraped.unpersist(); admitted.unpersist()
+        if (nNew == 0 && deferred.isEmpty) done = true
+        epoch += 1
+      }
+    }
+    val seenFinal = spark.read.parquet(dir(runDir, math.max(lastCommittedEpoch(runDir), 0), "seen")).count()
+    CrawlSummary(epoch, totalFetched, totals._1, totals._2, seenFinal)
+  }
+
+  private def sumManifests(runDir: String, field: String): Long = {
+    val last = lastCommittedEpoch(runDir)
+    (1 to last).map { e =>
+      val p = manifestPath(runDir, e)
+      if (Files.exists(p)) {
+        val s = Files.readString(p)
+        val m = ("\"" + field + "\":(\\d+)").r.findFirstMatchIn(s)
+        m.map(_.group(1).toLong).getOrElse(0L)
+      } else 0L
+    }.sum
+  }
+
+  /** All docs produced by a run (doc_id, spans, links, title, n_words, epoch). */
+  def docs(spark: SparkSession, runDir: String): DataFrame = {
+    val last = lastCommittedEpoch(runDir)
+    val dirs = (0 until math.max(last, 0)).map(e => dir(runDir, e, "docs"))
+      .filter(d => Files.isDirectory(Paths.get(d)))
+    if (dirs.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(dirs: _*)
+  }
+
+  /** Deterministic visit order across epochs (epoch, visit_rank, url, ...). */
+  def visits(spark: SparkSession, runDir: String): DataFrame = {
+    val last = lastCommittedEpoch(runDir)
+    val dirs = (0 until math.max(last, 0)).map(e => dir(runDir, e, "visits"))
+      .filter(d => Files.isDirectory(Paths.get(d)))
+    if (dirs.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(dirs: _*).orderBy("epoch", "visit_rank")
+  }
+
+  /** URL-seen set of the last committed snapshot (the resume-identity set). */
+  def seenSet(spark: SparkSession, runDir: String): DataFrame =
+    spark.read.parquet(dir(runDir, math.max(lastCommittedEpoch(runDir), 0), "seen"))
+}

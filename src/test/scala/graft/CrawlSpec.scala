@@ -1,0 +1,209 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.frontier.{Crawl, CrawlConfig}
+import graft.politeness.Robots
+import graft.scrape.Scrape
+import java.nio.file.Files
+
+/** End-to-end frontier tests against a driver-side oracle implementing the
+  * SAME deterministic ordering spec (SURVEY.md §5.3: the reference's stream
+  * mode is completion-order nondeterministic, so equality is pinned to batch
+  * semantics with explicit tie-breakers).
+  */
+class CrawlSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  val site = Synth.SiteCfg(seed = 42L, nHosts = 3, cats = 2, subs = 2, prods = 2)
+  lazy val allPages: Seq[Synth.GenPage] =
+    (0L until Synth.pageCount(site)).map(Synth.pageAt(site, _))
+  lazy val pagesDF = allPages.map(p =>
+    PageRec(p.url, 0L, p.host, p.html, 200, 0)).toDF()
+    .withColumn("url_hash", xxhash64(col("url")))
+  lazy val robotsDF = Synth.robots(site).toDF()
+  lazy val seedsDF = Synth.seeds(site).toDF()
+
+  // ---- the oracle ----------------------------------------------------------
+
+  case class OEntry(url: String, host: String, depth: Int, score: Double,
+                    parent: String, path: String, enqueueEpoch: Int, retry: Int)
+
+  /** Single-threaded crawler implementing the engine's spec exactly. */
+  def oracleCrawl(cfg: CrawlConfig): (Seq[(Int, String)], Set[String]) = {
+    val pageMap = allPages.map(p => p.url -> p).toMap
+    val robotsMap = Synth.robots(site).map(r => r.host -> r.rules).toMap
+
+    // seed bootstrap: canonicalize, filter, first-wins (sitemap<cc, then url)
+    val canonSeeds = Synth.seeds(site)
+      .map(s => (Urls.canonicalizeDeep(s.url, ""), if (s.source == "sitemap") 0 else 1))
+      .filter { case (u, _) => u != null && Urls.isValidCrawlUrl(u) && !Urls.isNonsense(u) }
+    val firstWins = canonSeeds.groupBy(_._1).toSeq
+      .map { case (u, vs) => (u, vs.map(_._2).min) }
+      .sortBy(_._1)
+    var frontier = firstWins.zipWithIndex.map { case ((u, _), i) =>
+      OEntry(u, Urls.host(u), 0, 0.5, "", f"$i%04x", 0, 0)
+    }
+    var seen = frontier.map(_.url).toSet
+    val visits = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    var epoch = 0
+    var fetchedTotal = 0L
+    var doneFlag = false
+    while (!doneFlag && epoch < cfg.maxEpochs && frontier.nonEmpty &&
+           fetchedTotal < cfg.maxPages) {
+      val withPrio = frontier.map { e =>
+        val wait = epoch - e.enqueueEpoch
+        val prio = if (wait > cfg.fairnessEpochs) -wait.toDouble else e.retry.toDouble
+        (e, prio)
+      }
+      val ordered = cfg.strategy match {
+        case "dfs" => withPrio.sortBy { case (e, p) => (p, e.path) }
+        case "best_first" => withPrio.sortBy { case (e, p) => (p, -e.score, e.depth, e.path) }
+        case _ => withPrio.sortBy { case (e, p) => (p, e.depth, e.path) }
+      }
+      // per-host budget
+      val hostCount = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+      val (admitted0, deferred) = ordered.partition { case (e, _) =>
+        val ok = hostCount(e.host) < cfg.hostBudget
+        if (ok) hostCount(e.host) += 1
+        ok
+      }
+      val capacity = math.min(cfg.globalBatch, cfg.maxPages - fetchedTotal)
+      val admitted = admitted0.take(math.min(capacity, Int.MaxValue.toLong).toInt)
+      val spill = admitted0.drop(admitted.size)
+      val allowed = admitted.map(_._1).filter(e =>
+        Robots.canFetch(robotsMap.getOrElse(e.host, null), e.url, cfg.userAgent))
+      allowed.foreach(e => visits += ((epoch, e.url)))
+      fetchedTotal += allowed.count(e => pageMap.contains(e.url))
+
+      // expansion
+      val newEntries = scala.collection.mutable.LinkedHashMap.empty[String, OEntry]
+      for (e <- allowed; page <- pageMap.get(e.url)) {
+        val doc = Scrape.scrape(e.url, page.html)
+        for (l <- doc.links if l.internal || cfg.includeExternal) {
+          val u = l.href
+          if (u != null && Urls.isValidCrawlUrl(u) && !Urls.isNonsense(u) &&
+              e.depth + 1 <= cfg.maxDepth && !seen.contains(u)) {
+            val cand = OEntry(u, Urls.host(u), e.depth + 1, 0.5, e.url,
+              e.path + f"${l.linkIndex}%04x", epoch + 1, 0)
+            val better = newEntries.get(u).forall(x => cand.path < x.path)
+            if (better) newEntries(u) = cand
+          }
+        }
+      }
+      val news = newEntries.values.toSeq.filter(_.score >= cfg.scoreThreshold)
+      seen ++= news.map(_.url)
+      frontier = (deferred ++ spill).map(_._1) ++ news
+      if (news.isEmpty && deferred.isEmpty && spill.isEmpty) doneFlag = true
+      epoch += 1
+    }
+    (visits.toSeq, seen)
+  }
+
+  private def freshDir(tag: String): String =
+    Files.createTempDirectory(s"crawl-$tag").toString
+
+  // ---- tests ---------------------------------------------------------------
+
+  test("BFS crawl: visit order equals oracle; spans equal generator expectation") {
+    val cfg = CrawlConfig(strategy = "bfs", maxDepth = 5, hostBudget = 4, maxEpochs = 40)
+    val runDir = freshDir("bfs")
+    val summary = Crawl.run(spark, seedsDF, pagesDF, robotsDF, runDir, cfg)
+    assert(summary.fetched > 0)
+
+    val engineVisits = Crawl.visits(spark, runDir)
+      .select("epoch", "visit_rank", "url").orderBy("epoch", "visit_rank")
+      .collect().map(r => (r.getInt(0), r.getString(2))).toSeq
+    val (oracleVisits, oracleSeen) = oracleCrawl(cfg)
+    assert(engineVisits == oracleVisits,
+      s"visit order mismatch:\n engine=${engineVisits.take(20)}\n oracle=${oracleVisits.take(20)}")
+
+    // seen set identity
+    val engineSeenUrls = Crawl.visits(spark, runDir).select("url").collect().map(_.getString(0)).toSet
+    assert(engineSeenUrls.subsetOf(oracleSeen))
+    assert(Crawl.seenSet(spark, runDir).count() == oracleSeen.size)
+
+    // span-sequence equality on every produced doc
+    val expected = allPages.map(p => p.url -> p.expectedSpans).toMap
+    val docs = Crawl.docs(spark, runDir).select("doc_id", "spans")
+      .as[(String, Seq[Span])].collect()
+    assert(docs.nonEmpty)
+    docs.foreach { case (id, spans) =>
+      assert(expected.contains(id), s"unexpected doc $id")
+      assert(spans == expected(id), s"span mismatch on $id")
+    }
+  }
+
+  test("politeness: per-(epoch, host) visits never exceed the budget") {
+    val cfg = CrawlConfig(strategy = "bfs", hostBudget = 2, maxEpochs = 40)
+    val runDir = freshDir("budget")
+    Crawl.run(spark, seedsDF, pagesDF, robotsDF, runDir, cfg)
+    val hostU = udf((u: String) => Urls.host(u))
+    val maxPerHost = Crawl.visits(spark, runDir)
+      .groupBy(col("epoch"), hostU(col("url")).as("host")).count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxPerHost <= 2)
+  }
+
+  test("robots: disallowed paths and hosts never visited") {
+    val cfg = CrawlConfig(strategy = "bfs", hostBudget = 10, maxEpochs = 40)
+    val runDir = freshDir("robots")
+    Crawl.run(spark, seedsDF, pagesDF, robotsDF, runDir, cfg)
+    val urls = Crawl.visits(spark, runDir).select("url").collect().map(_.getString(0))
+    // site1 disallows /cat1; site2 (last host) disallows everything
+    assert(!urls.exists(_.startsWith("http://site1.com/cat1")))
+    assert(!urls.exists(_.contains("site2.com")))
+    assert(urls.exists(_.startsWith("http://site1.com/cat0"))) // allowed part crawled
+  }
+
+  test("best-first: high-score URLs visited before low-score within an epoch") {
+    val cfg = CrawlConfig(strategy = "best_first", keywords = Seq("prod"),
+      hostBudget = 100, maxEpochs = 40)
+    val runDir = freshDir("bff")
+    Crawl.run(spark, seedsDF, pagesDF, robotsDF, runDir, cfg)
+    val engineVisits = Crawl.visits(spark, runDir)
+      .select("epoch", "visit_rank", "url").orderBy("epoch", "visit_rank")
+      .collect().map(r => (r.getInt(0), r.getString(2))).toSeq
+    // oracle with same scoring: keyword relevance on "prod"
+    // engine scores: keywordRelevance; oracle uses 0.5 — instead verify the
+    // within-epoch invariant directly: scores are non-increasing per epoch.
+    val scores = Crawl.visits(spark, runDir)
+      .select("epoch", "visit_rank", "score").orderBy("epoch", "visit_rank")
+      .collect().map(r => (r.getInt(0), r.getDouble(2)))
+    scores.groupBy(_._1).foreach { case (_, es) =>
+      val s = es.map(_._2).toSeq
+      assert(s == s.sortBy(-(_: Double)), s"not score-descending: $s")
+    }
+    assert(engineVisits.nonEmpty)
+  }
+
+  test("kill/resume: seen set identical to an uninterrupted run") {
+    val cfg = CrawlConfig(strategy = "bfs", hostBudget = 3, maxEpochs = 40)
+    val full = freshDir("full")
+    Crawl.run(spark, seedsDF, pagesDF, robotsDF, full, cfg)
+
+    val partial = freshDir("partial")
+    // killed after 2 epochs…
+    Crawl.run(spark, seedsDF, pagesDF, robotsDF, partial, cfg.copy(maxEpochs = 2))
+    // …resumed from the last committed snapshot
+    Crawl.run(spark, seedsDF, pagesDF, robotsDF, partial, cfg)
+
+    def seenHashes(d: String): Set[Long] =
+      Crawl.seenSet(spark, d).as[Long].collect().toSet
+    assert(seenHashes(partial) == seenHashes(full))
+
+    // visit sequences also identical
+    def vs(d: String) = Crawl.visits(spark, d).select("epoch", "visit_rank", "url")
+      .orderBy("epoch", "visit_rank").collect().map(r => (r.getInt(0), r.getString(2))).toSeq
+    assert(vs(partial) == vs(full))
+  }
+
+  test("maxPages capacity cap respected") {
+    val cfg = CrawlConfig(strategy = "bfs", hostBudget = 10, maxPages = 7, maxEpochs = 40)
+    val runDir = freshDir("cap")
+    val s = Crawl.run(spark, seedsDF, pagesDF, robotsDF, runDir, cfg)
+    assert(s.fetched <= 7)
+  }
+}
