@@ -2,6 +2,7 @@ package graft
 
 import graft.core.{PageRec, Synth, Urls}
 import graft.frontier.{Crawl, CrawlConfig}
+import graft.ops.{Bm25, Dedup, Multimodal, RegexExtract, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -131,6 +132,120 @@ object SparkEntry {
         .withColumn("canonical", canon(col("raw_url")))
         .select(col("p_partkey"), col("canonical"))
     }),
+
+    // ---- training-data pipeline: dedup ------------------------------------
+    // exact dedup over documents ∪ a shifted exact-copy set (testdata has no
+    // natural dups; the dup structure is constructed identically in SQL)
+    "q_dedup_exact" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dups = d.unionByName(
+        d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      Dedup.exact(dups, "doc_id", "text")
+    }),
+    // exact n-gram Jaccard pairs on a bounded slice (inverted-index join)
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val d = table(s, dir, "documents").where(col("doc_id") < 100)
+      Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 2, minJaccard = 0.05)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+    }),
+    // MinHash+LSH near-dup candidates (no SQL twin — hash-defined; verified
+    // against true Jaccard in the ScalaTest suite)
+    "q_minhash_lsh" -> ((s, dir) => {
+      val d = table(s, dir, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val dups = d.unionByName(
+        d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      Dedup.minHashLsh(dups, "doc_id", "text", k = 32, bands = 8, minEstJaccard = 0.5)
+    }),
+    "q_simhash_pairs" -> ((s, dir) => {
+      val d = table(s, dir, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val dups = d.unionByName(
+        d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      Dedup.simHashPairs(dups, "doc_id", "text", maxDist = 3)
+    }),
+
+    // ---- training-data pipeline: text analysis ----------------------------
+    "q_token_stats" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      d.select(col("doc_id"),
+        TextAnalysis.wordCount(col("text")).as("n_words"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        size(TextAnalysis.tokens(col("text"))).as("n_alpha_tokens"))
+    }),
+    "q_lang_id" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      d.select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
+        .groupBy("pred_lang").agg(count(lit(1)).as("n"))
+        .orderBy("pred_lang")
+    }),
+    "q_quality_score" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      d.select(col("doc_id"),
+        round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))
+    }),
+    "q_fingerprint" -> ((s, dir) => {
+      val d = table(s, dir, "documents").where(col("doc_id") < 200)
+      d.select(col("doc_id"), TextAnalysis.fingerprint(col("text"), 3).as("fp"))
+    }),
+    "q_bm25" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      Bm25.score(d, "doc_id", "text", Seq("spark", "window"))
+        .withColumn("score", round(col("score"), 4))
+    }),
+
+    // ---- training-data pipeline: similarity search ------------------------
+    "q_embedding_topk" -> ((s, dir) => {
+      import s.implicits._
+      val e = table(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 0).select("embedding").as[Seq[Float]].head()
+      Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 10)
+        .withColumn("sim", round(col("sim"), 4))
+    }),
+    // ANN variants: hash-defined bucketing, ScalaTest-verified (subset +
+    // self-hit properties); rows-only here
+    "q_ann_lsh_topk" -> ((s, dir) => {
+      import s.implicits._
+      val e = table(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 0).select("embedding").as[Seq[Float]].head()
+      Similarity.lshTopK(e, "vec_id", "embedding", q, 10, planes = 6)
+    }),
+    "q_embedding_neardup" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings").where(col("vec_id") < 100)
+        .select(col("vec_id"), col("embedding"))
+      val dups = e.unionByName(
+        e.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      Dedup.embeddingNearDup(dups, "vec_id", "embedding", planes = 8, minCosine = 0.999)
+        .withColumn("cosine", round(col("cosine"), 4))
+    }),
+
+    // ---- regex extraction catalog (constructed text, SQL-mirrorable) ------
+    "q_regex_extract" -> ((s, dir) => {
+      val c = table(s, dir, "customer").where(col("c_custkey") < 200)
+        .withColumn("text",
+          concat(lit("contact c"), col("c_custkey"), lit("@example.com "),
+            lit("balance $"), col("c_nationkey"),
+            lit(" on 2024-03-15 at 12:30 ip 10.0.0.1")))
+      RegexExtract.extract(c, "c_custkey", "text",
+        Seq("email", "date_iso", "time_24h", "ipv4"))
+    }),
+
+    // ---- multimodal plumbing (stub kernel; deterministic features) --------
+    "q_media_features" -> ((s, dir) => {
+      import s.implicits._
+      val refs = table(s, dir, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id").cast("string").as("doc_id"),
+          concat(lit("http://media.example.com/"), col("doc_id"),
+            when(col("doc_id") % 3 === 0, ".jpg")
+              .when(col("doc_id") % 3 === 1, ".mp4").otherwise(".ogg")).as("media_ref"),
+          when(col("doc_id") % 3 === 0, "image")
+            .when(col("doc_id") % 3 === 1, "video").otherwise("audio").as("kind"))
+      val blobs = refs.as[(String, String, String)]
+        .map { case (id, ref, kind) => Multimodal.syntheticBlob(id, ref, kind) }
+      Multimodal.decode(blobs).toDF()
+        .select(col("doc_id"), col("media_ref"), col("kind"),
+          col("width"), col("height"), col("duration_ms"), col("n_frames"))
+    }),
   )
 
   /** DuckDB twins (driver-run at sf0.01). Column names match the Spark side
@@ -171,5 +286,141 @@ object SparkEntry {
       """SELECT p_partkey,
         |       'http://example.com/Part/' || p_partkey || '?a=1&b=2' AS canonical
         |FROM part""".stripMargin,
+    "q_dedup_exact" ->
+      """WITH dups AS (SELECT doc_id, text FROM documents
+        |              UNION ALL SELECT doc_id + 100000, text FROM documents)
+        |SELECT min(doc_id) AS doc_id, md5(text) AS content_hash
+        |FROM dups GROUP BY md5(text)""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id < 100),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(t) >= 2
+        |         THEN list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+        |         ELSE [array_to_string(t, ' ')] END) AS s
+        |  FROM tk)
+        |SELECT id_a, id_b, round(j, 4) AS jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         len(list_intersect(a.s, b.s)) * 1.0 /
+        |           (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |WHERE j >= 0.05""".stripMargin,
+    "q_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS INTEGER) AS n_words,
+        |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS INTEGER) AS n_alpha_tokens
+        |FROM documents""".stripMargin,
+    "q_lang_id" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_distinct(
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS t
+        |  FROM documents),
+        |ev AS (
+        |  SELECT doc_id,
+        |    len(list_intersect(t, ['der','die','das','und','ist','ich','nicht','ein','zu','mit'])) AS de,
+        |    len(list_intersect(t, ['the','a','and','of','to','in','is','it','that','was'])) AS en,
+        |    len(list_intersect(t, ['el','la','los','las','un','una','es','que','por','para'])) AS es,
+        |    len(list_intersect(t, ['le','la','et','les','des','un','une','est','que','pour'])) AS fr
+        |  FROM tk)
+        |SELECT pred_lang, count(*) AS n FROM (
+        |  SELECT CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+        |              WHEN de = greatest(de, en, es, fr) THEN 'de'
+        |              WHEN en = greatest(de, en, es, fr) THEN 'en'
+        |              WHEN es = greatest(de, en, es, fr) THEN 'es'
+        |              ELSE 'fr' END AS pred_lang
+        |  FROM ev)
+        |GROUP BY pred_lang ORDER BY pred_lang""".stripMargin,
+    "q_quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, length(text) AS n_chars,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS wtoks,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS atoks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, n_chars, len(wtoks) AS n_words,
+        |    CASE WHEN len(wtoks) = 0 THEN 0.0
+        |         ELSE list_sum(list_transform(wtoks, x -> length(x))) * 1.0 / len(wtoks) END AS mwl,
+        |    length(regexp_replace(text, '[^!?.,;:]', '', 'g')) * 1.0 / greatest(length(text), 1) AS punct,
+        |    len(list_filter(atoks, x -> list_contains(['the','a','and','of','to','in','is','it','that','was'], x))) * 1.0
+        |      / greatest(len(atoks), 1) AS stopr
+        |  FROM t)
+        |SELECT doc_id, round(
+        |    (CASE WHEN n_chars BETWEEN 200 AND 20000 THEN 1.0
+        |          WHEN n_chars BETWEEN 50 AND 199 THEN 0.5 ELSE 0.0 END) * 0.25
+        |  + (CASE WHEN n_words >= 30 THEN 1.0 WHEN n_words >= 10 THEN 0.5 ELSE 0.0 END) * 0.25
+        |  + (CASE WHEN stopr > 0.02 THEN 1.0 ELSE 0.0 END) * 0.2
+        |  + (CASE WHEN punct <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.15
+        |  + (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) * 0.15, 4) AS quality
+        |FROM m""".stripMargin,
+    "q_fingerprint" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id < 200),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 3
+        |         THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+        |         ELSE [array_to_string(t, ' ')] END AS s
+        |  FROM tk)
+        |SELECT doc_id, list_min(list_transform(s, x -> md5(x))) AS fp FROM sh""".stripMargin,
+    "q_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |lens AS (SELECT doc_id, len(tk) * 1.0 AS dl FROM toks),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |ad AS (SELECT avg(dl) AS avgdl FROM lens),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(tk) AS term FROM toks)
+        |  WHERE term IN ('spark', 'window') GROUP BY doc_id, term),
+        |idf AS (
+        |  SELECT term, ln((nn.n - df + 0.5) / (df + 0.5) + 1.0) AS idf
+        |  FROM (SELECT term, count(*) AS df FROM tf GROUP BY term), nn)
+        |SELECT tf.doc_id,
+        |       round(sum(idf.idf * tf.tf * 2.5 /
+        |             (tf.tf + 1.5 * (0.25 + 0.75 * lens.dl / ad.avgdl))), 4) AS score
+        |FROM tf JOIN idf USING (term) JOIN lens ON tf.doc_id = lens.doc_id, ad
+        |GROUP BY tf.doc_id""".stripMargin,
+    "q_embedding_topk" ->
+      """SELECT vec_id,
+        |  round(list_cosine_similarity(embedding,
+        |    (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS sim
+        |FROM embeddings
+        |ORDER BY list_cosine_similarity(embedding,
+        |    (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+        |LIMIT 10""".stripMargin,
+    "q_regex_extract" ->
+      """WITH t AS (
+        |  SELECT c_custkey,
+        |    'contact c' || c_custkey || '@example.com balance $' || c_nationkey ||
+        |    ' on 2024-03-15 at 12:30 ip 10.0.0.1' AS text
+        |  FROM customer WHERE c_custkey < 200)
+        |SELECT c_custkey, label, value, CAST(match_pos AS INTEGER) AS match_pos FROM (
+        |  SELECT c_custkey, 'email' AS label,
+        |         unnest(regexp_extract_all(text, '[\w.+-]+@[\w-]+\.[\w.-]+')) AS value,
+        |         unnest(range(len(regexp_extract_all(text, '[\w.+-]+@[\w-]+\.[\w.-]+')))) AS match_pos
+        |  FROM t
+        |  UNION ALL
+        |  SELECT c_custkey, 'date_iso',
+        |         unnest(regexp_extract_all(text, '\d{4}-\d{2}-\d{2}')),
+        |         unnest(range(len(regexp_extract_all(text, '\d{4}-\d{2}-\d{2}'))))
+        |  FROM t
+        |  UNION ALL
+        |  SELECT c_custkey, 'time_24h',
+        |         unnest(regexp_extract_all(text, '\b(?:[01]?\d|2[0-3]):[0-5]\d(?:[:.][0-5]\d)?\b')),
+        |         unnest(range(len(regexp_extract_all(text, '\b(?:[01]?\d|2[0-3]):[0-5]\d(?:[:.][0-5]\d)?\b'))))
+        |  FROM t
+        |  UNION ALL
+        |  SELECT c_custkey, 'ipv4',
+        |         unnest(regexp_extract_all(text, '(?:\d{1,3}\.){3}\d{1,3}')),
+        |         unnest(range(len(regexp_extract_all(text, '(?:\d{1,3}\.){3}\d{1,3}'))))
+        |  FROM t)""".stripMargin,
   )
 }

@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  *  - cosine / dot    — pure `zip_with` + `aggregate` column arithmetic
+  *    (codegen'd; no UDF, no driver collect).
+  *  - bruteForceTopK  — exact scan top-k: one projection + TakeOrdered; the
+  *    correctness baseline at any scale that can afford a full scan.
+  *  - signBucket      — random-hyperplane LSH: plane components are
+  *    deterministic pseudo-randoms derived from xxhash64(plane, dim), so the
+  *    "matrix" is a column expression, not broadcast state.
+  *  - lshTopK         — the scale path: probe only the query's sign-bucket
+  *    (and optionally 1-bit-flip neighbor buckets), exact cosine inside.
+  *  - ivfTopK         — IVF-style: partition vectors by nearest of C
+  *    hash-seeded centroids (computed once per job), probe nProbe cells.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ over two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 when either vector is all-zero. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0.0, 0.0).otherwise(dot(a, b) / d)
+  }
+
+  /** Exact top-k by cosine against one query vector (a literal — the plan is
+    * scan → project → TakeOrdered; no shuffle beyond the final k).
+    */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+                     query: Seq[Float], k: Int): DataFrame = {
+    val q = typedLit(query)
+    df.select(col(idCol), cosine(col(vecCol), q).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim j):
+    * xxhash64(p, j) mapped to ±1. The full plane set is implied by the hash —
+    * nothing is stored or broadcast.
+    */
+  private def planeComponent(p: Column, j: Column): Column =
+    when(xxhash64(p, j).bitwiseAND(1) === 1, 1.0d).otherwise(-1.0d)
+
+  /** LSH sign bucket: one bit per hyperplane = sign of ⟨v, plane_p⟩. */
+  def signBucket(v: Column, planes: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(planes - 1)), p => {
+        val proj = aggregate(
+          zip_with(v, sequence(lit(0), size(v) - 1),
+            (x, j) => x * planeComponent(p, j)),
+          lit(0.0d), (acc, x) => acc + x)
+        when(proj > 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, bit) => acc.bitwiseOR(bit))
+
+  /** ANN top-k: probe the query's sign bucket plus all 1-bit-flip neighbors
+    * (multi-probe), exact cosine within. At 100 TB the bucketed table is
+    * written partitioned by bucket → the probe is a partition-pruned scan.
+    */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Float], k: Int, planes: Int = 8): DataFrame = {
+    val q = typedLit(query)
+    // query bucket is data-independent → computable as a literal-only expr
+    val qBucketCol = signBucket(q, planes)
+    val probes = array((0 until planes).map(p =>
+      qBucketCol.bitwiseXOR(shiftleft(lit(1L), p))) :+ qBucketCol: _*)
+    df.select(col(idCol), col(vecCol).as("v"))
+      .withColumn("bucket", signBucket(col("v"), planes))
+      .where(array_contains(probes, col("bucket")))
+      .select(col(idCol), cosine(col("v"), q).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** IVF coarse quantizer: centroid c of C cells has components derived from
+    * xxhash64(c, dim) in [-1, 1]; cell of a vector = argmin distance² to the
+    * centroids, computed as a column expression (no kmeans state, fully
+    * deterministic — the quality of a real trained quantizer is not the
+    * point; the partition-pruned probe topology is).
+    */
+  private def centroidComponent(c: Column, j: Column): Column =
+    (pmod(xxhash64(c, j), lit(2001L)).cast("double") - 1000.0d) / 1000.0d
+
+  def ivfCell(v: Column, cells: Int): Column = {
+    val dists = transform(sequence(lit(0), lit(cells - 1)), c =>
+      aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, j) => (x - centroidComponent(c, j)) * (x - centroidComponent(c, j))),
+        lit(0.0d), (acc, x) => acc + x))
+    array_position(dists, array_min(dists)).cast("int") - 1
+  }
+
+  /** IVF top-k: score only vectors in the query's nProbe nearest cells. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Float], k: Int, cells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val q = typedLit(query)
+    val qDists = transform(sequence(lit(0), lit(cells - 1)), c =>
+      aggregate(
+        zip_with(q, sequence(lit(0), lit(query.size - 1)),
+          (x, j) => (x - centroidComponent(c, j)) * (x - centroidComponent(c, j))),
+        lit(0.0d), (acc, x) => acc + x))
+    val qCells = slice(transform(array_sort(
+        zip_with(qDists, sequence(lit(0), lit(cells - 1)),
+          (d, c) => struct(d.as("d"), c.as("c")))),
+      s => s.getField("c")), 1, nProbe)
+    df.select(col(idCol), col(vecCol).as("v"))
+      .withColumn("cell", ivfCell(col("v"), cells))
+      .where(array_contains(qCells, col("cell")))
+      .select(col(idCol), cosine(col("v"), q).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All-pairs exact cosine above a threshold for a bounded id range —
+    * the oracle-checkable form (cross-join guarded by the range filter).
+    */
+  def pairwiseCosine(df: DataFrame, idCol: String, vecCol: String,
+                     maxId: Long, minCosine: Double): DataFrame = {
+    val sub = df.where(col(idCol) < maxId)
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+    val a = sub.select(col("id").as("id_a"), col("v").as("v_a"))
+    val b = sub.select(col("id").as("id_b"), col("v").as("v_b"))
+    a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("v_a"), col("v_b")))
+      .where(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,273 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Training-data operator tests over the shared sf0.001 tables plus
+  * constructed near-duplicates (the synthetic corpus has no natural dups).
+  */
+class OpsSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+  lazy val docs = spark.read.parquet(s"$sf/documents.parquet").cache()
+  lazy val embs = spark.read.parquet(s"$sf/embeddings.parquet").cache()
+
+  /** documents ∪ exact copies (id+10000) ∪ light edits (id+20000, one word
+    * appended) — known dup structure for recall checks.
+    */
+  lazy val withDups = {
+    val base = docs.select(col("doc_id"), col("text")).where(col("doc_id") < 50)
+    base
+      .unionByName(base.select(col("doc_id") + 10000 as "doc_id", col("text")))
+      .unionByName(base.select(col("doc_id") + 20000 as "doc_id",
+        concat(col("text"), lit(" trailing marker words here")).as("text")))
+      .cache()
+  }
+
+  test("exact dedup: one survivor per content, smallest id wins") {
+    val out = Dedup.exact(withDups, "doc_id", "text")
+    assert(out.count() == 100) // 50 unique texts + 50 edited variants
+    val survivors = out.select("doc_id").as[Long].collect().toSet
+    assert(survivors.filter(_ < 10000).size == 50)   // originals beat exact copies
+    assert(!survivors.exists(id => id >= 10000 && id < 20000))
+  }
+
+  test("minhash LSH: finds exact and near dups, estimate tracks true jaccard") {
+    val pairs = Dedup.minHashLsh(withDups, "doc_id", "text",
+        k = 32, bands = 8, minEstJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every exact copy pair (i, i+10000) must be found with estimate 1.0
+    val exactPairs = pairs.filter { case (a, b, _) => a < 10000 && b == a + 10000 }
+    assert(exactPairs.length == 50, s"got ${exactPairs.length}")
+    assert(exactPairs.forall(_._3 == 1.0))
+    // appended-words variants are near dups: mostly found, estimates high
+    val nearPairs = pairs.filter { case (a, b, _) => a < 10000 && b == a + 20000 }
+    assert(nearPairs.length >= 40, s"near-dup recall too low: ${nearPairs.length}/50")
+    assert(nearPairs.forall(_._3 >= 0.5))
+    // sanity: high estimates on unstructured pairs reflect genuinely high
+    // true Jaccard (the word-salad corpus has chance-similar short docs)
+    val cross = pairs.filter { case (a, b, est) => (b - a) % 10000 != 0 && est > 0.9 }
+    val texts = withDups.select("doc_id", "text").as[(Long, String)].collect().toMap
+    def shingleSet(t: String): Set[String] = {
+      val toks = t.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+      if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+      else Set(toks.mkString(" "))
+    }
+    cross.foreach { case (a, b, est) =>
+      val sa = shingleSet(texts(a)); val sb = shingleSet(texts(b))
+      val j = sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
+      assert(j >= 0.5, s"LSH estimate $est for pair ($a,$b) but true jaccard $j")
+    }
+  }
+
+  test("simhash: hamming 0 for exact copies, small for light edits") {
+    val pairs = Dedup.simHashPairs(withDups, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val exactPairs = pairs.filter { case (a, b, _) => a < 10000 && b == a + 10000 }
+    assert(exactPairs.length == 50)
+    assert(exactPairs.forall(_._3 == 0))
+  }
+
+  test("ngram jaccard: inverted-index pairs match naive computation") {
+    val out = Dedup.ngramJaccardPairs(withDups.where(col("doc_id") % 7 === 0),
+        "doc_id", "text", n = 3, minJaccard = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // naive oracle on the same subset
+    def shingleSet(t: String): Set[String] = {
+      val toks = t.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+      if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+      else Set(toks.mkString(" "))
+    }
+    val rows = withDups.where(col("doc_id") % 7 === 0)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    for {
+      (ida, ta) <- rows; (idb, tb) <- rows if ida < idb
+    } {
+      val sa = shingleSet(ta); val sb = shingleSet(tb)
+      val j = sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
+      if (j >= 0.5)
+        assert(math.abs(out((ida, idb)) - j) < 1e-9, s"pair ($ida,$idb)")
+      else assert(!out.contains((ida, idb)))
+    }
+  }
+
+  test("brute-force cosine top-k: agrees with driver-side computation") {
+    val q = embs.where(col("vec_id") === 0).select("embedding")
+      .as[Seq[Float]].head()
+    val got = Similarity.bruteForceTopK(embs, "vec_id", "embedding", q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val all = embs.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      if (na * nb == 0) 0 else dot / (na * nb)
+    }
+    val exp = all.map { case (id, v) => (id, cos(q, v)) }
+      .sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(got.map(_._1).toSet == exp.map(_._1).toSet)
+    val expMap = exp.toMap
+    got.foreach { case (id, s0) => assert(math.abs(s0 - expMap(id)) < 1e-6) }
+    // and the result really is sim-descending
+    assert(got.map(_._2).toSeq == got.map(_._2).sortBy(-(_: Double)).toSeq)
+    assert(got.head._1 == 0L) // self-similarity tops the list
+  }
+
+  test("LSH top-k: self always found; results subset of brute-force order") {
+    val q = embs.where(col("vec_id") === 7).select("embedding").as[Seq[Float]].head()
+    val lsh = Similarity.lshTopK(embs, "vec_id", "embedding", q, 10, planes = 6)
+      .collect().map(_.getLong(0))
+    assert(lsh.contains(7L))
+    val brute = Similarity.bruteForceTopK(embs, "vec_id", "embedding", q, 500)
+      .collect().map(_.getLong(0))
+    assert(lsh.toSet.subsetOf(brute.toSet))
+  }
+
+  test("IVF top-k: probes cells, finds self") {
+    val q = embs.where(col("vec_id") === 3).select("embedding").as[Seq[Float]].head()
+    val out = Similarity.ivfTopK(embs, "vec_id", "embedding", q, 10,
+      cells = 8, nProbe = 8) // all cells probed == exact
+    val brute = Similarity.bruteForceTopK(embs, "vec_id", "embedding", q, 10)
+    assert(out.collect().map(_.getLong(0)).toSeq ==
+      brute.collect().map(_.getLong(0)).toSeq)
+  }
+
+  test("embedding near-dup: exact duplicate vectors collide and score 1") {
+    val dupVecs = embs.where(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(embs.where(col("vec_id") < 20)
+        .select(col("vec_id") + 1000 as "vec_id", col("embedding")))
+    val pairs = Dedup.embeddingNearDup(dupVecs, "vec_id", "embedding",
+        planes = 8, minCosine = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    (0 until 20).foreach { i =>
+      assert(pairs.contains((i.toLong, i + 1000L)), s"missing dup pair $i")
+    }
+  }
+
+  test("language id + evidence deterministic and in-range") {
+    val out = docs.limit(100)
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang"),
+        TextAnalysis.qualityScore(col("text")).as("q"),
+        TextAnalysis.tokenCount(col("text")).as("toks"),
+        TextAnalysis.wordCount(col("text")).as("words"))
+      .collect()
+    out.foreach { r =>
+      assert(Set("en", "de", "fr", "es", "und").contains(r.getString(1)))
+      val q = r.getDouble(2); assert(q >= 0.0 && q <= 1.0)
+      assert(r.getInt(3) >= r.getInt(4)) // BPE-ish ≥ whitespace count
+    }
+  }
+
+  test("fingerprint: stable under whitespace, changed by content edits") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha  beta\tgamma   delta epsilon"), // whitespace-only diff
+      (3L, "alpha beta gamma delta zeta")          // content diff
+    ).toDF("id", "text")
+    val fps = df.select(col("id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("bm25: matching docs score > 0, ranking favors term-dense docs") {
+    val scored = Bm25.score(docs.limit(200), "doc_id", "text", Seq("spark", "window"))
+    val rows = scored.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 > 0.0))
+    // every scored doc actually contains a query term
+    val ids = rows.map(_._1).toSet
+    val texts = docs.limit(200).select("doc_id", "text").as[(Long, String)].collect().toMap
+    ids.foreach { id =>
+      val t = texts(id).toLowerCase
+      assert(t.contains("spark") || t.contains("window"))
+    }
+  }
+
+  test("adaptive stats: coverage/consistency/saturation/confidence bounds") {
+    val cov = Adaptive.coverage(docs.limit(100), "doc_id", "text", Seq("spark", "data"))
+    assert(cov > 0.0 && cov <= 1.0)
+    val cons = Adaptive.consistency(docs.limit(20), "doc_id", "text")
+    assert(cons > 0.0 && cons <= 1.0)
+    assert(Adaptive.saturation(Seq(100L, 50L, 10L)) == 0.9)
+    assert(Adaptive.saturation(Seq(10L, 20L)) == 0.0) // rate grew → not saturated
+    val conf = Adaptive.confidence(cov, cons, 0.5)
+    assert(conf > 0.0 && conf <= 1.0)
+  }
+
+  test("regex extraction catalog") {
+    val df = Seq(
+      (1L, "mail a@b.com and web https://x.io/page visited 2024-01-15 at 13:45"),
+      (2L, "pay $5.00 or 12.5% via 4111111111111111, ping 10.0.0.1")
+    ).toDF("id", "text")
+    val out = RegexExtract.extract(df, "id", "text",
+        Seq("email", "url", "date_iso", "time_24h", "currency", "percentage", "ipv4", "credit_card"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def has(id: Long, label: String, v: String) =
+      assert(out.contains((id, label, v)), s"missing ($id,$label,$v) in ${out.toSeq}")
+    has(1L, "email", "a@b.com")
+    has(1L, "url", "https://x.io/page")
+    has(1L, "date_iso", "2024-01-15")
+    has(1L, "time_24h", "13:45")
+    has(2L, "currency", "$5.00")
+    has(2L, "percentage", "12.5%")
+    has(2L, "ipv4", "10.0.0.1")
+    has(2L, "credit_card", "4111111111111111")
+  }
+
+  test("multimodal: decode plumbing, frame sampling, resize, content dedup") {
+    val blobs = Seq(
+      Multimodal.syntheticBlob("d1", "http://x.com/a.jpg", "image"),
+      Multimodal.syntheticBlob("d1", "http://x.com/v.mp4", "video"),
+      Multimodal.syntheticBlob("d2", "http://x.com/a.jpg", "image"), // same content
+      Multimodal.syntheticBlob("d2", "http://x.com/s.ogg", "audio")
+    ).toDS()
+    val feats = Multimodal.decode(blobs).cache()
+    val rows = feats.collect()
+    assert(rows.length == 4)
+    rows.foreach { f =>
+      assert(f.width >= 16 && f.height >= 16)
+      assert(f.feature.length == 16)
+      if (f.kind == "image") { assert(f.duration_ms == 0 && f.n_frames == 1) }
+      if (f.kind == "video") assert(f.n_frames > 0)
+    }
+    // determinism: same ref → same features
+    val imgs = rows.filter(_.media_ref.endsWith("a.jpg"))
+    assert(imgs.map(_.content_hash).distinct.length == 1)
+
+    val frames = Multimodal.sampleFrames(feats.toDF(), everyMs = 1000)
+    val v = rows.find(_.kind == "video").get
+    assert(frames.count() == v.duration_ms / 1000 + 1)
+
+    val resized = Multimodal.resizePlan(feats.toDF(), maxSide = 256).collect()
+    resized.foreach { r =>
+      val ow = r.getAs[Int]("out_width"); val oh = r.getAs[Int]("out_height")
+      assert(ow <= 256 && oh <= 256 && ow >= 1 && oh >= 1)
+    }
+
+    val dedup = Multimodal.dedupByContent(blobs.toDF())
+    assert(dedup.count() == 3)
+    assert(dedup.where(col("n_copies") === 2).count() == 1)
+  }
+
+  test("markdown: raw emission + citations") {
+    import graft.core.{LinkOut, ScrapedDoc, Span}
+    val doc = ScrapedDoc("u", "u",
+      Seq(Span("text", "Hello world", "", 0),
+        Span("media", "a pic", "http://x.com/p.jpg", 1),
+        Span("text", "See docs", "", 2)),
+      Seq(LinkOut("http://x.com/docs", "docs", true, 0),
+        LinkOut("http://ext.com", "world", false, 1)),
+      "t", 4)
+    val md = graft.scrape.Markdown.fromDoc(doc)
+    assert(md.raw_markdown == "Hello world\n\n![a pic](http://x.com/p.jpg)\n\nSee docs")
+    assert(md.markdown_with_citations.contains("docs⟨1⟩"))
+    assert(md.markdown_with_citations.contains("world⟨2⟩"))
+    assert(md.references_markdown ==
+      "## References\n\n⟨1⟩ http://x.com/docs\n⟨2⟩ http://ext.com\n")
+  }
+}
