@@ -28,14 +28,22 @@ object SparkEntry {
       .withColumn("url_hash", xxhash64(col("url")))
   }
 
+  // one shared BFS run per JVM: docs/visits/entry queries read the same
+  // committed snapshots instead of re-crawling
+  @volatile private var sharedRun: String = null
+
   private def runCrawl(spark: SparkSession, tag: String,
-                       cfg: CrawlConfig = CrawlConfig(hostBudget = 8, maxEpochs = 40)): String = {
-    import spark.implicits._
-    val runDir = java.nio.file.Files.createTempDirectory(s"graft-$tag").toString
-    Crawl.run(spark, Synth.seeds(siteCfg).toDF(), synthPages(spark),
-      Synth.robots(siteCfg).toDF(), runDir, cfg)
-    runDir
-  }
+                       cfg: CrawlConfig = CrawlConfig(hostBudget = 8, maxEpochs = 40)): String =
+    synchronized {
+      if (sharedRun == null) {
+        import spark.implicits._
+        val runDir = java.nio.file.Files.createTempDirectory(s"graft-$tag").toString
+        Crawl.run(spark, Synth.seeds(siteCfg).toDF(), synthPages(spark),
+          Synth.robots(siteCfg).toDF(), runDir, cfg)
+        sharedRun = runDir
+      }
+      sharedRun
+    }
 
   private def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
@@ -230,6 +238,30 @@ object SparkEntry {
         Seq("email", "date_iso", "time_24h", "ipv4"))
     }),
 
+    // ---- streaming twin: gap sessionization over events (SQL-mirrorable) --
+    "q_sessionize" -> ((s, dir) => {
+      graft.streaming.EventStream.sessionizeBatch(
+          table(s, dir, "events").select("user_id", "ts", "value"),
+          gapMs = 30 * 60 * 1000L)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), round(col("total_value"), 4).as("total_value"))
+    }),
+
+    // ---- markdown generation with citations over crawled span docs --------
+    "crawl_markdown" -> ((s, _) => {
+      import s.implicits._
+      val runDir = runCrawl(s, "md")
+      Crawl.docs(s, runDir)
+        .select(col("doc_id"), col("doc_id").as("url"), col("spans"),
+          col("links"), col("title"), col("n_words").as("nWords"))
+        .as[graft.core.ScrapedDoc]
+        .map { d =>
+          val md = graft.scrape.Markdown.fromDoc(d)
+          (d.doc_id, md.raw_markdown, md.markdown_with_citations, md.references_markdown)
+        }
+        .toDF("doc_id", "raw_markdown", "markdown_with_citations", "references_markdown")
+    }),
+
     // ---- multimodal plumbing (stub kernel; deterministic features) --------
     "q_media_features" -> ((s, dir) => {
       import s.implicits._
@@ -396,6 +428,21 @@ object SparkEntry {
         |ORDER BY list_cosine_similarity(embedding,
         |    (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
         |LIMIT 10""".stripMargin,
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |                   OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM g)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |       count(*) AS n_events, round(sum(value), 4) AS total_value
+        |FROM s GROUP BY user_id, session_no""".stripMargin,
     "q_regex_extract" ->
       """WITH t AS (
         |  SELECT c_custkey,

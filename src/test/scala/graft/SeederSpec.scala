@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.politeness.DomainState
+import graft.sources.Seeder
+
+class SeederSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  def sitemapXml(urls: Seq[String]): String =
+    "<urlset>" + urls.map(u => s"<url><loc> $u </loc></url>").mkString + "</urlset>"
+  def indexXml(sitemaps: Seq[String]): String =
+    "<sitemapindex>" + sitemaps.map(u => s"<sitemap><loc>$u</loc></sitemap>").mkString + "</sitemapindex>"
+
+  test("sitemap recursive expansion through an index") {
+    val store = Seq(
+      ("http://a.com/sitemap.xml", indexXml(Seq("http://a.com/s1.xml", "http://a.com/s2.xml"))),
+      ("http://a.com/s1.xml", sitemapXml(Seq("http://a.com/p1", "http://a.com/p2"))),
+      ("http://a.com/s2.xml", sitemapXml(Seq("http://a.com/p3")))
+    ).toDF("url", "xml")
+    val roots = Seq("http://a.com/sitemap.xml").toDF("url")
+    val pages = Seeder.expandSitemaps(roots, store).select("url")
+      .as[String].collect().toSet
+    assert(pages == Set("http://a.com/p1", "http://a.com/p2", "http://a.com/p3"))
+  }
+
+  test("cc index glob filter") {
+    val rows = Seq(
+      """{"url": "http://sub.a.com/page1", "status": "200"}""",
+      """{"url": "http://b.com/page2"}""",
+      """{"url": "http://a.com/page3"}""").toDF("value")
+    val out = Seeder.ccIndex(rows, "http://*a.com/*").as[String].collect().toSet
+    assert(out == Set("http://sub.a.com/page1", "http://a.com/page3"))
+  }
+
+  test("seed pipeline: union rank, first-wins dedup, nonsense filter, max cut") {
+    val sitemap = Seq("http://a.com/x?utm_source=s", "http://a.com/robots.txt",
+      "http://a.com/y").toDF("url")
+    val cc = Seq("http://a.com/x", "http://a.com/z", "not a url").toDF("url")
+    val out = Seeder.seedPipeline(spark, Seq("sitemap" -> sitemap, "cc" -> cc))
+      .select("url", "source").as[(String, String)].collect().toMap
+    // x deduped (tracking param stripped) with sitemap (rank 0) winning
+    assert(out("http://a.com/x") == "sitemap")
+    assert(out("http://a.com/y") == "sitemap")
+    assert(out("http://a.com/z") == "cc")
+    assert(!out.contains("http://a.com/robots.txt")) // nonsense dropped
+    assert(out.size == 3)
+
+    val capped = Seeder.seedPipeline(spark, Seq("sitemap" -> sitemap, "cc" -> cc),
+      maxUrls = 2)
+    assert(capped.count() == 2)
+  }
+
+  test("seed pipeline: BM25 head scoring ranks relevant heads first") {
+    val urls = Seq("http://a.com/spark", "http://a.com/cooking", "http://a.com/mixed")
+      .toDF("url")
+    val heads = Seq(
+      ("http://a.com/spark", "spark streaming spark sql engine"),
+      ("http://a.com/cooking", "pasta recipes and sauces"),
+      ("http://a.com/mixed", "spark plugs for cars")).toDF("url", "head")
+    val out = Seeder.seedPipeline(spark, Seq("sitemap" -> urls),
+        headText = Some(heads), query = Seq("spark"), scoreThreshold = 0.0001)
+      .select("url", "score").as[(String, Double)].collect()
+    assert(out.length == 2) // cooking scored 0 → below threshold
+    assert(out.head._1 == "http://a.com/spark") // highest score first
+    assert(out.forall(_._2 > 0))
+  }
+
+  test("domain state: deterministic backoff, decay, abort") {
+    val s0 = Seq.empty[(String, Double, Int)].toDF("host", "current_delay", "fail_count")
+    val r1 = Seq(("a.com", 503), ("a.com", 200), ("b.com", 200)).toDF("host", "status_code")
+    val s1 = DomainState.evolve(s0, r1)
+    val m1 = s1.collect().map(r => r.getString(0) ->
+      (r.getDouble(1), r.getInt(2), r.getBoolean(3))).toMap
+    assert(m1("a.com") == ((4.0, 1, false)))  // 2.0 * 2 (throttled beats success)
+    assert(m1("b.com") == ((2.0, 0, false)))  // decays but floored at base
+
+    // repeated throttles: delay doubles to the cap, abort after >3 fails
+    var st = s1.drop("aborted")
+    val throttle = Seq(("a.com", 429)).toDF("host", "status_code")
+    (0 until 4).foreach { _ => st = DomainState.evolve(st, throttle).drop("aborted") }
+    val fin = DomainState.evolve(st, throttle).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getInt(2), r.getBoolean(3))).toMap
+    assert(fin("a.com")._1 == 60.0) // capped
+    assert(fin("a.com")._3)         // aborted
+  }
+
+  test("host budget derives from delay, zero when aborted") {
+    val st = Seq(("a.com", 2.0, 0, false), ("b.com", 60.0, 5, true),
+      ("c.com", 45.0, 0, false)).toDF("host", "current_delay", "fail_count", "aborted")
+    val b = DomainState.hostBudget(st, epochSeconds = 60.0).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(b("a.com") == 30)
+    assert(b("b.com") == 0)
+    assert(b("c.com") == 1)
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{SessionEvent, SessionOut}
+import java.sql.Timestamp
+
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+  test("windowed counts with watermark over a real stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventStream.windowedCounts(events, "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try {
+      mem.addData((ts(1), "click", 1.0), (ts(2), "click", 2.0), (ts(11), "view", 5.0),
+        (ts(3), "click", 3.0)) // out of order but inside watermark
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .select("window_start", "event_type", "n", "sum_value")
+        .collect().map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows == Set((0L, "click", 3L, 6.0), (10L, "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization over a stream (flatMapGroupsWithState)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val q = EventStream.sessionize(mem.toDS(), gapMs = 10 * 60000L)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two sessions separated by a 30-min gap; user 2: one session
+      mem.addData(
+        SessionEvent(1L, ts(0), 1.0), SessionEvent(1L, ts(5), 2.0),
+        SessionEvent(1L, ts(40), 3.0),
+        SessionEvent(2L, ts(0), 9.0))
+      q.processAllAvailable()
+      val done = spark.table("sessions").as[SessionOut].collect()
+      // only user 1's FIRST session is closed (the rest are still open state)
+      assert(done.length == 1)
+      val s = done.head
+      assert(s.user_id == 1L && s.n_events == 2 && s.total_value == 3.0)
+      assert(s.session_start == ts(0) && s.session_end == ts(5))
+    } finally q.stop()
+  }
+
+  test("batch sessionization twin: gap split and aggregates") {
+    val df = Seq(
+      (1L, ts(0), 1.0), (1L, ts(5), 2.0), (1L, ts(60), 4.0),
+      (2L, ts(0), 7.0)).toDF("user_id", "ts", "value")
+    val out = EventStream.sessionizeBatch(df, gapMs = 30 * 60000L)
+      .orderBy("user_id", "session_start").collect()
+    assert(out.length == 3)
+    val first = out(0)
+    assert(first.getAs[Long]("user_id") == 1L)
+    assert(first.getAs[Long]("n_events") == 2L)
+    assert(first.getAs[Double]("total_value") == 3.0)
+    assert(out(1).getAs[Long]("n_events") == 1L) // the t=60 singleton
+    assert(out(2).getAs[Long]("user_id") == 2L)
+  }
+
+  test("windowed counts transform also runs in plain batch mode") {
+    val df = Seq((ts(1), "a", 1.0), (ts(2), "a", 1.0), (ts(15), "b", 2.0))
+      .toDF("ts", "event_type", "value")
+    val rows = EventStream.windowedCounts(df, "10 minutes", "5 minutes")
+      .orderBy("window_start", "event_type").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(2) == 2L)
+  }
+}
