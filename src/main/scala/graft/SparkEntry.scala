@@ -262,6 +262,45 @@ object SparkEntry {
         .toDF("doc_id", "raw_markdown", "markdown_with_citations", "references_markdown")
     }),
 
+    // ---- data-table + metadata extraction over the synthetic page store ---
+    "crawl_tables" -> ((s, _) => {
+      import s.implicits._
+      synthPages(s).select("url", "html").as[(String, String)]
+        .flatMap { case (url, html) =>
+          graft.scrape.Tables.extract(html).map(t =>
+            (url, t.caption, t.headers.mkString("|"), t.rows.size))
+        }
+        .toDF("url", "caption", "headers", "n_rows")
+    }),
+    "crawl_metadata" -> ((s, _) => {
+      import s.implicits._
+      synthPages(s).select("url", "html").as[(String, String)]
+        .map { case (url, html) =>
+          val m = graft.scrape.Meta.extractMetadata(html)
+          (url, m.getOrElse("title", ""), graft.scrape.Meta.fitHtml(html).length)
+        }
+        .toDF("url", "title", "fit_html_len")
+    }),
+
+    // link intrinsic scoring (pure column arithmetic; SQL-mirrorable)
+    "q_link_score" -> ((s, dir) => {
+      val links = table(s, dir, "part").select(
+        col("p_partkey"),
+        col("p_name").as("text"),
+        concat(
+          when(col("p_partkey") % 3 === 0, "https://x.com/docs/guide/")
+            .when(col("p_partkey") % 3 === 1, "https://x.com/blog/")
+            .otherwise("http://x.com/cart/checkout/a/b/c/d/"),
+          col("p_partkey")).as("url"),
+        when(col("p_partkey") % 2 === 0, "Part details page").otherwise("").as("title_attr"),
+        when(col("p_partkey") % 5 === 0, "nav-menu").otherwise("item").as("class_attr"),
+        when(col("p_partkey") % 7 === 0, "nofollow").otherwise("").as("rel_attr"))
+      links.select(col("p_partkey"),
+        round(graft.functions.LinkScore.intrinsic(
+          col("text"), col("url"), col("title_attr"), col("class_attr"),
+          col("rel_attr"), typedLit(Seq.empty[String]), lit(false)), 4).as("link_score"))
+    }),
+
     // ---- multimodal plumbing (stub kernel; deterministic features) --------
     "q_media_features" -> ((s, dir) => {
       import s.implicits._
@@ -443,6 +482,47 @@ object SparkEntry {
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
         |       count(*) AS n_events, round(sum(value), 4) AS total_value
         |FROM s GROUP BY user_id, session_no""".stripMargin,
+    "q_link_score" ->
+      """WITH l AS (
+        |  SELECT p_partkey, p_name AS text,
+        |    CASE WHEN p_partkey % 3 = 0 THEN 'https://x.com/docs/guide/' || p_partkey
+        |         WHEN p_partkey % 3 = 1 THEN 'https://x.com/blog/' || p_partkey
+        |         ELSE 'http://x.com/cart/checkout/a/b/c/d/' || p_partkey END AS url,
+        |    CASE WHEN p_partkey % 2 = 0 THEN 'Part details page' ELSE '' END AS title_attr,
+        |    CASE WHEN p_partkey % 5 = 0 THEN 'nav-menu' ELSE 'item' END AS class_attr,
+        |    CASE WHEN p_partkey % 7 = 0 THEN 'nofollow' ELSE '' END AS rel_attr
+        |  FROM part),
+        |s AS (
+        |  SELECT p_partkey,
+        |      (CASE WHEN length(trim(title_attr)) > 3 THEN 1.0 ELSE 0.0 END)
+        |    + (CASE WHEN lower(class_attr) LIKE '%nav%' OR lower(class_attr) LIKE '%menu%'
+        |              OR lower(class_attr) LIKE '%primary%' OR lower(class_attr) LIKE '%main%'
+        |              OR lower(class_attr) LIKE '%important%' THEN 1.5 ELSE 0.0 END)
+        |    + (CASE WHEN lower(class_attr) LIKE '%ad%' OR lower(class_attr) LIKE '%sponsor%'
+        |              OR lower(class_attr) LIKE '%track%' OR lower(class_attr) LIKE '%promo%'
+        |              OR lower(class_attr) LIKE '%banner%' THEN -1.0 ELSE 0.0 END)
+        |    + (CASE WHEN lower(rel_attr) LIKE '%canonical%' OR lower(rel_attr) LIKE '%next%'
+        |              OR lower(rel_attr) LIKE '%prev%' OR lower(rel_attr) LIKE '%chapter%' THEN 1.0 ELSE 0.0 END)
+        |    + (CASE WHEN lower(rel_attr) LIKE '%nofollow%' OR lower(rel_attr) LIKE '%sponsored%'
+        |              OR lower(rel_attr) LIKE '%ugc%' THEN -0.5 ELSE 0.0 END)
+        |    + (CASE WHEN lower(url) LIKE '%/docs/%' OR lower(url) LIKE '%/api/%'
+        |              OR lower(url) LIKE '%/guide/%' OR lower(url) LIKE '%/tutorial/%'
+        |              OR lower(url) LIKE '%/reference/%' OR lower(url) LIKE '%/manual/%' THEN 2.0
+        |            WHEN lower(url) LIKE '%/blog/%' OR lower(url) LIKE '%/article/%'
+        |              OR lower(url) LIKE '%/post/%' OR lower(url) LIKE '%/news/%' THEN 1.0 ELSE 0.0 END)
+        |    + (CASE WHEN lower(url) LIKE '%/admin/%' OR lower(url) LIKE '%/login/%'
+        |              OR lower(url) LIKE '%/cart/%' OR lower(url) LIKE '%/checkout/%'
+        |              OR lower(url) LIKE '%/track/%' OR lower(url) LIKE '%/click/%' THEN -1.5 ELSE 0.0 END)
+        |    + (CASE WHEN length(lower(url)) - length(replace(lower(url), '/', '')) - 2 <= 2 THEN 1.0
+        |            WHEN length(lower(url)) - length(replace(lower(url), '/', '')) - 2 > 5 THEN -0.5 ELSE 0.0 END)
+        |    + (CASE WHEN lower(url) LIKE 'https://%' THEN 0.5 ELSE 0.0 END)
+        |    + (CASE WHEN length(trim(text)) > 3 THEN 1.0 ELSE 0.0 END)
+        |    + (CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) >= 2 THEN 0.5 ELSE 0.0 END)
+        |    + (CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) >= 4 THEN 0.5 ELSE 0.0 END)
+        |    + (CASE WHEN lower(trim(text)) IN ('click here','read more','more info','link','here') THEN -1.0 ELSE 0.0 END)
+        |    AS raw
+        |  FROM l)
+        |SELECT p_partkey, round(greatest(0.0, least(raw, 10.0)), 4) AS link_score FROM s""".stripMargin,
     "q_regex_extract" ->
       """WITH t AS (
         |  SELECT c_custkey,

