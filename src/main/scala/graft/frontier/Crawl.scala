@@ -153,13 +153,19 @@ object Crawl {
     var totalFetched = sumManifests(runDir, "fetched")
     var totals = (0L, 0L, 0L) // failed, skippedRobots, placeholder
     var done = false
+    // incremental counters (avoid a count job per epoch; re-derived from the
+    // last manifest on resume, bootstrap-counted on a fresh run)
+    var queuedCount = manifestField(runDir, epoch, "frontier_queued").getOrElse(-1L)
+    var seenCount = manifestField(runDir, epoch, "seen_total").getOrElse(-1L)
     while (!done && epoch < cfg.maxEpochs) {
       val t0 = System.currentTimeMillis()
       val frontier = spark.read.parquet(dir(runDir, epoch, "frontier"))
       val seen = spark.read.parquet(dir(runDir, epoch, "seen"))
       val queued = frontier.where(col("status") === CrawlStatus.Queued)
+      if (queuedCount < 0) queuedCount = queued.count()
+      if (seenCount < 0) seenCount = seen.count()
 
-      if (queued.isEmpty || totalFetched >= cfg.maxPages) { done = true }
+      if (queuedCount == 0 || totalFetched >= cfg.maxPages) { done = true }
       else {
         // ---- admission: politeness budget + fairness aging + strategy order
         val aged = queued.withColumn("wait", lit(epoch) - col("enqueue_epoch"))
@@ -245,7 +251,6 @@ object Crawl {
           .withColumn("url_hash", xxhash64(col("url")))
 
         // dedup: bloom pre-filter + exact anti-join, then first-wins per hash
-        val seenCount = seen.count()
         val bloom = BloomSeen.build(seen, "url_hash", seenCount, cfg.bloomFpp)
         val fresh = BloomSeen.antiJoin(candidates, seen, "url_hash", bloom)
         val firstWins = fresh.withColumn("rk", row_number().over(
@@ -282,32 +287,47 @@ object Crawl {
         val nextSeen = seen.unionByName(newEntries.select("url_hash"))
         nextSeen.write.mode(SaveMode.Overwrite).parquet(dir(runDir, epoch + 1, "seen"))
 
-        // ---- metrics + per-partition lineage, then the atomic commit
-        val nFetched = scraped.where(col("fetch_ok")).count()
-        val nFailed = scraped.where(!col("fetch_ok")).count()
+        // ---- metrics + per-partition lineage in ONE aggregation pass over
+        // the cached scrape output, then the atomic commit
+        val lineageRows = scraped.groupBy(spark_partition_id().as("pid"), col("fetch_ok"))
+          .agg(count(lit(1)).as("rows"), sum(col("n_words")).as("words"))
+          .collect()
+        val nFetched = lineageRows.filter(_.getBoolean(1)).map(_.getLong(2)).sum
+        val nFailed = lineageRows.filterNot(_.getBoolean(1)).map(_.getLong(2)).sum
         val nBlocked = robotsBlocked.count()
         val nNew = newEntries.count()
-        val nSeen = nextSeen.count()
-        val partLineage = scraped.groupBy(spark_partition_id().as("pid"))
-          .agg(count("*").as("rows"), sum(col("n_words")).as("words"))
-          .orderBy("pid").collect()
-          .map(r => s"""{"pid":${r.getInt(0)},"rows":${r.getLong(1)},"words":${Option(r.get(2)).getOrElse(0)}}""")
+        // derived, no extra jobs: admitted = allowed + blocked; deferred =
+        // queued − admitted; seen grows only by the (disjoint) new entries
+        val admittedCount = nFetched + nFailed + nBlocked
+        val deferredCount = queuedCount - admittedCount
+        seenCount += nNew
+        queuedCount = deferredCount + nNew
+        val partLineage = lineageRows.sortBy(_.getInt(0))
+          .map(r => s"""{"pid":${r.getInt(0)},"fetch_ok":${r.getBoolean(1)},"rows":${r.getLong(2)},"words":${Option(r.get(3)).getOrElse(0)}}""")
           .mkString("[", ",", "]")
         totalFetched += nFetched
         totals = (totals._1 + nFailed, totals._2 + nBlocked, 0L)
         val wall = System.currentTimeMillis() - t0
         commitManifest(runDir, epoch + 1,
           s"""{"epoch":${epoch + 1},"fetched":$nFetched,"failed":$nFailed,""" +
-          s""""skipped_robots":$nBlocked,"new_frontier":$nNew,"seen_total":$nSeen,""" +
-          s""""wall_ms":$wall,"partitions":$partLineage}""")
+          s""""skipped_robots":$nBlocked,"new_frontier":$nNew,"seen_total":$seenCount,""" +
+          s""""frontier_queued":$queuedCount,"wall_ms":$wall,"partitions":$partLineage}""")
 
         scraped.unpersist(); admitted.unpersist()
-        if (nNew == 0 && deferred.isEmpty) done = true
+        if (queuedCount == 0) done = true
         epoch += 1
       }
     }
     val seenFinal = spark.read.parquet(dir(runDir, math.max(lastCommittedEpoch(runDir), 0), "seen")).count()
     CrawlSummary(epoch, totalFetched, totals._1, totals._2, seenFinal)
+  }
+
+  /** Numeric field of the manifest at `epoch`, if committed. */
+  private def manifestField(runDir: String, epoch: Int, field: String): Option[Long] = {
+    val p = manifestPath(runDir, epoch)
+    if (!Files.exists(p)) None
+    else ("\"" + field + "\":(-?\\d+)").r.findFirstMatchIn(Files.readString(p))
+      .map(_.group(1).toLong)
   }
 
   private def sumManifests(runDir: String, field: String): Long = {
