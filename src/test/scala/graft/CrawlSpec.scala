@@ -86,7 +86,13 @@ class CrawlSpec extends AnyFunSuite {
           val u = l.href
           if (u != null && Urls.isValidCrawlUrl(u) && !Urls.isNonsense(u) &&
               e.depth + 1 <= cfg.maxDepth && !seen.contains(u)) {
-            val cand = OEntry(u, Urls.host(u), e.depth + 1, 0.5, e.url,
+            // same scoring spec as the engine: keyword relevance when
+            // configured (fraction of keywords contained), else neutral 0.5
+            val score =
+              if (cfg.keywords.isEmpty) 0.5
+              else cfg.keywords.count(k => u.toLowerCase.contains(k.toLowerCase))
+                .toDouble / cfg.keywords.size
+            val cand = OEntry(u, Urls.host(u), e.depth + 1, score, e.url,
               e.path + f"${l.linkIndex}%04x", epoch + 1, 0)
             val better = newEntries.get(u).forall(x => cand.path < x.path)
             if (better) newEntries(u) = cand
@@ -158,7 +164,7 @@ class CrawlSpec extends AnyFunSuite {
     assert(urls.exists(_.startsWith("http://site1.com/cat0"))) // allowed part crawled
   }
 
-  test("best-first: high-score URLs visited before low-score within an epoch") {
+  test("best-first: visit order equals oracle (keyword scoring); score-desc per epoch") {
     val cfg = CrawlConfig(strategy = "best_first", keywords = Seq("prod"),
       hostBudget = 100, maxEpochs = 40)
     val runDir = freshDir("bff")
@@ -166,9 +172,10 @@ class CrawlSpec extends AnyFunSuite {
     val engineVisits = Crawl.visits(spark, runDir)
       .select("epoch", "visit_rank", "url").orderBy("epoch", "visit_rank")
       .collect().map(r => (r.getInt(0), r.getString(2))).toSeq
-    // oracle with same scoring: keyword relevance on "prod"
-    // engine scores: keywordRelevance; oracle uses 0.5 — instead verify the
-    // within-epoch invariant directly: scores are non-increasing per epoch.
+    val (oracleVisits, _) = oracleCrawl(cfg)
+    assert(engineVisits == oracleVisits,
+      s"best-first order mismatch:\n engine=${engineVisits.take(20)}\n oracle=${oracleVisits.take(20)}")
+    // and within every epoch, scores are non-increasing
     val scores = Crawl.visits(spark, runDir)
       .select("epoch", "visit_rank", "score").orderBy("epoch", "visit_rank")
       .collect().map(r => (r.getInt(0), r.getDouble(2)))
@@ -176,7 +183,18 @@ class CrawlSpec extends AnyFunSuite {
       val s = es.map(_._2).toSeq
       assert(s == s.sortBy(-(_: Double)), s"not score-descending: $s")
     }
-    assert(engineVisits.nonEmpty)
+  }
+
+  test("DFS: visit order equals oracle (preorder via path encoding)") {
+    val cfg = CrawlConfig(strategy = "dfs", hostBudget = 3, maxEpochs = 40)
+    val runDir = freshDir("dfs")
+    Crawl.run(spark, seedsDF, pagesDF, robotsDF, runDir, cfg)
+    val engineVisits = Crawl.visits(spark, runDir)
+      .select("epoch", "visit_rank", "url").orderBy("epoch", "visit_rank")
+      .collect().map(r => (r.getInt(0), r.getString(2))).toSeq
+    val (oracleVisits, _) = oracleCrawl(cfg)
+    assert(engineVisits == oracleVisits,
+      s"dfs order mismatch:\n engine=${engineVisits.take(20)}\n oracle=${oracleVisits.take(20)}")
   }
 
   test("kill/resume: seen set identical to an uninterrupted run") {
