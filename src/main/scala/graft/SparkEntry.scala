@@ -301,6 +301,54 @@ object SparkEntry {
           col("rel_attr"), typedLit(Seq.empty[String]), lit(false)), 4).as("link_score"))
     }),
 
+    // composite URL scorers (freshness/path-depth/keyword, reference lookup
+    // tables — SQL-mirrorable on constructed URLs)
+    "q_url_scorers" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+        .withColumn("url",
+          concat(lit("https://shop.example.com/blog/"),
+            year(col("o_orderdate")),
+            lit("/order-"), col("o_orderkey"),
+            when(col("o_orderpriority").startsWith("1"), "-urgent").otherwise("")))
+      o.select(col("o_orderkey"),
+        round(graft.functions.Scorers.freshnessScore(col("url"), 2024), 4).as("freshness"),
+        round(graft.functions.Scorers.pathDepthScore(col("url"), 3), 4).as("depth_score"),
+        round(graft.functions.Scorers.keywordRelevance(col("url"), Seq("urgent", "blog")), 4).as("kw_score"))
+    }),
+    // politeness backoff evolution (deterministic RateLimiter semantics)
+    "q_domain_backoff" -> ((s, dir) => {
+      import s.implicits._
+      val st0 = Seq.empty[(String, Double, Int)].toDF("host", "current_delay", "fail_count")
+      val results = table(s, dir, "events")
+        .select(concat(lit("h"), col("user_id") % 997).as("host"),
+          when(col("event_type") === "error", 503)
+            .when(col("event_type") === "purchase", 429)
+            .otherwise(200).as("status_code"))
+      graft.politeness.DomainState.evolve(st0, results)
+        .select(col("host"), round(col("current_delay"), 4).as("current_delay"),
+          col("fail_count"), col("aborted"))
+    }),
+    // event-time bucketed aggregation (tumbling window, batch form)
+    "q_events_hourly" -> ((s, dir) => {
+      table(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    }),
+    // chunk + BM25-ish relevance filter pipeline (RegexChunking shape:
+    // fixed 10-word windows since the corpus has no sentence punctuation)
+    "q_chunk_filter" -> ((s, dir) => {
+      val toks = graft.ops.TextAnalysis.tokens(col("text"))
+      val chunks = transform(
+        sequence(lit(0), ((size(toks) - 1) / 10).cast("int")),
+        i => concat_ws(" ", slice(toks, i * 10 + 1, lit(10))))
+      val d = table(s, dir, "documents")
+        .withColumn("chunks", chunks)
+      graft.scrape.ContentFilter.bm25ChunkPipeline(d, "doc_id", "chunks",
+          Seq("spark", "window"), 1.0)
+        .select(col("doc_id"), col("n_kept"),
+          concat_ws("||", col("fit_chunks")).as("fit_text"))
+    }),
+
     // ---- multimodal plumbing (stub kernel; deterministic features) --------
     "q_media_features" -> ((s, dir) => {
       import s.implicits._
@@ -482,6 +530,73 @@ object SparkEntry {
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
         |       count(*) AS n_events, round(sum(value), 4) AS total_value
         |FROM s GROUP BY user_id, session_no""".stripMargin,
+    "q_url_scorers" ->
+      """WITH u AS (
+        |  SELECT o_orderkey,
+        |    'https://shop.example.com/blog/' || year(o_orderdate) || '/order-' || o_orderkey ||
+        |      (CASE WHEN o_orderpriority LIKE '1%' THEN '-urgent' ELSE '' END) AS url
+        |  FROM orders),
+        |f AS (
+        |  SELECT o_orderkey, url,
+        |    list_max(list_transform(
+        |      list_filter(regexp_extract_all(url, '(?:/|[-_])((?:19|20)\d{2})', 1),
+        |                  x -> CAST(x AS INTEGER) <= 2024),
+        |      x -> CAST(x AS INTEGER))) AS yr,
+        |    len(list_filter(string_split(
+        |      regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/'),
+        |      x -> x <> '')) AS depth
+        |  FROM u)
+        |SELECT o_orderkey,
+        |  round(CASE WHEN yr IS NULL THEN 0.5
+        |       WHEN 2024 - yr = 0 THEN 1.0 WHEN 2024 - yr = 1 THEN 0.9
+        |       WHEN 2024 - yr = 2 THEN 0.8 WHEN 2024 - yr = 3 THEN 0.7
+        |       WHEN 2024 - yr = 4 THEN 0.6 WHEN 2024 - yr = 5 THEN 0.5
+        |       ELSE greatest(0.1, 1.0 - (2024 - yr) * 0.1) END, 4) AS freshness,
+        |  round(CASE WHEN abs(depth - 3) = 0 THEN 1.0 WHEN abs(depth - 3) = 1 THEN 0.5
+        |       WHEN abs(depth - 3) = 2 THEN 1.0/3.0 WHEN abs(depth - 3) = 3 THEN 0.25
+        |       ELSE 1.0 / (1.0 + abs(depth - 3)) END, 4) AS depth_score,
+        |  round(((CASE WHEN lower(url) LIKE '%urgent%' THEN 1 ELSE 0 END)
+        |       + (CASE WHEN lower(url) LIKE '%blog%' THEN 1 ELSE 0 END)) / 2.0, 4) AS kw_score
+        |FROM f""".stripMargin,
+    "q_domain_backoff" ->
+      """WITH r AS (
+        |  SELECT 'h' || (user_id % 997) AS host,
+        |    CASE WHEN event_type = 'error' THEN 503
+        |         WHEN event_type = 'purchase' THEN 429 ELSE 200 END AS status
+        |  FROM events),
+        |g AS (
+        |  SELECT host,
+        |    sum(CASE WHEN status IN (429, 503) THEN 1 ELSE 0 END) AS throttles,
+        |    sum(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS successes
+        |  FROM r GROUP BY host)
+        |SELECT host,
+        |  round(CASE WHEN throttles > 0 THEN least(2.0 * 2.0, 60.0)
+        |             ELSE greatest(2.0, 2.0 * 0.75) END, 4) AS current_delay,
+        |  CAST(CASE WHEN throttles > 0 THEN 1 ELSE 0 END AS INTEGER) AS fail_count,
+        |  (CASE WHEN throttles > 0 THEN 1 ELSE 0 END) > 3 AS aborted
+        |FROM g""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |       count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_chunk_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(0, ((len(tk) - 1) // 10) + 1),
+        |           i -> {'idx': i, 'chunk': array_to_string(tk[i*10+1 : i*10+10], ' ')})) AS u
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id, u.idx AS idx, u.chunk AS chunk,
+        |    len(list_filter(string_split(u.chunk, ' '), x -> x = 'spark')) +
+        |    len(list_filter(string_split(u.chunk, ' '), x -> x = 'window')) AS score
+        |  FROM c)
+        |SELECT doc_id, count(*) AS n_kept,
+        |       string_agg(chunk, '||' ORDER BY idx) AS fit_text
+        |FROM s WHERE score >= 1 GROUP BY doc_id""".stripMargin,
     "q_link_score" ->
       """WITH l AS (
         |  SELECT p_partkey, p_name AS text,
