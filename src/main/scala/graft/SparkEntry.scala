@@ -129,15 +129,16 @@ object SparkEntry {
         .where(col("rk") === 1)
         .select(col("k"), col("src_rank"), col("o_orderkey"))
     }),
-    // URL canonicalization at scale, oracle-checkable restricted shape
+    // URL canonicalization at scale — via the native codegen'd Catalyst
+    // expression (graft.plans.CanonicalizeUrl), oracle-checkable shape
     "q_canonicalize" -> ((s, dir) => {
-      import s.implicits._
-      val canon = udf((u: String) => Urls.canonicalize(u, ""))
+      graft.plans.GraftExtensions.install(s)
       table(s, dir, "part")
         .withColumn("raw_url",
           concat(lit("HTTP://Example.COM/Part/"), col("p_partkey"),
             lit("?utm_source=x&b=2&a=1#frag")))
-        .withColumn("canonical", canon(col("raw_url")))
+        .withColumn("canonical",
+          call_function("canonicalize_url", col("raw_url"), lit(false)))
         .select(col("p_partkey"), col("canonical"))
     }),
 

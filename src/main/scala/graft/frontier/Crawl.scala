@@ -54,7 +54,13 @@ final case class CrawlConfig(
     maxEpochs: Int = 64,
     userAgent: String = "*",
     bloomFpp: Double = 0.03,
-    scrapeMinWords: Int = 1)
+    scrapeMinWords: Int = 1,
+    /** When set, per-host budgets evolve with fetch outcomes: throttling
+      * hosts (429/503) get exponentially shrinking budgets and abort after
+      * repeated failures (DomainState semantics); the static `hostBudget`
+      * becomes the cap. */
+    dynamicPoliteness: Boolean = false,
+    epochSeconds: Double = 60.0)
 
 final case class CrawlSummary(
     epochs: Int, fetched: Long, failed: Long, skippedRobots: Long, seen: Long)
@@ -161,6 +167,11 @@ object Crawl {
       val t0 = System.currentTimeMillis()
       val frontier = spark.read.parquet(dir(runDir, epoch, "frontier"))
       val seen = spark.read.parquet(dir(runDir, epoch, "seen"))
+      val domainStatePath = dir(runDir, epoch, "domain_state")
+      val domainState: Option[DataFrame] =
+        if (cfg.dynamicPoliteness && Files.isDirectory(Paths.get(domainStatePath)))
+          Some(spark.read.parquet(domainStatePath))
+        else None
       val queued = frontier.where(col("status") === CrawlStatus.Queued)
       if (queuedCount < 0) queuedCount = queued.count()
       if (seenCount < 0) seenCount = seen.count()
@@ -179,7 +190,21 @@ object Crawl {
         }
         val ranked = aged.withColumn("host_rank",
           row_number().over(Window.partitionBy("host").orderBy(ord: _*)))
-        var admitted = ranked.where(col("host_rank") <= cfg.hostBudget).drop("host_rank", "wait")
+        // effective budget: static cap, tightened per host by evolved
+        // politeness state (throttled hosts shrink, aborted hosts go to 0)
+        val budgeted = domainState match {
+          case Some(st) =>
+            val perHost = graft.politeness.DomainState
+              .hostBudget(st, cfg.epochSeconds)
+              .withColumnRenamed("budget", "state_budget")
+            ranked.join(broadcast(perHost), Seq("host"), "left")
+              .withColumn("eff_budget",
+                least(lit(cfg.hostBudget), coalesce(col("state_budget"), lit(cfg.hostBudget))))
+              .drop("state_budget")
+          case None => ranked.withColumn("eff_budget", lit(cfg.hostBudget))
+        }
+        var admitted = budgeted.where(col("host_rank") <= col("eff_budget"))
+          .drop("host_rank", "wait", "eff_budget")
         val capacity = math.min(cfg.globalBatch, cfg.maxPages - totalFetched)
         if (capacity < Long.MaxValue)
           admitted = admitted.orderBy(ord: _*).limit(math.min(capacity, Int.MaxValue.toLong).toInt)
@@ -214,14 +239,30 @@ object Crawl {
           .select("url_hash", "url", "host", "depth", "score", "path", "html", "status_code")
           .as[(Long, String, String, Int, Double, String, String, Option[Int])]
           .map { case (h, u, host, d, sc, p, html, status) =>
-            val ok = html != null && status.contains(200)
+            val code = status.getOrElse(404)
+            val ok = html != null && code == 200
             val doc = if (ok) Scrape.scrape(u, html, scrapeCfg)
                       else ScrapedDoc(u, u, Nil, Nil, "", 0)
-            (h, u, host, d, sc, p, ok, doc.spans, doc.links, doc.title, doc.nWords)
+            (h, u, host, d, sc, p, ok, code, doc.spans, doc.links, doc.title, doc.nWords)
           }
           .toDF("url_hash", "url", "host", "depth", "score", "path",
-            "fetch_ok", "spans", "links", "title", "n_words")
+            "fetch_ok", "status_code", "spans", "links", "title", "n_words")
           .cache()
+
+        // ---- politeness state evolution (deterministic backoff per epoch)
+        if (cfg.dynamicPoliteness) {
+          val st0 = domainState.getOrElse(
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("host", org.apache.spark.sql.types.StringType),
+                org.apache.spark.sql.types.StructField("current_delay", org.apache.spark.sql.types.DoubleType),
+                org.apache.spark.sql.types.StructField("fail_count", org.apache.spark.sql.types.IntegerType)))))
+          graft.politeness.DomainState
+            .evolve(st0.select("host", "current_delay", "fail_count"),
+              scraped.select(col("host"), col("status_code")))
+            .write.mode(SaveMode.Overwrite).parquet(dir(runDir, epoch + 1, "domain_state"))
+        }
 
         // ---- outputs: docs + visit order
         scraped.where(col("fetch_ok"))

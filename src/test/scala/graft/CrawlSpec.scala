@@ -218,6 +218,39 @@ class CrawlSpec extends AnyFunSuite {
     assert(vs(partial) == vs(full))
   }
 
+  test("dynamic politeness: a throttling host shrinks to its backoff budget and aborts") {
+    // site1 serves 503 on every page → its domain state fails repeatedly;
+    // after MaxRetries throttled epochs the host is aborted (budget 0)
+    val throttlingPages = allPages.map { p =>
+      PageRec(p.url, 0L, p.host, p.html, if (p.host == "site1.com") 503 else 200, 0)
+    }.toDF().withColumn("url_hash", xxhash64(col("url")))
+    val cfg = CrawlConfig(strategy = "bfs", hostBudget = 10, maxEpochs = 40,
+      dynamicPoliteness = true, epochSeconds = 8.0)
+    val runDir = freshDir("dynpol")
+    Crawl.run(spark, seedsDF, pagesDF.limit(0).unionByName(throttlingPages),
+      robotsDF.limit(0), runDir, cfg)
+    val visits = Crawl.visits(spark, runDir)
+      .select("epoch", "url").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    val hostU = (u: String) => Urls.host(u)
+    // per-epoch admission counts for the throttling host
+    val perEpoch = visits.filter(v => hostU(v._2) == "site1.com")
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    // epoch 0 has no state yet (static cap); once throttled, the budget is
+    // epochSeconds/delay: delay doubles 4, 8, 16 … → budgets 2, 1, 1, 0 (abort)
+    if (perEpoch.nonEmpty) {
+      val maxEpochSeen = perEpoch.keys.max
+      (1 to maxEpochSeen).foreach { e =>
+        perEpoch.get(e).foreach(n => assert(n <= 2, s"epoch $e admitted $n from throttling host"))
+      }
+    }
+    // healthy host unaffected: crawls its whole allowed tree
+    assert(visits.count(v => hostU(v._2) == "site0.com") > 10)
+    // aborted host never completes its site
+    val site1Visited = visits.count(v => hostU(v._2) == "site1.com")
+    assert(site1Visited < Synth.pagesPerHost(site))
+  }
+
   test("maxPages capacity cap respected") {
     val cfg = CrawlConfig(strategy = "bfs", hostBudget = 10, maxPages = 7, maxEpochs = 40)
     val runDir = freshDir("cap")
