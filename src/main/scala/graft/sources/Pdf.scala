@@ -1,0 +1,74 @@
+package graft.sources
+
+import graft.core.Xxh64
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PDF source — page-wise text/image/link extraction shaped after the
+  * reference's pypdf processor (/root/reference/crawl4ai/processors/pdf/
+  * processor.py:57-430): one input binary → N page rows with text, image
+  * counts, and links.
+  *
+  * THE PDF CODEC IS A STUB (this container ships no PDF library): page
+  * content derives deterministically from the byte content. The Spark
+  * plumbing is the real shape and is tested: `binaryFile`-schema input
+  * (path, length, content), per-partition batched decode, page explosion,
+  * and the downstream span-document projection.
+  */
+object Pdf {
+
+  final case class PdfBinary(path: String, length: Long, content: Array[Byte])
+  final case class PdfPage(
+      doc_id: String,
+      page_no: Int,
+      text: String,
+      n_images: Int,
+      links: Seq[String])
+
+  /** Read PDFs via Spark's binaryFile source (real path; not used in tests
+    * because the corpus is synthesized in-memory).
+    */
+  def readBinary(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("length"), col("content"))
+
+  /** ===== STUB KERNEL ===== deterministic fake page extraction: page count
+    * and per-page features derive from the content hash. A real build swaps
+    * this body for a pypdf-equivalent JVM parser; the signature and the
+    * one-binary→many-pages shape are the contract.
+    */
+  def extractPagesStub(doc: PdfBinary): Seq[PdfPage] = {
+    val h = Xxh64.hashBytes(doc.content, 42L)
+    val nPages = 1 + (math.abs(h) % 8).toInt
+    (0 until nPages).map { p =>
+      val ph = Xxh64.hashLong(h, p.toLong)
+      val nWords = 20 + (math.abs(ph) % 80).toInt
+      val words = (0 until nWords).map(i =>
+        s"w${math.abs(Xxh64.hashLong(ph, i.toLong)) % 500}")
+      val nImages = (math.abs(ph >> 17) % 4).toInt
+      val nLinks = (math.abs(ph >> 29) % 3).toInt
+      val links = (0 until nLinks).map(i =>
+        s"http://ref.example.com/${math.abs(Xxh64.hashLong(ph, 1000L + i)) % 1000}")
+      PdfPage(doc.path, p, words.mkString(" "), nImages, links)
+    }
+  }
+
+  /** Binary docs → page rows; decode batched per partition (one kernel init
+    * per task), pages exploded downstream of the kernel.
+    */
+  def pages(docs: Dataset[PdfBinary]): Dataset[PdfPage] = {
+    import docs.sparkSession.implicits._
+    docs.mapPartitions { it => it.flatMap(extractPagesStub) }
+  }
+
+  /** Page rows → the engine's span-document shape (text span per page, media
+    * span per image) so PDF content joins the same docs table as HTML.
+    */
+  def toSpanDocs(pages: DataFrame): DataFrame =
+    pages.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("page_no"), col("text"), col("n_images")))).as("ps"))
+      .select(col("doc_id"), flatten(transform(col("ps"), p =>
+        array(struct(
+          lit("text").as("kind"), p.getField("text").as("text"),
+          lit("").as("media_ref"), p.getField("page_no").as("offset"))))).as("spans"))
+}

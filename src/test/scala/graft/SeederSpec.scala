@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.politeness.DomainState
-import graft.sources.Seeder
+import graft.sources.{Pdf, Seeder}
 
 class SeederSpec extends AnyFunSuite {
   import SparkTestSession.spark
@@ -95,5 +95,28 @@ class SeederSpec extends AnyFunSuite {
     assert(b("a.com") == 30)
     assert(b("b.com") == 0)
     assert(b("c.com") == 1)
+  }
+
+  test("pdf source: binary → pages → span docs (stub kernel, real plumbing)") {
+    val bins = Seq(
+      Pdf.PdfBinary("/docs/a.pdf", 100L, Array.tabulate(100)(_.toByte)),
+      Pdf.PdfBinary("/docs/b.pdf", 64L, Array.tabulate(64)(i => (i * 3).toByte))).toDS()
+    val pages = Pdf.pages(bins).cache()
+    val byDoc = pages.collect().groupBy(_.doc_id)
+    assert(byDoc.keySet == Set("/docs/a.pdf", "/docs/b.pdf"))
+    byDoc.values.foreach { ps =>
+      assert(ps.map(_.page_no).sorted.toSeq == (0 until ps.length))
+      ps.foreach(p => assert(p.text.nonEmpty))
+    }
+    // determinism: same bytes → same pages
+    val again = Pdf.pages(bins).collect().toSet
+    assert(again == pages.collect().toSet)
+    // span-doc projection: one text span per page, DOM-order offsets
+    val docs = Pdf.toSpanDocs(pages.toDF()).collect()
+    docs.foreach { r =>
+      val spans = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("spans")
+      assert(spans.map(_.getAs[Int]("offset")).toSeq == (0 until spans.length))
+      assert(spans.forall(_.getAs[String]("kind") == "text"))
+    }
   }
 }
