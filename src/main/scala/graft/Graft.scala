@@ -1,0 +1,63 @@
+package graft
+
+import graft.core.ScrapedDoc
+import graft.frontier.{Crawl, CrawlConfig, CrawlSummary}
+import graft.scrape.{CssExtract, Markdown, Meta, Scrape, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The user-facing facade: one object per reference entry point, so a
+  * crawl4ai user can map their calls one-to-one (see API.md for the full
+  * mapping table).
+  *
+  *  - `crawl`       ↔ `AsyncWebCrawler.arun / arun_many` with a
+  *                    `deep_crawl_strategy` (BFS/DFS/BestFirst)
+  *  - `scrapeHtml`  ↔ `arun("raw:...")` — one document, no network
+  *  - `markdown`    ↔ `DefaultMarkdownGenerator.generate_markdown`
+  *  - `extractCss`  ↔ `JsonCssExtractionStrategy.extract`
+  *  - `extractTables` ↔ `WebScrapingStrategy` table extraction
+  *  - `metadata`    ↔ head metadata extraction
+  *  - `seedUrls`    ↔ `AsyncUrlSeeder.urls / aseed_urls`
+  */
+final class Graft(val spark: SparkSession) {
+
+  graft.plans.GraftExtensions.install(spark)
+
+  /** Deep crawl: seeds through the epoch loop against a page store (the
+    * fetch layer at test/bench time) with politeness + robots + dedup;
+    * state snapshots under `runDir`.
+    */
+  def crawl(seeds: DataFrame, pages: DataFrame, robots: DataFrame,
+            runDir: String, cfg: CrawlConfig = CrawlConfig()): CrawlSummary =
+    Crawl.run(spark, seeds, pages, robots, runDir, cfg)
+
+  /** Docs (doc_id, spans, links, …) produced by a crawl run. */
+  def docs(runDir: String): DataFrame = Crawl.docs(spark, runDir)
+
+  /** Deterministic visit order of a crawl run. */
+  def visits(runDir: String): DataFrame = Crawl.visits(spark, runDir)
+
+  /** One raw document → interleaved span doc (no crawl state). */
+  def scrapeHtml(url: String, html: String,
+                 cfg: Scrape.Config = Scrape.Config()): ScrapedDoc =
+    Scrape.scrape(url, html, cfg)
+
+  /** Markdown (raw + citations + references) for a scraped doc. */
+  def markdown(doc: ScrapedDoc): Markdown.MarkdownResult = Markdown.fromDoc(doc)
+
+  /** Schema-driven CSS extraction → JSON string. */
+  def extractCss(html: String, schema: CssExtract.Schema): String =
+    CssExtract.toJson(CssExtract.extract(html, schema))
+
+  /** Structural data tables of a document. */
+  def extractTables(html: String): Seq[Tables.TableData] = Tables.extract(html)
+
+  /** Head metadata (title/description/og/twitter/canonical). */
+  def metadata(html: String): Map[String, String] = Meta.extractMetadata(html)
+
+  /** Seed discovery: union sources, dedup, filter, optional head-BM25 rank. */
+  def seedUrls(sources: Seq[(String, DataFrame)],
+               headText: Option[DataFrame] = None,
+               query: Seq[String] = Nil,
+               maxUrls: Int = Int.MaxValue): DataFrame =
+    graft.sources.Seeder.seedPipeline(spark, sources, headText, query, maxUrls = maxUrls)
+}

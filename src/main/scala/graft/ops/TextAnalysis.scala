@@ -119,4 +119,21 @@ object TextAnalysis {
     */
   def fingerprintSketch(text: Column, k: Int = 3, s: Int = 8): Column =
     slice(array_sort(transform(shingles(text, k), x => md5(x))), 1, s)
+
+  // ---- chunking strategies (chunking_strategy.py re-expressed) -------------
+
+  /** RegexChunking: split on a pattern (default blank lines), drop empties. */
+  def regexChunks(text: Column, pattern: String = "\\n\\n"): Column =
+    filter(split(text, pattern), c => trim(c) =!= "")
+
+  /** SlidingWindowChunking: word windows of `window` tokens advancing by
+    * `step` (overlapping when step < window).
+    */
+  def slidingWindowChunks(text: Column, window: Int = 100, step: Int = 50): Column = {
+    val toks = filter(split(text, "\\s+"), t => t =!= "")
+    when(size(toks) <= window, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(0), ((size(toks) - window + step - 1) / step).cast("int")),
+        i => concat_ws(" ", slice(toks, i * step + 1, lit(window)))))
+  }
 }
