@@ -37,6 +37,10 @@ object SparkEntry {
     synchronized {
       if (sharedRun == null) {
         import spark.implicits._
+        // the driver's session may default to 200 shuffle partitions — far
+        // too many for the per-epoch state at test scale (runtime-settable)
+        if (spark.conf.get("spark.sql.shuffle.partitions") == "200")
+          spark.conf.set("spark.sql.shuffle.partitions", "32")
         val runDir = java.nio.file.Files.createTempDirectory(s"graft-$tag").toString
         Crawl.run(spark, Synth.seeds(siteCfg).toDF(), synthPages(spark),
           Synth.robots(siteCfg).toDF(), runDir, cfg)
