@@ -170,6 +170,15 @@ object SparkEntry {
         d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
       Dedup.minHashLsh(dups, "doc_id", "text", k = 32, bands = 8, minEstJaccard = 0.5)
     }),
+    // md5-keyed minhash signatures (the oracle-checkable twin of the
+    // xxhash64 production path; estimates verified against true Jaccard in
+    // the ScalaTest suite)
+    "q_minhash_signature" -> ((s, dir) => {
+      val d = table(s, dir, "documents").where(col("doc_id") < 150)
+      d.select(col("doc_id"),
+        concat_ws(",", Dedup.minHashSignatureMd5(
+          TextAnalysis.shingles(col("text"), 3), 16)).as("sig"))
+    }),
     "q_simhash_pairs" -> ((s, dir) => {
       val d = table(s, dir, "documents").where(col("doc_id") < 200)
         .select(col("doc_id"), col("text"))
@@ -520,6 +529,21 @@ object SparkEntry {
         |ORDER BY list_cosine_similarity(embedding,
         |    (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
         |LIMIT 10""".stripMargin,
+    "q_minhash_signature" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id < 150),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 3
+        |         THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+        |         ELSE [array_to_string(t, ' ')] END AS s
+        |  FROM tk)
+        |SELECT doc_id,
+        |  array_to_string(list_transform(range(0, 16),
+        |    i -> list_min(list_transform(s, x -> md5(i || '|' || x)))), ',') AS sig
+        |FROM sh""".stripMargin,
     "q_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, ts, value,

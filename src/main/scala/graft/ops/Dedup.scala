@@ -41,6 +41,15 @@ object Dedup {
       i => aggregate(shingles, lit(Long.MaxValue),
         (acc, s) => least(acc, xxhash64(i, s))))
 
+  /** md5-keyed minhash signature: sig[i] = lexicographic min over shingles
+    * of md5(i + "|" + shingle). Slower than the xxhash64 path (hex-string
+    * compares) but expressible identically in ANSI-ish SQL — the
+    * oracle-checkable twin of [[minHashSignature]].
+    */
+  def minHashSignatureMd5(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingles, s => md5(concat(i, lit("|"), s)))))
+
   /** MinHash+LSH near-duplicate candidate pairs.
     *
     * @param df     input with an id column and a text column
