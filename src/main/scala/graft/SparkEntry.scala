@@ -76,6 +76,11 @@ object SparkEntry {
       val runDir = runCrawl(s, "visits")
       Crawl.visits(s, runDir).select("epoch", "visit_rank", "url", "depth")
     }),
+    // per-epoch metrics + lineage from the committed snapshot manifests
+    "crawl_epoch_manifests" -> ((s, _) => {
+      val runDir = runCrawl(s, "manifests")
+      Crawl.metrics(s, runDir)
+    }),
 
     // ---- frontier relational operators, DuckDB-oracled on the shared tables
     // per-host politeness admission window: top-3 events per user by value

@@ -404,4 +404,41 @@ object Crawl {
   /** URL-seen set of the last committed snapshot (the resume-identity set). */
   def seenSet(spark: SparkSession, runDir: String): DataFrame =
     spark.read.parquet(dir(runDir, math.max(lastCommittedEpoch(runDir), 0), "seen"))
+
+  /** Per-epoch metrics from the committed manifests: (epoch, fetched,
+    * failed, skipped_robots, new_frontier, seen_total, wall_ms) — the
+    * TraversalStats/dispatch-telemetry surface (models.py:100-109).
+    */
+  def metrics(spark: SparkSession, runDir: String): DataFrame = {
+    import spark.implicits._
+    val last = lastCommittedEpoch(runDir)
+    (1 to last).flatMap { e =>
+      val p = manifestPath(runDir, e)
+      if (!Files.exists(p)) None
+      else {
+        val s = Files.readString(p)
+        def f(k: String): Long = ("\"" + k + "\":(-?\\d+)").r
+          .findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(-1L)
+        Some((e, f("fetched"), f("failed"), f("skipped_robots"),
+          f("new_frontier"), f("seen_total"), f("wall_ms")))
+      }
+    }.toDF("epoch", "fetched", "failed", "skipped_robots",
+      "new_frontier", "seen_total", "wall_ms")
+  }
+
+  /** Per-partition lineage entries of one epoch's manifest:
+    * (pid, fetch_ok, rows, words).
+    */
+  def lineage(spark: SparkSession, runDir: String, epoch: Int): DataFrame = {
+    import spark.implicits._
+    val p = manifestPath(runDir, epoch)
+    val entries =
+      if (!Files.exists(p)) Seq.empty
+      else "\\{\"pid\":(\\d+),\"fetch_ok\":(true|false),\"rows\":(\\d+),\"words\":(\\d+)\\}".r
+        .findAllMatchIn(Files.readString(p))
+        .map(m => (m.group(1).toInt, m.group(2).toBoolean,
+          m.group(3).toLong, m.group(4).toLong))
+        .toSeq
+    entries.toDF("pid", "fetch_ok", "rows", "words")
+  }
 }
