@@ -77,9 +77,10 @@ object SparkEntry {
       Crawl.visits(s, runDir).select("epoch", "visit_rank", "url", "depth")
     }),
     // per-epoch metrics + lineage from the committed snapshot manifests
+    // (wall_ms excluded: timing is the one nondeterministic manifest field)
     "crawl_epoch_manifests" -> ((s, _) => {
       val runDir = runCrawl(s, "manifests")
-      Crawl.metrics(s, runDir)
+      Crawl.metrics(s, runDir).drop("wall_ms")
     }),
 
     // ---- frontier relational operators, DuckDB-oracled on the shared tables
