@@ -1,8 +1,9 @@
 package graft.frontier
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
+import java.nio.file.{Files, Path}
 
 /** Bloom pre-filter for the URL-seen set (reference's experimental bloom
   * frontier, /root/reference/crawl4ai/deep_crawling/crazy.py:102-165,
@@ -12,6 +13,14 @@ import org.apache.spark.util.sketch.BloomFilter
   * is to keep DEFINITELY-NEW candidates out of that join's shuffle: at
   * 10^10-URL scale most discovered links are new, so the anti-join only
   * shuffles the (small) maybe-seen fraction plus false positives (~fpp).
+  *
+  * Blooms are INCREMENTAL: each epoch builds a bloom over that epoch's seen
+  * DELTA only (never re-aggregating history), and the check consults the
+  * vector of per-epoch blooms. Every `seenCompactEvery` epochs the crawl loop
+  * compacts the deltas and replaces the vector with one full-set bloom, which
+  * bounds both the vector length and the effective false-positive rate
+  * (k deltas at fpp each ≈ k·fpp combined — acceptable for a pre-filter whose
+  * misses only cost anti-join shuffle volume, never correctness).
   */
 object BloomSeen {
 
@@ -22,13 +31,35 @@ object BloomSeen {
             fpp: Double = 0.03): BloomFilter =
     df.stat.bloomFilter(colName, math.max(expectedItems, 64L), fpp)
 
-  /** Split `candidates` into (definitelyNew, maybeSeen) by the bloom. The
-    * filter object rides to executors as a broadcast task binary; the
-    * predicate is a cheap deterministic UDF over the hash column.
+  /** An empty bloom (used for epochs whose seen delta has no rows). */
+  def empty(fpp: Double = 0.03): BloomFilter = BloomFilter.create(64L, fpp)
+
+  def save(bloom: BloomFilter, path: Path): Unit = {
+    val tmp = path.resolveSibling("." + path.getFileName.toString + ".tmp")
+    val os = Files.newOutputStream(tmp)
+    try bloom.writeTo(os) finally os.close()
+    Files.move(tmp, path, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def load(path: Path): BloomFilter = {
+    val is = Files.newInputStream(path)
+    try BloomFilter.readFrom(is) finally is.close()
+  }
+
+  /** Split `candidates` into (definitelyNew, maybeSeen) by a vector of
+    * per-epoch blooms. The vector rides to executors as an explicit broadcast
+    * (one copy per executor, not per task); the predicate is a cheap
+    * deterministic check over the hash column.
     */
-  def split(candidates: DataFrame, hashCol: String, bloom: BloomFilter)
-      : (DataFrame, DataFrame) = {
-    val mightContain = udf((h: Long) => bloom.mightContainLong(h)).asNondeterministic()
+  def split(spark: SparkSession, candidates: DataFrame, hashCol: String,
+            blooms: Seq[BloomFilter]): (DataFrame, DataFrame) = {
+    val bc = spark.sparkContext.broadcast(blooms.toArray)
+    val mightContain = udf { (h: Long) =>
+      val bs = bc.value; var i = 0; var hit = false
+      while (i < bs.length && !hit) { hit = bs(i).mightContainLong(h); i += 1 }
+      hit
+    }.asNondeterministic()
     val flagged = candidates.withColumn("__maybe_seen", mightContain(col(hashCol)))
     (flagged.where(!col("__maybe_seen")).drop("__maybe_seen"),
       flagged.where(col("__maybe_seen")).drop("__maybe_seen"))
@@ -38,10 +69,20 @@ object BloomSeen {
     * present in `seen` — equivalent to a plain left_anti join, but only the
     * maybe-seen slice shuffles.
     */
-  def antiJoin(candidates: DataFrame, seen: DataFrame, hashCol: String,
-               bloom: BloomFilter): DataFrame = {
-    val (definitelyNew, maybeSeen) = split(candidates, hashCol, bloom)
+  def antiJoin(spark: SparkSession, candidates: DataFrame, seen: DataFrame,
+               hashCol: String, blooms: Seq[BloomFilter]): DataFrame = {
+    val (definitelyNew, maybeSeen) = split(spark, candidates, hashCol, blooms)
     val survivors = maybeSeen.join(seen, Seq(hashCol), "left_anti")
     definitelyNew.unionByName(survivors)
+  }
+
+  /** Single-bloom convenience overload (kept for the property suite). */
+  def antiJoin(candidates: DataFrame, seen: DataFrame, hashCol: String,
+               bloom: BloomFilter): DataFrame = {
+    val mightContain = udf((h: Long) => bloom.mightContainLong(h)).asNondeterministic()
+    val flagged = candidates.withColumn("__maybe_seen", mightContain(col(hashCol)))
+    val definitelyNew = flagged.where(!col("__maybe_seen")).drop("__maybe_seen")
+    val maybeSeen = flagged.where(col("__maybe_seen")).drop("__maybe_seen")
+    definitelyNew.unionByName(maybeSeen.join(seen, Seq(hashCol), "left_anti"))
   }
 }

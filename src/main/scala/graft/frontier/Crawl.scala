@@ -4,9 +4,10 @@ import graft.core._
 import graft.functions.Scorers
 import graft.politeness.Robots
 import graft.scrape.Scrape
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
 /** The crawl engine: an epoch-batch frontier loop, each epoch one Catalyst
@@ -60,7 +61,11 @@ final case class CrawlConfig(
       * repeated failures (DomainState semantics); the static `hostBudget`
       * becomes the cap. */
     dynamicPoliteness: Boolean = false,
-    epochSeconds: Double = 60.0)
+    epochSeconds: Double = 60.0,
+    /** Every this-many epochs the per-epoch seen DELTAS (and their blooms)
+      * are compacted into one full set — bounds the number of delta dirs a
+      * reader unions and the per-epoch bloom vector length. */
+    seenCompactEvery: Int = 16)
 
 final case class CrawlSummary(
     epochs: Int, fetched: Long, failed: Long, skippedRobots: Long, seen: Long)
@@ -74,6 +79,19 @@ object Crawl {
 
   private def manifestPath(runDir: String, epoch: Int) =
     Paths.get(f"$runDir/manifest_$epoch%04d.json")
+
+  private def bloomPath(runDir: String, epoch: Int) =
+    Paths.get(f"$runDir/bloom_$epoch%04d.bin")
+
+  /** The admission/visit sort key per traversal strategy (the ONLY ordering
+    * spec in the engine; `Crawl.visits` re-derives ranks from it at read
+    * time, so no global-order window ever runs inside the epoch loop).
+    */
+  private def strategyOrder(strategy: String): Seq[Column] = strategy match {
+    case "dfs"        => Seq(col("priority"), col("path"))
+    case "best_first" => Seq(col("priority"), col("score").desc, col("depth"), col("path"))
+    case _            => Seq(col("priority"), col("depth"), col("path"))
+  }
 
   /** Highest epoch with a committed manifest, -1 if none. */
   def lastCommittedEpoch(runDir: String): Int = {
@@ -110,7 +128,6 @@ object Crawl {
   def seedFrontier(spark: SparkSession, seeds: DataFrame): Dataset[FrontierEntry] = {
     import spark.implicits._
     val canon = udf((u: String) => Urls.canonicalizeDeep(u, ""))
-    val hostU = udf((u: String) => Urls.host(u))
     val valid = udf((u: String) => u != null && Urls.isValidCrawlUrl(u) && !Urls.isNonsense(u))
     val srcRank = when(col("source") === "sitemap", 0).otherwise(1)
     val base = seeds
@@ -120,16 +137,18 @@ object Crawl {
       .withColumn("rk", row_number().over(
         Window.partitionBy("url_hash").orderBy(srcRank, col("url"))))
       .where(col("rk") === 1)
-    // seed ordering: url-sorted (deterministic); seed lists are bounded so a
-    // single global row_number window is fine here (and only here).
-    base.withColumn("seed_idx", row_number().over(Window.orderBy("curl")) - 1)
-      .select(
-        col("url_hash"), col("curl").as("url"), hostU(col("curl")).as("host"),
-        lit(0).as("depth"), lit(0.5).as("score"), lit(0.0).as("priority"),
-        lit("").as("parent"), format_string("%04x", col("seed_idx")).as("path"),
-        lit(0).as("enqueue_epoch"), lit(0).as("retry_count"),
-        lit(0).as("epoch"), lit(CrawlStatus.Queued).as("status"))
-      .as[FrontierEntry]
+    // seed ordering: dense url-sorted rank via the two-pass scheme (range
+    // partition on the sort key, then per-partition index + partition-offset
+    // prefix sum = `zipWithIndex` over a sorted RDD) — a global dense rank
+    // with NO single-partition window, deterministic because the sort key is
+    // unique after the first-wins dedup.
+    base.select(col("url_hash"), col("curl")).orderBy("curl")
+      .as[(Long, String)].rdd.zipWithIndex()
+      .map { case ((h, u), i) =>
+        FrontierEntry(h, u, Urls.host(u), 0, 0.5, 0.0, "", f"$i%04x",
+          0, 0, 0, CrawlStatus.Queued)
+      }
+      .toDS()
   }
 
   // ---- the epoch loop -------------------------------------------------------
@@ -149,10 +168,21 @@ object Crawl {
     if (start < 0) {
       val f0 = seedFrontier(spark, seeds)
       f0.write.mode(SaveMode.Overwrite).parquet(dir(runDir, 0, "frontier"))
-      f0.select("url_hash").distinct()
-        .write.mode(SaveMode.Overwrite).parquet(dir(runDir, 0, "seen"))
+      // seen is a DELTA log: seen/epoch=k holds only the hashes first seen at
+      // epoch k (epoch 0 = the seeds — delta AND full set at once). Readers
+      // union deltas from the last compaction point; nothing ever rewrites
+      // history (O(delta) commit I/O per epoch, not O(seen)).
+      val s0 = f0.select("url_hash").distinct()
+      s0.write.mode(SaveMode.Overwrite).parquet(dir(runDir, 0, "seen"))
+      val seedCount = spark.read.parquet(dir(runDir, 0, "seen")).count()
+      BloomSeen.save(
+        BloomSeen.build(spark.read.parquet(dir(runDir, 0, "seen")),
+          "url_hash", seedCount, cfg.bloomFpp),
+        bloomPath(runDir, 0))
       commitManifest(runDir, 0,
-        s"""{"epoch":0,"kind":"bootstrap","frontier":"${jsonEsc(dir(runDir, 0, "frontier"))}"}""")
+        s"""{"epoch":0,"kind":"bootstrap","strategy":"${jsonEsc(cfg.strategy)}",""" +
+        s""""seen_base":0,"seen_total":$seedCount,""" +
+        s""""frontier":"${jsonEsc(dir(runDir, 0, "frontier"))}"}""")
     }
 
     var epoch = math.max(lastCommittedEpoch(runDir), 0)
@@ -163,10 +193,28 @@ object Crawl {
     // last manifest on resume, bootstrap-counted on a fresh run)
     var queuedCount = manifestField(runDir, epoch, "frontier_queued").getOrElse(-1L)
     var seenCount = manifestField(runDir, epoch, "seen_total").getOrElse(-1L)
+    // compaction base: first epoch of the current delta run (deltas base..k
+    // union to the full seen set; their blooms form the pre-filter vector)
+    var seenBase = manifestField(runDir, epoch, "seen_base").map(_.toInt).getOrElse(0)
+    def readSeen(upTo: Int): DataFrame = {
+      val dirs = (seenBase to upTo).map(e => dir(runDir, e, "seen"))
+        .filter(d => Files.isDirectory(Paths.get(d)))
+      spark.read.parquet(dirs: _*)
+    }
+    // per-epoch delta blooms, loaded from persisted files (rebuilt from the
+    // delta dir — delta-sized, cheap — if a file is missing)
+    var blooms: Vector[BloomFilter] = (seenBase to epoch).toVector.map { e =>
+      val p = bloomPath(runDir, e)
+      if (Files.exists(p)) BloomSeen.load(p)
+      else scala.util.Try {
+        val delta = spark.read.parquet(dir(runDir, e, "seen"))
+        BloomSeen.build(delta, "url_hash", delta.count(), cfg.bloomFpp)
+      }.getOrElse(BloomSeen.empty(cfg.bloomFpp))
+    }
     while (!done && epoch < cfg.maxEpochs) {
       val t0 = System.currentTimeMillis()
       val frontier = spark.read.parquet(dir(runDir, epoch, "frontier"))
-      val seen = spark.read.parquet(dir(runDir, epoch, "seen"))
+      val seen = readSeen(epoch)
       val domainStatePath = dir(runDir, epoch, "domain_state")
       val domainState: Option[DataFrame] =
         if (cfg.dynamicPoliteness && Files.isDirectory(Paths.get(domainStatePath)))
@@ -183,11 +231,7 @@ object Crawl {
           .withColumn("priority",
             when(col("wait") > cfg.fairnessEpochs, -col("wait").cast("double"))
               .otherwise(col("retry_count").cast("double")))
-        val ord = cfg.strategy match {
-          case "dfs" => Seq(col("priority"), col("path"))
-          case "best_first" => Seq(col("priority"), col("score").desc, col("depth"), col("path"))
-          case _ => Seq(col("priority"), col("depth"), col("path"))
-        }
+        val ord = strategyOrder(cfg.strategy)
         val ranked = aged.withColumn("host_rank",
           row_number().over(Window.partitionBy("host").orderBy(ord: _*)))
         // effective budget: static cap, tightened per host by evolved
@@ -205,9 +249,16 @@ object Crawl {
         }
         var admitted = budgeted.where(col("host_rank") <= col("eff_budget"))
           .drop("host_rank", "wait", "eff_budget")
+        // global capacity cut ONLY when a cap is configured AND binding this
+        // epoch: with the default (uncapped) config every epoch must stay a
+        // partitioned plan — no global TakeOrdered over the admitted set. A
+        // remaining capacity ≥ Int.MaxValue cannot bind (no epoch admits that
+        // many rows through per-host budgets), so it is skipped, never
+        // silently clamped.
+        val capConfigured = cfg.maxPages != Long.MaxValue || cfg.globalBatch != Long.MaxValue
         val capacity = math.min(cfg.globalBatch, cfg.maxPages - totalFetched)
-        if (capacity < Long.MaxValue)
-          admitted = admitted.orderBy(ord: _*).limit(math.min(capacity, Int.MaxValue.toLong).toInt)
+        if (capConfigured && capacity < Int.MaxValue)
+          admitted = admitted.orderBy(ord: _*).limit(capacity.toInt)
         admitted = admitted.cache()
 
         // deferred = everything queued but not admitted (over-budget rows AND
@@ -269,10 +320,13 @@ object Crawl {
           .select(col("url").as("doc_id"), col("spans"), col("links"),
             col("title"), col("n_words"), lit(epoch).as("epoch"))
           .write.mode(SaveMode.Overwrite).parquet(dir(runDir, epoch, "docs"))
+        // visits carry the full sort key (priority, score, depth, path) but
+        // NO materialized rank: visit order is fully determined by the key,
+        // so `Crawl.visits` derives ranks at read time — the epoch loop never
+        // runs a partitionless global-order window.
         allowed
-          .withColumn("visit_rank", row_number().over(Window.orderBy(ord: _*)))
-          .select(col("url"), col("depth"), col("score"), col("path"),
-            col("visit_rank"), lit(epoch).as("epoch"))
+          .select(col("url"), col("depth"), col("score"), col("priority"),
+            col("path"), lit(epoch).as("epoch"))
           .write.mode(SaveMode.Overwrite).parquet(dir(runDir, epoch, "visits"))
 
         // ---- expansion: links are already deep-canonical (scrape map)
@@ -291,9 +345,10 @@ object Crawl {
           .where(col("depth") + 1 <= cfg.maxDepth)
           .withColumn("url_hash", xxhash64(col("url")))
 
-        // dedup: bloom pre-filter + exact anti-join, then first-wins per hash
-        val bloom = BloomSeen.build(seen, "url_hash", seenCount, cfg.bloomFpp)
-        val fresh = BloomSeen.antiJoin(candidates, seen, "url_hash", bloom)
+        // dedup: incremental bloom vector pre-filter + exact anti-join, then
+        // first-wins per hash (no full-history bloom rebuild — the vector
+        // holds one delta-sized bloom per epoch since the last compaction)
+        val fresh = BloomSeen.antiJoin(spark, candidates, seen, "url_hash", blooms)
         val firstWins = fresh.withColumn("rk", row_number().over(
             Window.partitionBy("url_hash")
               .orderBy(col("parent_path"), col("link_index"))))
@@ -313,6 +368,7 @@ object Crawl {
             concat(col("parent_path"), format_string("%04x", col("link_index"))).as("path"),
             lit(epoch + 1).as("enqueue_epoch"), lit(0).as("retry_count"),
             lit(epoch + 1).as("epoch"), lit(CrawlStatus.Queued).as("status"))
+          .cache() // reused by frontier write, count, seen delta, delta bloom
 
         // ---- next snapshot: frontier t+1 = deferred ∪ new; seen += admitted
         // hashes ∪ discovered hashes (reference adds on DISCOVERY,
@@ -322,11 +378,31 @@ object Crawl {
           .withColumn("epoch", lit(epoch + 1))
           .unionByName(newEntries)
         nextFrontier.write.mode(SaveMode.Overwrite).parquet(dir(runDir, epoch + 1, "frontier"))
-        // disjoint by construction (exact anti-join upstream; bloom has no
-        // false negatives) — a plain union, no distinct shuffle over the
-        // whole seen set.
-        val nextSeen = seen.unionByName(newEntries.select("url_hash"))
-        nextSeen.write.mode(SaveMode.Overwrite).parquet(dir(runDir, epoch + 1, "seen"))
+        val nNew = newEntries.count()
+        // seen commit is a DELTA: only this epoch's first-seen hashes are
+        // written (disjoint from history by construction — exact anti-join
+        // upstream; bloom has no false negatives). O(delta) I/O per epoch.
+        // Every seenCompactEvery epochs the delta run is compacted into one
+        // full set + one right-sized bloom, bounding reader fan-in and the
+        // bloom vector (the ONLY full-set pass, amortized 1/K per epoch).
+        val nextEpoch = epoch + 1
+        if (nextEpoch - seenBase >= cfg.seenCompactEvery) {
+          seen.unionByName(newEntries.select("url_hash"))
+            .write.mode(SaveMode.Overwrite).parquet(dir(runDir, nextEpoch, "seen"))
+          seenBase = nextEpoch
+          val full = spark.read.parquet(dir(runDir, nextEpoch, "seen"))
+          val compactBloom = BloomSeen.build(full, "url_hash", seenCount + nNew, cfg.bloomFpp)
+          BloomSeen.save(compactBloom, bloomPath(runDir, nextEpoch))
+          blooms = Vector(compactBloom)
+        } else {
+          newEntries.select("url_hash")
+            .write.mode(SaveMode.Overwrite).parquet(dir(runDir, nextEpoch, "seen"))
+          val deltaBloom =
+            if (nNew == 0) BloomSeen.empty(cfg.bloomFpp)
+            else BloomSeen.build(newEntries, "url_hash", nNew, cfg.bloomFpp)
+          BloomSeen.save(deltaBloom, bloomPath(runDir, nextEpoch))
+          blooms = blooms :+ deltaBloom
+        }
 
         // ---- metrics + per-partition lineage in ONE aggregation pass over
         // the cached scrape output, then the atomic commit
@@ -336,7 +412,6 @@ object Crawl {
         val nFetched = lineageRows.filter(_.getBoolean(1)).map(_.getLong(2)).sum
         val nFailed = lineageRows.filterNot(_.getBoolean(1)).map(_.getLong(2)).sum
         val nBlocked = robotsBlocked.count()
-        val nNew = newEntries.count()
         // derived, no extra jobs: admitted = allowed + blocked; deferred =
         // queued − admitted; seen grows only by the (disjoint) new entries
         val admittedCount = nFetched + nFailed + nBlocked
@@ -352,14 +427,15 @@ object Crawl {
         commitManifest(runDir, epoch + 1,
           s"""{"epoch":${epoch + 1},"fetched":$nFetched,"failed":$nFailed,""" +
           s""""skipped_robots":$nBlocked,"new_frontier":$nNew,"seen_total":$seenCount,""" +
-          s""""frontier_queued":$queuedCount,"wall_ms":$wall,"partitions":$partLineage}""")
+          s""""frontier_queued":$queuedCount,"seen_base":$seenBase,""" +
+          s""""strategy":"${jsonEsc(cfg.strategy)}","wall_ms":$wall,"partitions":$partLineage}""")
 
-        scraped.unpersist(); admitted.unpersist()
+        scraped.unpersist(); admitted.unpersist(); newEntries.unpersist()
         if (queuedCount == 0) done = true
         epoch += 1
       }
     }
-    val seenFinal = spark.read.parquet(dir(runDir, math.max(lastCommittedEpoch(runDir), 0), "seen")).count()
+    val seenFinal = seenSet(spark, runDir).count()
     CrawlSummary(epoch, totalFetched, totals._1, totals._2, seenFinal)
   }
 
@@ -369,6 +445,14 @@ object Crawl {
     if (!Files.exists(p)) None
     else ("\"" + field + "\":(-?\\d+)").r.findFirstMatchIn(Files.readString(p))
       .map(_.group(1).toLong)
+  }
+
+  /** String field of the manifest at `epoch`, if committed. */
+  private def manifestStringField(runDir: String, epoch: Int, field: String): Option[String] = {
+    val p = manifestPath(runDir, epoch)
+    if (!Files.exists(p)) None
+    else ("\"" + field + "\":\"([^\"]*)\"").r.findFirstMatchIn(Files.readString(p))
+      .map(_.group(1))
   }
 
   private def sumManifests(runDir: String, field: String): Long = {
@@ -392,18 +476,36 @@ object Crawl {
     else spark.read.parquet(dirs: _*)
   }
 
-  /** Deterministic visit order across epochs (epoch, visit_rank, url, ...). */
+  /** Deterministic visit order across epochs (epoch, visit_rank, url, ...).
+    * `visit_rank` is DERIVED here, not stored: the per-epoch visit order is
+    * fully determined by the persisted sort key (priority, score, depth,
+    * path), so ranking is a consumer-side window partitioned by epoch — the
+    * epoch loop itself never runs a global-order window.
+    */
   def visits(spark: SparkSession, runDir: String): DataFrame = {
     val last = lastCommittedEpoch(runDir)
     val dirs = (0 until math.max(last, 0)).map(e => dir(runDir, e, "visits"))
       .filter(d => Files.isDirectory(Paths.get(d)))
-    if (dirs.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(dirs: _*).orderBy("epoch", "visit_rank")
+    if (dirs.isEmpty) return spark.emptyDataFrame
+    val strategy = manifestStringField(runDir, math.max(last, 0), "strategy")
+      .getOrElse("bfs")
+    spark.read.parquet(dirs: _*)
+      .withColumn("visit_rank", row_number().over(
+        Window.partitionBy("epoch").orderBy(strategyOrder(strategy): _*)))
+      .select("url", "depth", "score", "path", "visit_rank", "epoch")
+      .orderBy("epoch", "visit_rank")
   }
 
-  /** URL-seen set of the last committed snapshot (the resume-identity set). */
-  def seenSet(spark: SparkSession, runDir: String): DataFrame =
-    spark.read.parquet(dir(runDir, math.max(lastCommittedEpoch(runDir), 0), "seen"))
+  /** URL-seen set of the last committed snapshot (the resume-identity set):
+    * the union of the seen DELTAS from the last compaction base onward.
+    */
+  def seenSet(spark: SparkSession, runDir: String): DataFrame = {
+    val last = math.max(lastCommittedEpoch(runDir), 0)
+    val base = manifestField(runDir, last, "seen_base").map(_.toInt).getOrElse(0)
+    val dirs = (base to last).map(e => dir(runDir, e, "seen"))
+      .filter(d => Files.isDirectory(Paths.get(d)))
+    spark.read.parquet(dirs: _*)
+  }
 
   /** Per-epoch metrics from the committed manifests: (epoch, fetched,
     * failed, skipped_robots, new_frontier, seen_total, wall_ms) — the

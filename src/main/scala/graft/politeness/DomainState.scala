@@ -34,18 +34,26 @@ object DomainState {
       .agg(
         sum(when(col("status_code").isin(429, 503), 1).otherwise(0)).as("throttles"),
         sum(when(col("status_code") === 200, 1).otherwise(0)).as("successes"))
-    val joined = perHost.join(states, Seq("host"), "left")
-      .withColumn("current_delay", coalesce(col("current_delay"), lit(BaseDelay)))
-      .withColumn("fail_count", coalesce(col("fail_count"), lit(0)))
+    // FULL outer join: a host absent from this epoch's results (idle — e.g.
+    // an aborted host whose budget is 0 and therefore never fetches) keeps
+    // its state unchanged, exactly like the reference RateLimiter, which
+    // only mutates per-domain state when that domain produces a response
+    // (async_dispatcher.py:63-83). A left join would resurrect aborted hosts
+    // at the full static budget after one idle epoch.
+    val joined = perHost.join(states, Seq("host"), "full")
+      .withColumn("prev_delay", coalesce(col("current_delay"), lit(BaseDelay)))
+      .withColumn("prev_fails", coalesce(col("fail_count"), lit(0)))
     joined
       .withColumn("current_delay",
-        when(col("throttles") > 0,
-          least(col("current_delay") * 2.0, lit(MaxDelay)))
-          .otherwise(greatest(lit(BaseDelay), col("current_delay") * 0.75)))
+        when(col("throttles").isNull, col("prev_delay")) // idle: carry forward
+          .when(col("throttles") > 0,
+            least(col("prev_delay") * 2.0, lit(MaxDelay)))
+          .otherwise(greatest(lit(BaseDelay), col("prev_delay") * 0.75)))
       .withColumn("fail_count",
-        when(col("throttles") > 0, col("fail_count") + 1)
+        when(col("throttles").isNull, col("prev_fails")) // idle: carry forward
+          .when(col("throttles") > 0, col("prev_fails") + 1)
           .when(col("successes") > 0, lit(0))
-          .otherwise(col("fail_count")))
+          .otherwise(col("prev_fails")))
       .withColumn("aborted", col("fail_count") > MaxRetries)
       .select("host", "current_delay", "fail_count", "aborted")
   }

@@ -257,4 +257,81 @@ class CrawlSpec extends AnyFunSuite {
     val s = Crawl.run(spark, seedsDF, pagesDF, robotsDF, runDir, cfg)
     assert(s.fetched <= 7)
   }
+
+  test("epoch commits touch only the seen DELTA; no rank is materialized at write") {
+    val cfg = CrawlConfig(strategy = "bfs", hostBudget = 4, maxEpochs = 40)
+    val runDir = freshDir("delta")
+    Crawl.run(spark, seedsDF, pagesDF, robotsDF, runDir, cfg)
+    val last = Crawl.lastCommittedEpoch(runDir)
+    assert(last > 2)
+
+    def deltaHashes(e: Int): Set[Long] = {
+      val d = f"$runDir/seen/epoch=$e%04d"
+      if (!Files.isDirectory(java.nio.file.Paths.get(d))) Set.empty
+      else scala.util.Try(
+        spark.read.parquet(d).as[Long].collect().toSet).getOrElse(Set.empty)
+    }
+    def manifestLong(e: Int, field: String): Long = {
+      val p = java.nio.file.Paths.get(f"$runDir/manifest_$e%04d.json")
+      ("\"" + field + "\":(-?\\d+)").r.findFirstMatchIn(Files.readString(p))
+        .map(_.group(1).toLong).getOrElse(-1L)
+    }
+
+    // (a) each post-bootstrap seen dir holds EXACTLY that epoch's new
+    // frontier rows — the commit is O(delta), never a history rewrite
+    (1 to last).foreach { e =>
+      assert(deltaHashes(e).size == manifestLong(e, "new_frontier"),
+        s"epoch $e seen dir is not the delta")
+    }
+    // (b) deltas are pairwise disjoint and union to the full seen set
+    val all = (0 to last).map(deltaHashes)
+    assert(all.map(_.size).sum == all.reduce(_ ++ _).size, "deltas overlap")
+    assert(all.reduce(_ ++ _) ==
+      Crawl.seenSet(spark, runDir).as[Long].collect().toSet)
+    // (c) visits parquet stores the sort key, not a materialized global rank
+    val visitCols = spark.read.parquet(f"$runDir/visits/epoch=0000").columns.toSet
+    assert(!visitCols.contains("visit_rank"), s"rank materialized at write: $visitCols")
+    assert(Set("priority", "score", "depth", "path").subsetOf(visitCols))
+  }
+
+  test("seen compaction: resume across a compaction boundary keeps identity") {
+    val cfg = CrawlConfig(strategy = "bfs", hostBudget = 3, maxEpochs = 40,
+      seenCompactEvery = 3)
+    val full = freshDir("compact-full")
+    Crawl.run(spark, seedsDF, pagesDF, robotsDF, full, cfg)
+    assert(Crawl.lastCommittedEpoch(full) > 6, "site too small to cross two compactions")
+
+    val partial = freshDir("compact-part")
+    Crawl.run(spark, seedsDF, pagesDF, robotsDF, partial, cfg.copy(maxEpochs = 4))
+    Crawl.run(spark, seedsDF, pagesDF, robotsDF, partial, cfg)
+
+    def seenHashes(d: String): Set[Long] =
+      Crawl.seenSet(spark, d).as[Long].collect().toSet
+    assert(seenHashes(partial) == seenHashes(full))
+    def vs(d: String) = Crawl.visits(spark, d).select("epoch", "visit_rank", "url")
+      .orderBy("epoch", "visit_rank").collect().map(r => (r.getInt(0), r.getString(2))).toSeq
+    assert(vs(partial) == vs(full))
+    // and the compacted run still matches the sequential oracle
+    val (oracleVisits, oracleSeen) = oracleCrawl(cfg)
+    assert(vs(full) == oracleVisits)
+    assert(seenHashes(full).size == oracleSeen.size)
+  }
+
+  test("domain state: idle hosts carry delay/fail_count forward (no resurrection)") {
+    import graft.politeness.DomainState
+    val states = Seq(
+      ("idle.com", 32.0, 4),     // aborted (fail_count > MaxRetries), no results
+      ("busy.com", 8.0, 2),      // throttled again this epoch
+      ("ok.com", 16.0, 1))       // succeeds this epoch
+      .toDF("host", "current_delay", "fail_count")
+    val results = Seq(
+      ("busy.com", 503), ("ok.com", 200), ("new.com", 200))
+      .toDF("host", "status_code")
+    val out = DomainState.evolve(states, results).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getInt(2), r.getBoolean(3)))).toMap
+    assert(out("idle.com") == ((32.0, 4, true)), "idle host state must be untouched")
+    assert(out("busy.com") == ((16.0, 3, false)))
+    assert(out("ok.com") == ((12.0, 0, false)))
+    assert(out("new.com") == ((2.0 * 0.75 max 2.0, 0, false)))
+  }
 }
