@@ -41,8 +41,10 @@ final class Graft(val spark: SparkSession) {
                  cfg: Scrape.Config = Scrape.Config()): ScrapedDoc =
     Scrape.scrape(url, html, cfg)
 
-  /** Markdown (raw + citations + references) for a scraped doc. */
-  def markdown(doc: ScrapedDoc): Markdown.MarkdownResult = Markdown.fromDoc(doc)
+  /** Markdown (raw + citations + references) for a fetched page — the
+    * html2text-fidelity pipeline (clean → convert → citation rewrite). */
+  def markdown(html: String, baseUrl: String = ""): Markdown.MarkdownResult =
+    Markdown.fromHtml(html, baseUrl)
 
   /** Schema-driven CSS extraction → JSON string. */
   def extractCss(html: String, schema: CssExtract.Schema): String =

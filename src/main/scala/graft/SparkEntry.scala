@@ -267,17 +267,14 @@ object SparkEntry {
           col("n_events"), round(col("total_value"), 4).as("total_value"))
     }),
 
-    // ---- markdown generation with citations over crawled span docs --------
+    // ---- markdown generation with citations (html2text-fidelity pipeline:
+    // clean → convert → per-URL citation rewrite) over the page store -------
     "crawl_markdown" -> ((s, _) => {
       import s.implicits._
-      val runDir = runCrawl(s, "md")
-      Crawl.docs(s, runDir)
-        .select(col("doc_id"), col("doc_id").as("url"), col("spans"),
-          col("links"), col("title"), col("n_words").as("nWords"))
-        .as[graft.core.ScrapedDoc]
-        .map { d =>
-          val md = graft.scrape.Markdown.fromDoc(d)
-          (d.doc_id, md.raw_markdown, md.markdown_with_citations, md.references_markdown)
+      synthPages(s).select("url", "html").as[(String, String)]
+        .map { case (url, html) =>
+          val md = graft.scrape.Markdown.fromHtml(html, url)
+          (url, md.raw_markdown, md.markdown_with_citations, md.references_markdown)
         }
         .toDF("doc_id", "raw_markdown", "markdown_with_citations", "references_markdown")
     }),

@@ -226,6 +226,12 @@ object Synth {
         }
       case Cat(c) =>
         childList((0 until cfg.subs).map(s => (s"/cat$c/sub$s", s"Sub $s of $c")), decorate = true)
+        // ordered list with inline emphasis (markdown: "  1. Pick _one_")
+        hb ++= "<h2>Top picks</h2>\n"
+        b.textSpan("Top picks")
+        hb ++= "<ol>\n  <li>Pick <em>one</em> now</li>\n  <li>Pick <strong>two</strong> later</li>\n</ol>\n"
+        b.textSpan("Pick one now")
+        b.textSpan("Pick two later")
       case Sub(c, s) =>
         // root-relative: the page URL is the slash-stripped canonical form, so
         // a bare relative href would resolve against /cat$c/ (file semantics)
@@ -259,12 +265,29 @@ object Synth {
         val t = lorem(seed, 60, 10)
         hb ++= s"<p>$t</p>\n"
         b.textSpan(t)
+        // inline emphasis + code (markdown: "**excellent**", "_critics_", backticks)
+        hb ++= s"<p>Rated <strong>excellent</strong> by <em>critics</em>; see <code>SKU-c${c}s${s}p$p</code>.</p>\n"
+        b.textSpan(s"Rated excellent by critics; see SKU-c${c}s${s}p$p.")
+        val review = lorem(seed, 80, 6)
+        hb ++= s"<blockquote>Reviewer says: $review</blockquote>\n"
+        b.textSpan(s"Reviewer says: $review")
         hb ++= s"""<video controls width="640">\n  <source src="/media/c${c}s${s}p$p.mp4" type="video/mp4">\n</video>\n"""
         b.mediaSpan("", s"/media/c${c}s${s}p$p.mp4")
       case Specs(c, s, p) =>
         val t = lorem(seed, 70, 12)
         hb ++= s"<p>$t</p>\n"
         b.textSpan(t)
+        // nested list + fenced code block + rule (markdown: "  * Alpha",
+        // "    * Alpha sub", "```...```", "* * *")
+        hb ++= "<h2>Features</h2>\n"
+        b.textSpan("Features")
+        hb ++= "<ul>\n  <li>Alpha<ul><li>Alpha sub</li></ul></li>\n  <li>Beta</li>\n</ul>\n"
+        b.textSpan("Alpha")
+        b.textSpan("Alpha sub")
+        b.textSpan("Beta")
+        hb ++= s"<pre><code>spec c$c s$s p$p\n  tolerance 0.01</code></pre>\n"
+        b.textSpan(s"spec c$c s$s p$p tolerance 0.01")
+        hb ++= "<hr>\n"
         hb ++= s"""<audio src="/media/c${c}s${s}p$p.ogg"></audio>\n"""
         b.mediaSpan("", s"/media/c${c}s${s}p$p.ogg")
     }

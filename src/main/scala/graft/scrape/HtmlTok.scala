@@ -50,8 +50,15 @@ object HtmlTok {
 
   /** Tokenize; raw text of <script>/<style> is consumed as a single Text
     * token (their content must never leak into spans).
+    *
+    * `keepWhitespaceText = true` also emits whitespace-only text nodes —
+    * required by the markdown generator, whose inter-element spacing model
+    * (space-pending flag) depends on seeing them; the span scraper drops
+    * them (its own buffer collapse makes them irrelevant).
     */
-  def tokenize(html: String): Iterator[Tok] = new Iterator[Tok] {
+  def tokenize(html: String): Iterator[Tok] = tokenize(html, keepWhitespaceText = false)
+
+  def tokenize(html: String, keepWhitespaceText: Boolean): Iterator[Tok] = new Iterator[Tok] {
     private var pos = 0
     private var pending: Tok = _
     private var rawMode: String = null // inside script/style: scan to closing tag
@@ -111,7 +118,8 @@ object HtmlTok {
           val end = if (next < 0) html.length else next
           val raw = html.substring(pos, end)
           pos = end
-          if (raw.exists(!Character.isWhitespace(_))) pending = Text(decodeEntities(raw))
+          if (keepWhitespaceText || raw.exists(!Character.isWhitespace(_)))
+            pending = Text(decodeEntities(raw))
         }
       }
     }

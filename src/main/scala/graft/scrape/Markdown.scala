@@ -1,15 +1,16 @@
 package graft.scrape
 
-import graft.core.{LinkOut, ScrapedDoc, Span}
+import graft.core.PyUrl
 
-/** Markdown generation over span documents — the string-ops tail of the
-  * pipeline (re-expressed from /root/reference/crawl4ai/
-  * markdown_generation_strategy.py: raw markdown emission :148-226 and the
-  * link→citation rewrite :82-146: per-URL first-seen numbering, `text⟨n⟩`
-  * markers, a `## References` block sorted by citation number).
+/** Markdown generation — the re-expression of the reference's
+  * DefaultMarkdownGenerator (/root/reference/crawl4ai/
+  * markdown_generation_strategy.py): html2text-fidelity raw markdown
+  * ([[Html2Md]], goldens-pinned against the reference converter), then the
+  * inline `[text](url)` → `text⟨n⟩` citation rewrite (:82-146) with per-URL
+  * first-seen numbering — the same href reused anywhere in the document gets
+  * ONE number and ONE references line.
   *
-  * Runs as a typed map over `Dataset[ScrapedDoc]` — one row in, one row out,
-  * no shuffle.
+  * Runs as a typed map — one row in, one row out, no shuffle.
   */
 object Markdown {
 
@@ -18,46 +19,64 @@ object Markdown {
       markdown_with_citations: String,
       references_markdown: String)
 
-  /** Raw markdown: text spans as paragraphs, media spans as image/link
-    * markers in emission order (the span sequence IS the markdown order).
+  /** The reference's LINK_PATTERN (markdown_generation_strategy.py:11):
+    * inline links and images, optional quoted title. */
+  private val LinkPattern =
+    """!?\[([^\]]+)\]\(([^)]+?)(?:\s+"([^"]*)")?\)""".r
+
+  /** fast_urljoin (markdown_generation_strategy.py:14-23) — including its
+    * keep-the-base-path quirk for absolute paths. */
+  private def fastUrljoin(base: String, url: String): String =
+    if (url.startsWith("http://") || url.startsWith("https://") ||
+        url.startsWith("mailto:") || url.startsWith("//")) url
+    else if (url.startsWith("/")) {
+      if (base.endsWith("/")) base.dropRight(1) + url else base + url
+    } else PyUrl.urljoin(base, url)
+
+  /** Inline links → citations. Numbering is per unique URL in first-seen
+    * order; the references block lists each URL once, annotated with its
+    * title/text description (`⟨n⟩ url: title - text`).
     */
-  def raw(spans: Seq[Span]): String = {
+  def convertLinksToCitations(markdown: String, baseUrl: String = ""): (String, String) = {
+    val linkMap = scala.collection.mutable.LinkedHashMap.empty[String, (Int, String)]
+    var counter = 1
     val sb = new StringBuilder
-    spans.foreach { s =>
-      if (sb.nonEmpty) sb ++= "\n\n"
-      if (s.kind == "media") {
-        sb ++= "!["; sb ++= s.text; sb ++= "]("; sb ++= s.media_ref; sb += ')'
-      } else sb ++= s.text
-    }
-    sb.toString
-  }
-
-  /** Citation rewrite: each link becomes `text⟨n⟩` with n assigned in
-    * first-seen link order; references block lists `⟨n⟩ href` sorted by n.
-    * Link text occurrences in the raw markdown are annotated at their first
-    * occurrence (the reference rewrites the inline `[text](url)` markers;
-    * span docs carry links out-of-band, so annotation anchors on the text).
-    */
-  def withCitations(rawMd: String, links: Seq[LinkOut]): (String, String) = {
-    val numbered = links.zipWithIndex.map { case (l, i) => (l, i + 1) }
-    var md = rawMd
-    numbered.foreach { case (l, n) =>
-      if (l.text.nonEmpty) {
-        val idx = md.indexOf(l.text)
-        if (idx >= 0) {
-          md = md.substring(0, idx + l.text.length) + s"⟨$n⟩" +
-            md.substring(idx + l.text.length)
-        }
+    var last = 0
+    for (m <- LinkPattern.findAllMatchIn(markdown)) {
+      sb.append(markdown.substring(last, m.start))
+      val text = m.group(1)
+      var url = m.group(2)
+      val title = Option(m.group(3)).getOrElse("")
+      if (baseUrl.nonEmpty && !url.startsWith("http://") &&
+          !url.startsWith("https://") && !url.startsWith("mailto:"))
+        url = fastUrljoin(baseUrl, url)
+      if (!linkMap.contains(url)) {
+        val desc = Seq(title).filter(_.nonEmpty) ++
+          Seq(text).filter(t => t.nonEmpty && t != title)
+        linkMap(url) = (counter, if (desc.nonEmpty) ": " + desc.mkString(" - ") else "")
+        counter += 1
       }
+      val num = linkMap(url)._1
+      sb.append(
+        if (m.matched.startsWith("!")) s"![$text⟨$num⟩]" else s"$text⟨$num⟩")
+      last = m.end
     }
-    val refs = new StringBuilder("## References\n\n")
-    numbered.foreach { case (l, n) => refs ++= s"⟨$n⟩ ${l.href}\n" }
-    (md, refs.toString)
+    sb.append(markdown.substring(last))
+    val refs = new StringBuilder("\n\n## References\n\n")
+    linkMap.toSeq.sortBy(_._2._1).foreach { case (url, (num, desc)) =>
+      refs ++= s"⟨$num⟩ $url$desc\n"
+    }
+    (sb.toString, refs.toString)
   }
 
-  def fromDoc(doc: ScrapedDoc): MarkdownResult = {
-    val rawMd = raw(doc.spans)
-    val (cited, refs) = withCitations(rawMd, doc.links)
-    MarkdownResult(rawMd, cited, refs)
+  /** Full markdown generation for one page: clean (drop script/style/
+    * noscript/head + display:none subtrees — the cleaned_html content source)
+    * → html2text-fidelity raw markdown → citation rewrite.
+    */
+  def fromHtml(html: String, baseUrl: String = "", clean: Boolean = true): MarkdownResult = {
+    val input = if (clean) Html2Md.cleaned(html) else html
+    val raw = Html2Md.convert(input, baseUrl)
+    val (cited, refs) = convertLinksToCitations(raw, baseUrl)
+    MarkdownResult(raw, cited, refs)
   }
 }

@@ -33,8 +33,9 @@ class GraftFacadeSpec extends AnyFunSuite {
     val p = Synth.pageAt(site, 0L)
     val doc = g.scrapeHtml(p.url, p.html)
     assert(doc.spans == p.expectedSpans)
-    val md = g.markdown(doc)
-    assert(md.raw_markdown.nonEmpty && md.references_markdown.startsWith("## References"))
+    val md = g.markdown(p.html, p.url)
+    assert(md.raw_markdown.nonEmpty &&
+      md.references_markdown.startsWith("\n\n## References"))
     assert(g.metadata(p.html)("title") == p.title)
     val sub = Synth.pageAt(site, 2L) // the sub page carries the data table
     assert(g.extractTables(sub.html).nonEmpty)

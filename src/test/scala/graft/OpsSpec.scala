@@ -254,20 +254,23 @@ class OpsSpec extends AnyFunSuite {
     assert(dedup.where(col("n_copies") === 2).count() == 1)
   }
 
-  test("markdown: raw emission + citations") {
-    import graft.core.{LinkOut, ScrapedDoc, Span}
-    val doc = ScrapedDoc("u", "u",
-      Seq(Span("text", "Hello world", "", 0),
-        Span("media", "a pic", "http://x.com/p.jpg", 1),
-        Span("text", "See docs", "", 2)),
-      Seq(LinkOut("http://x.com/docs", "docs", true, 0),
-        LinkOut("http://ext.com", "world", false, 1)),
-      "t", 4)
-    val md = graft.scrape.Markdown.fromDoc(doc)
-    assert(md.raw_markdown == "Hello world\n\n![a pic](http://x.com/p.jpg)\n\nSee docs")
-    assert(md.markdown_with_citations.contains("docs⟨1⟩"))
-    assert(md.markdown_with_citations.contains("world⟨2⟩"))
+  test("markdown: html2text emission + per-URL citation dedup") {
+    val html = """<h1>Doc</h1><p>See <a href="http://x.com/docs">docs</a> and """ +
+      """<a href="http://x.com/docs">docs again</a> and <a href="http://ext.com">ext</a>.</p>""" +
+      """<img src="http://x.com/p.jpg" alt="a pic"><script>skip()</script>""" +
+      """<div style="display:none">SECRET</div>"""
+    val md = graft.scrape.Markdown.fromHtml(html, "http://x.com/")
+    assert(md.raw_markdown.startsWith("# Doc\n"))
+    assert(md.raw_markdown.contains("[docs](http://x.com/docs)"))
+    assert(md.raw_markdown.contains("![a pic](http://x.com/p.jpg)"))
+    assert(!md.raw_markdown.contains("SECRET") && !md.raw_markdown.contains("skip()"))
+    // per-URL dedup: the SAME href cited twice gets ONE number; the inline
+    // [text](url) markers are fully rewritten in place (exact equality)
+    assert(md.markdown_with_citations ==
+      "# Doc\nSee docs⟨1⟩ and docs again⟨1⟩ and ext⟨2⟩.\n![a pic⟨3⟩]\n")
+    // references: each URL exactly once, sorted by number, desc annotated
     assert(md.references_markdown ==
-      "## References\n\n⟨1⟩ http://x.com/docs\n⟨2⟩ http://ext.com\n")
+      "\n\n## References\n\n⟨1⟩ http://x.com/docs: docs\n⟨2⟩ http://ext.com: ext\n" +
+      "⟨3⟩ http://x.com/p.jpg: a pic\n")
   }
 }
