@@ -247,6 +247,62 @@ object SparkEntry {
         .withColumn("cosine", round(col("cosine"), 4))
     }),
 
+    // ---- CosineStrategy: semantic pre-filter skeleton (md5-twin, oracled) --
+    "q_cosine_filter" -> ((s, dir) => {
+      import s.implicits._
+      val query = "spark shuffle partition executor window"
+      table(s, dir, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          graft.ops.Embed.chunkQueryCosinesMd5(text, query, 10, 64)
+            .collect { case (idx, cos) if cos >= 0.2 => (id, idx, cos) }
+        }
+        .toDF("doc_id", "chunk_idx", "cos")
+        .withColumn("cos", round(col("cos"), 4))
+    }),
+    // CosineStrategy end-to-end: chunk → stub-embed → ward cluster →
+    // word-count filter (clustering pinned by ExtractSpec; deterministic)
+    "q_cosine_extract" -> ((s, dir) => {
+      import s.implicits._
+      val cfg = graft.scrape.CosineExtract.Config(
+        semanticFilter = Some("spark window query"),
+        wordCountThreshold = 5, maxDist = 0.6)
+      table(s, dir, "documents").where(col("doc_id") < 60)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val sections = graft.ops.Embed.tokens(text).grouped(10)
+            .map(_.mkString(" ")).toSeq
+          graft.scrape.CosineExtract.extract(sections, cfg)
+            .map(c => (id, c.index, c.tags.mkString(","), c.content))
+        }
+        .toDF("doc_id", "cluster_index", "tags", "content")
+    }),
+
+    // ---- XPath schema extraction (constructed HTML, SQL-mirrorable) -------
+    "q_xpath_extract" -> ((s, dir) => {
+      import s.implicits._
+      import graft.scrape.CssExtract.{AttrF, Field, RegexF, Schema, SV, TextF}
+      val c = table(s, dir, "customer").where(col("c_custkey") < 300)
+        .withColumn("html", concat(
+          lit("<html><body><div class='row' data-k='"), col("c_custkey"),
+          lit("'><h2 class='name'>"), col("c_name"),
+          lit("</h2><span class='bal'>$"), col("c_nationkey"),
+          lit("</span><ul><li>n"), col("c_nationkey"),
+          lit("</li><li>m"), col("c_mktsegment"),
+          lit("</li></ul></div></body></html>")))
+      val schema = Schema("//div[@class='row']", Seq(
+        Field("name", ".//h2[@class='name']", TextF),
+        Field("bal", ".//span[contains(@class,'bal')]", RegexF("\\$([0-9]+)")),
+        Field("kattr", "", AttrF("data-k")),
+        Field("seg", ".//ul/li[2]", TextF)))
+      c.select(col("c_custkey"), col("html")).as[(Long, String)]
+        .map { case (k, h) =>
+          val m = graft.scrape.XPathExtract.extract(h, schema).headOption.getOrElse(Map.empty)
+          def sv(n: String) = m.get(n).collect { case SV(x) => x }.getOrElse("")
+          (k, sv("name"), sv("bal"), sv("kattr"), sv("seg"))
+        }.toDF("c_custkey", "name", "bal", "kattr", "seg")
+    }),
+
     // ---- regex extraction catalog (constructed text, SQL-mirrorable) ------
     "q_regex_extract" -> ((s, dir) => {
       val c = table(s, dir, "customer").where(col("c_custkey") < 200)
@@ -670,6 +726,47 @@ object SparkEntry {
         |    AS raw
         |  FROM l)
         |SELECT p_partkey, round(greatest(0.0, least(raw, 10.0)), 4) AS link_score FROM s""".stripMargin,
+    "q_cosine_filter" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id < 200),
+        |ch AS (
+        |  SELECT doc_id, unnest(list_transform(range(0, ((len(t) - 1) // 10) + 1),
+        |    i -> {'idx': i, 'toks': t[i*10+1 : i*10+10]})) AS u
+        |  FROM tk WHERE len(t) > 0),
+        |tok AS (SELECT doc_id, u.idx AS idx, unnest(u.toks) AS tok FROM ch),
+        |feat AS (
+        |  SELECT doc_id, idx,
+        |    ((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)) % 64 AS slot,
+        |    CASE WHEN strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1 < 8
+        |         THEN 1 ELSE -1 END AS sign
+        |  FROM tok),
+        |vec AS (SELECT doc_id, idx, slot, sum(sign) AS v FROM feat GROUP BY 1, 2, 3),
+        |qtok AS (SELECT unnest(['spark','shuffle','partition','executor','window']) AS tok),
+        |qfeat AS (
+        |  SELECT ((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)) % 64 AS slot,
+        |    CASE WHEN strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1 < 8
+        |         THEN 1 ELSE -1 END AS sign
+        |  FROM qtok),
+        |qvec AS (SELECT slot, sum(sign) AS v FROM qfeat GROUP BY 1),
+        |dots AS (
+        |  SELECT v.doc_id, v.idx, sum(v.v * q.v) AS dot
+        |  FROM vec v JOIN qvec q USING (slot) GROUP BY 1, 2),
+        |norms AS (SELECT doc_id, idx, sqrt(sum(v * v)) AS n FROM vec GROUP BY 1, 2),
+        |qn AS (SELECT sqrt(sum(v * v)) AS n FROM qvec)
+        |SELECT d.doc_id, CAST(d.idx AS INTEGER) AS chunk_idx,
+        |       round(d.dot / (norms.n * qn.n), 4) AS cos
+        |FROM dots d JOIN norms ON d.doc_id = norms.doc_id AND d.idx = norms.idx, qn
+        |WHERE d.dot / (norms.n * qn.n) >= 0.2""".stripMargin,
+    "q_xpath_extract" ->
+      """SELECT c_custkey, c_name AS name,
+        |       CAST(c_nationkey AS VARCHAR) AS bal,
+        |       CAST(c_custkey AS VARCHAR) AS kattr,
+        |       'm' || c_mktsegment AS seg
+        |FROM customer WHERE c_custkey < 300""".stripMargin,
     "q_regex_extract" ->
       """WITH t AS (
         |  SELECT c_custkey,

@@ -64,6 +64,15 @@ object Xxh64 {
     fmix(hash)
   }
 
+  /** Hash a 4-byte int — the path Spark's xxhash64 takes for IntegerType
+    * columns (int literals in a hash chain hash differently from longs). */
+  def hashInt(v: Int, seed: Long = 42L): Long = {
+    var hash = seed + P5 + 4L
+    hash ^= (v & 0xffffffffL) * P1
+    hash = java.lang.Long.rotateLeft(hash, 23) * P2 + P3
+    fmix(hash)
+  }
+
   /** Hash a long (for hash-chaining / deterministic pseudo-randomness). */
   def hashLong(v: Long, seed: Long = 42L): Long = {
     var hash = seed + P5 + 8L

@@ -1,0 +1,163 @@
+package graft.ops
+
+/** Embedding-based adaptive crawling — semantic-space coverage, the
+  * re-expression of the reference EmbeddingStrategy
+  * (/root/reference/crawl4ai/adaptive_crawler.py:593-1259):
+  *
+  *  - query semantic space: the query plus expansion variations, split into
+  *    train/validation (val = max(2, 20%), :666-737). The reference generates
+  *    variations with an LLM call (external service, out of scope like
+  *    LLMContentFilter); callers supply them — [[expandQuery]] offers a
+  *    deterministic token-recombination stand-in;
+  *  - coverage gaps: per train-query min cosine distance to the knowledge
+  *    base, 1.0 when the KB is empty (:774-803);
+  *  - link selection: gap-reduction scoring — for every gap outside
+  *    `coverageRadius` that the link's embedding would tighten, accumulate
+  *    2×(gap − newDist), average over gaps needing help, then scale by
+  *    (1 − overlapPenalty) where overlapPenalty = 2×(maxKbSim −
+  *    `overlapThreshold`) when positive (:804-922);
+  *  - confidence: mean over train queries of best cosine to the KB
+  *    (:924-951);
+  *  - validation: mean (1 − min distance) of held-out queries (:1055-1089);
+  *  - stopping: irrelevant below `minConfidenceThreshold`; converged when the
+  *    average |Δconfidence| over history < `minRelImprovement`×confidence AND
+  *    validation > `validationMinScore` (:1091-1140);
+  *  - KB update: near-duplicate embeddings (cosine ≥ `kbSimThreshold`) are
+  *    never added (:1169-1230).
+  *
+  * All vectors are the deterministic stub kernel (ops/Embed.scala); every
+  * step is pure driver-side math over bounded per-epoch batches — the
+  * per-epoch candidate scoring runs inside the crawl plan as a map over the
+  * frontier when used at scale.
+  */
+object AdaptiveEmbedding {
+
+  final case class Config(
+      coverageRadius: Double = 0.2,
+      overlapThreshold: Double = 0.85,
+      minRelImprovement: Double = 0.1,
+      validationMinScore: Double = 0.3,
+      minConfidenceThreshold: Double = 0.1,
+      kbSimThreshold: Double = 0.95,
+      maxPages: Int = 20,
+      dim: Int = 64)
+
+  final class State(
+      val queryEmb: Vector[Array[Float]],
+      val valEmb: Vector[Array[Float]],
+      var kb: Vector[Array[Float]] = Vector.empty,
+      var crawled: Set[String] = Set.empty,
+      var crawlOrder: Vector[String] = Vector.empty,
+      var confidenceHistory: Vector[Double] = Vector.empty,
+      var stoppedReason: Option[String] = None)
+
+  /** Deterministic stand-in for the reference's LLM query expansion: rotate
+    * and subset the query tokens plus append context terms. */
+  def expandQuery(query: String, contextTerms: Seq[String] = Nil, n: Int = 8): Seq[String] = {
+    val toks = Embed.tokens(query)
+    val rotations = toks.indices.map(i => (toks.drop(i) ++ toks.take(i)).mkString(" "))
+    val subsets = toks.indices.map(i => toks.patch(i, Nil, 1).mkString(" ")).filter(_.nonEmpty)
+    val ctx = contextTerms.map(t => (toks :+ t).mkString(" "))
+    (rotations ++ subsets ++ ctx).distinct.filterNot(_ == query).take(n)
+  }
+
+  /** Train/validation split of the semantic space (query always trains;
+    * val = max(2, 20% of variations) — deterministic tail split, the
+    * reference shuffles first, a documented divergence for reproducibility). */
+  def mapQuerySemanticSpace(query: String, variations: Seq[String], dim: Int = 64): State = {
+    val nVal = math.max(2, (variations.length * 0.2).toInt)
+    val (train, valQ) = variations.splitAt(math.max(variations.length - nVal, 0))
+    new State(
+      queryEmb = (query +: train).map(Embed.stub(_, dim)).toVector,
+      valEmb = valQ.map(Embed.stub(_, dim)).toVector)
+  }
+
+  /** Per-query-point (embedding, min cosine distance to KB); 1.0 on empty KB. */
+  def coverageGaps(kb: Vector[Array[Float]], queryEmb: Vector[Array[Float]])
+      : Vector[(Array[Float], Double)] =
+    queryEmb.map { q =>
+      if (kb.isEmpty) (q, 1.0)
+      else (q, kb.map(d => 1.0 - Embed.cosine(q, d)).min)
+    }
+
+  /** Gap-reduction link scoring, sorted score-desc (stable for ties). */
+  def selectLinks(candidates: Seq[(String, String)], gaps: Vector[(Array[Float], Double)],
+                  kb: Vector[Array[Float]], cfg: Config): Seq[(String, Double)] = {
+    val needingHelp = gaps.count(_._2 > cfg.coverageRadius)
+    candidates.flatMap { case (href, text) =>
+      if (text.trim.isEmpty) None
+      else {
+        val e = Embed.stub(text, cfg.dim)
+        val score =
+          if (gaps.isEmpty) 0.0
+          else {
+            var total = 0.0
+            gaps.foreach { case (g, gd) =>
+              if (gd > cfg.coverageRadius) {
+                val nd = 1.0 - Embed.cosine(e, g)
+                if (nd < gd) total += (gd - nd) * 2
+              }
+            }
+            val gapReduction = if (needingHelp > 0) total / needingHelp else 0.0
+            val overlapPenalty =
+              if (kb.nonEmpty) {
+                val maxSim = kb.map(Embed.cosine(_, e)).max
+                if (maxSim > cfg.overlapThreshold) (maxSim - cfg.overlapThreshold) * 2 else 0.0
+              } else 0.0
+            gapReduction * (1 - overlapPenalty)
+          }
+        Some((href, score))
+      }
+    }.sortBy { case (h, s) => (-s, h) }
+  }
+
+  /** Learning score: mean best cosine per train query (0 on empty KB). */
+  def confidence(state: State): Double =
+    if (state.kb.isEmpty || state.queryEmb.isEmpty) 0.0
+    else state.queryEmb.map(q => state.kb.map(Embed.cosine(q, _)).max).sum / state.queryEmb.length
+
+  /** Held-out validation: mean (1 − min distance) over validation queries. */
+  def validateCoverage(state: State): Double =
+    if (state.valEmb.isEmpty || state.kb.isEmpty) 0.0
+    else state.valEmb.map { v =>
+      1.0 - state.kb.map(d => 1.0 - Embed.cosine(v, d)).min
+    }.sum / state.valEmb.length
+
+  /** Stopping decision; records the reason on the state. */
+  def shouldStop(state: State, pendingLinks: Int, cfg: Config): Boolean = {
+    val conf = state.confidenceHistory.lastOption.getOrElse(0.0)
+    if (conf < cfg.minConfidenceThreshold && state.crawled.nonEmpty) {
+      state.stoppedReason = Some("below_minimum_relevance_threshold"); return true
+    }
+    if (state.crawled.size >= cfg.maxPages) { state.stoppedReason = Some("max_pages"); return true }
+    if (pendingLinks == 0) { state.stoppedReason = Some("exhausted"); return true }
+    if (state.confidenceHistory.length < 2) return false
+    val diffs = state.confidenceHistory.sliding(2).map { case Vector(a, b) => math.abs(b - a) }.toSeq
+    val avgImprovement = diffs.sum / diffs.length
+    if (avgImprovement < cfg.minRelImprovement * conf) {
+      val valScore = validateCoverage(state)
+      if (valScore > cfg.validationMinScore) {
+        state.stoppedReason = Some("converged_validated"); true
+      } else false // low validation: keep crawling despite convergence
+    } else false
+  }
+
+  /** Add new documents to the KB, skipping near-duplicates (max cosine to the
+    * existing KB ≥ kbSimThreshold). Returns the number actually added. */
+  def updateState(state: State, newDocs: Seq[(String, String)], cfg: Config): Int = {
+    var added = 0
+    newDocs.foreach { case (url, text) =>
+      if (text.nonEmpty) {
+        val e = Embed.stub(text.take(5000), cfg.dim)
+        val dup = state.kb.nonEmpty && state.kb.map(Embed.cosine(_, e)).max >= cfg.kbSimThreshold
+        if (!dup) {
+          state.kb = state.kb :+ e
+          state.crawlOrder = state.crawlOrder :+ url
+          added += 1
+        }
+      }
+      state.crawled += url
+    }
+    added
+  }
+}

@@ -17,12 +17,67 @@ import org.apache.spark.sql.functions._
   *    Hamming ≤ 3 found via 4×16-bit band blocking (pigeonhole: any pair
   *    within distance 3 shares at least one exact 16-bit band).
   *  - ngramJaccard   — exact Jaccard over distinct word shingles via an
-  *    inverted-index self-join (explode → join on shingle → count ∩ / sizes).
+  *    inverted-index self-join (explode → join on shingle → count ∩ / sizes),
+  *    with an optional document-frequency cap on the posting lists (hot
+  *    shingles make per-shingle groups quadratic at scale).
   *
-  * All hashing uses Spark's built-in xxhash64 (seeded per-function via a
-  * literal prefix column) — codegen'd, no UDFs in the candidate paths.
+  * Signature computation runs as compiled per-row JVM kernels (UDFs over
+  * graft.core.Xxh64, the bit-identical twin of Spark's xxhash64): the
+  * higher-order-function `aggregate`/`transform` lambdas are NOT
+  * whole-stage-codegen'd in Spark 4 — they evaluate interpreted, k× per
+  * shingle — so the hot candidate paths use the compiled loops instead. The
+  * Column forms below remain as the executable spec; OpsSpec asserts the two
+  * agree bit-for-bit.
   */
 object Dedup {
+
+  // ---- compiled per-row kernels --------------------------------------------
+
+  private def tokenizeFast(text: String): Array[String] =
+    if (text == null) Array.empty
+    else text.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+
+  /** Word k-shingles, mirroring TextAnalysis.shingles (fallback: one shingle
+    * of all tokens when fewer than k). */
+  private def shinglesFast(text: String, k: Int): Array[String] = {
+    val t = tokenizeFast(text)
+    if (t.length < k) Array(t.mkString(" "))
+    else Array.tabulate(t.length - k + 1)(i => t.slice(i, i + k).mkString(" "))
+  }
+
+  /** sig[i] = min over shingles of xxhash64(i, shingle) — bit-identical to
+    * [[minHashSignature]] (Spark's seed chain: hashLong(i) then the string). */
+  def minHashSignatureFast(text: String, k: Int, shingleLen: Int): Array[Long] = {
+    val sh = shinglesFast(text, shingleLen)
+    Array.tabulate(k) { i =>
+      val seed = graft.core.Xxh64.hashInt(i, 42L)
+      var m = Long.MaxValue
+      var s = 0
+      while (s < sh.length) {
+        val h = graft.core.Xxh64.hashString(sh(s), seed)
+        if (h < m) m = h
+        s += 1
+      }
+      m
+    }
+  }
+
+  /** Bit-identical compiled twin of [[simHash]]. */
+  def simHashFast(text: String): Long = {
+    val votes = new Array[Int](64)
+    tokenizeFast(text).foreach { t =>
+      val h = graft.core.Xxh64.hashString(t, 42L)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
 
   /** Exact dedup: keep the smallest `idCol` per identical `textCol` content.
     * Returns (id, content_hash) of survivors.
@@ -63,8 +118,8 @@ object Dedup {
                  minEstJaccard: Double = 0.5): DataFrame = {
     val rowsPerBand = k / bands
     require(bands * rowsPerBand == k, "bands must divide k")
-    val sigs = df.select(col(idCol).as("id"),
-        minHashSignature(TextAnalysis.shingles(col(textCol), shingleLen), k).as("sig"))
+    val sigUdf = udf((text: String) => minHashSignatureFast(text, k, shingleLen))
+    val sigs = df.select(col(idCol).as("id"), sigUdf(col(textCol)).as("sig"))
     // band rows: (band, band_hash, id, sig)
     val banded = sigs.select(col("id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -114,7 +169,8 @@ object Dedup {
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sim"))
+    val simUdf = udf((text: String) => simHashFast(text))
+    val sigs = df.select(col(idCol).as("id"), simUdf(col(textCol)).as("sim"))
     val banded = sigs.select(col("id"), col("sim"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("sim"), b * 16).bitwiseAND(0xffffL)))
@@ -132,37 +188,89 @@ object Dedup {
   /** Exact n-gram Jaccard similarity pairs via inverted-index self-join:
     * explode distinct shingles, equi-join on shingle, count intersections,
     * join back the set sizes. Only same-shingle pairs ever shuffle.
+    *
+    * `docFreqCap` bounds the posting lists at scale: shingles occurring in
+    * more than `docFreqCap` documents (stopword n-grams — each hot shingle
+    * contributes df² join rows) are dropped from CANDIDATE GENERATION, and
+    * surviving candidate pairs are then verified with the EXACT Jaccard over
+    * their full shingle sets. Recall contract: a pair is found iff it shares
+    * at least one sub-cap shingle — near-duplicates always do unless their
+    * entire overlap is stopword-hot. Default (MaxValue) = fully exact.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, minJaccard: Double = 0.8): DataFrame = {
+                        n: Int = 3, minJaccard: Double = 0.8,
+                        docFreqCap: Int = Int.MaxValue): DataFrame = {
     val sets = df.select(col(idCol).as("id"),
         array_distinct(TextAnalysis.shingles(col(textCol), n)).as("sh"))
       .withColumn("sz", size(col("sh")))
     val inv = sets.select(col("id"), col("sz"), explode(col("sh")).as("shingle"))
-    val ab = inv.as("a").join(inv.as("b"), Seq("shingle"))
-      .where(col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
-      .agg(count(lit(1)).as("inter"))
-    ab.withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
-      .where(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    if (docFreqCap == Int.MaxValue) {
+      val ab = inv.as("a").join(inv.as("b"), Seq("shingle"))
+        .where(col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+        .agg(count(lit(1)).as("inter"))
+      ab.withColumn("jaccard",
+          col("inter").cast("double") /
+            (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+        .where(col("jaccard") >= minJaccard)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    } else {
+      // capped posting lists for candidates; exact verify on the pair's sets
+      val dfreq = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+      val rare = inv.join(dfreq.where(col("df") <= docFreqCap).select("shingle"), Seq("shingle"))
+      val candidates = rare.as("a").join(rare.as("b"), Seq("shingle"))
+        .where(col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      candidates
+        .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sz").as("sz_a")), Seq("id_a"))
+        .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sz").as("sz_b")), Seq("id_b"))
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("jaccard",
+          col("inter").cast("double") /
+            (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+        .where(col("jaccard") >= minJaccard)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    }
   }
+
+  /** Planes needed so the EXPECTED sign-bucket occupancy is ≤ `targetBucketSize`
+    * (buckets = 2^planes): the in-bucket self-join is then O(n·target) rows
+    * instead of O(n²/2^planes-fixed). */
+  def planesFor(n: Long, targetBucketSize: Int = 64): Int =
+    math.min(48, math.max(1,
+      math.ceil(math.log(math.max(n.toDouble / targetBucketSize, 1.0)) / math.log(2.0)).toInt))
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold, candidates blocked
     * by random-hyperplane LSH sign-buckets (see [[Similarity.signBucket]]),
     * verified by exact cosine.
+    *
+    * Scale controls (the fixed-8-planes default is a toy at 100 TB):
+    *  - `targetBucketSize > 0` scales the plane count with the input
+    *    ([[planesFor]]) so expected bucket occupancy stays bounded;
+    *  - `bands > 1` probes that many INDEPENDENT plane families (minhash-style
+    *    banding): more planes per band sharpens buckets (smaller joins) but
+    *    splits true pairs across single-band boundaries — multiple bands
+    *    restore recall to 1 − (1 − r^p)^bands.
     */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-                       planes: Int = 8, minCosine: Double = 0.95): DataFrame = {
-    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", Similarity.signBucket(col("v"), planes))
-    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("bucket"))
-      .where(col("id_a") < col("id_b"))
+                       planes: Int = 8, minCosine: Double = 0.95,
+                       bands: Int = 1, targetBucketSize: Int = 0): DataFrame = {
+    val p =
+      if (targetBucketSize > 0) math.max(planes, planesFor(df.count(), targetBucketSize))
+      else planes
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val candidates = (0 until bands).map { b =>
+      val bucketed = base.withColumn("bucket",
+        Similarity.signBucket(col("v"), p, planeOffset = b * p))
+      val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+      val bb = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+      a.join(bb, Seq("bucket"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("v_a"), col("v_b"))
+    }.reduce(_ unionByName _).dropDuplicates("id_a", "id_b")
+    candidates
       .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
       .where(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cosine"))

@@ -50,15 +50,18 @@ object Similarity {
   private def planeComponent(p: Column, j: Column): Column =
     when(xxhash64(p, j).bitwiseAND(1) === 1, 1.0d).otherwise(-1.0d)
 
-  /** LSH sign bucket: one bit per hyperplane = sign of ⟨v, plane_p⟩. */
-  def signBucket(v: Column, planes: Int): Column =
+  /** LSH sign bucket: one bit per hyperplane = sign of ⟨v, plane_p⟩.
+    * `planeOffset` selects an independent plane family (band b uses planes
+    * [b·p, (b+1)·p) — the banded multi-probe used by embedding near-dup).
+    */
+  def signBucket(v: Column, planes: Int, planeOffset: Int = 0): Column =
     aggregate(
-      transform(sequence(lit(0), lit(planes - 1)), p => {
+      transform(sequence(lit(planeOffset), lit(planeOffset + planes - 1)), p => {
         val proj = aggregate(
           zip_with(v, sequence(lit(0), size(v) - 1),
             (x, j) => x * planeComponent(p, j)),
           lit(0.0d), (acc, x) => acc + x)
-        when(proj > 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
+        when(proj > 0, call_function("shiftleft", lit(1L), p - planeOffset)).otherwise(lit(0L))
       }),
       lit(0L), (acc, bit) => acc.bitwiseOR(bit))
 

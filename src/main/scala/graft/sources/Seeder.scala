@@ -67,6 +67,44 @@ object Seeder {
       .where(col("url").isNotNull && col("url").rlike(re))
   }
 
+  /** Per-URL head-data cache with TTL — the relational re-expression of the
+    * reference seeder's `_cache_get`/`_cache_set` + head-fetch validate loop
+    * (async_url_seeder.py:246-263 mtime-TTL cache, :976-1010 reuse-or-fetch,
+    * :68 default 7-day TTL).
+    *
+    * @param store    cached entries (url, status, head, fetched_at)
+    * @param requests URLs needing head data (url)
+    * @param fetch    the head-fetch source standing in for the network
+    *                 (url, status, head)
+    * @return (served, newStore): head data for every request (cache hits
+    *         keep their original fetched_at; misses/stale get `nowMs`), and
+    *         the updated store — ONLY stale/missing rows are rewritten, fresh
+    *         cache rows are carried unchanged (O(delta) commit shape).
+    *
+    * Every join keys on `url` — one hash shuffle each, no window, no skew
+    * surface (the url key is unique in the store by construction).
+    */
+  val HeadTtlMs: Long = 7L * 24 * 3600 * 1000 // reference TTL = 7 days
+
+  def refreshHeadStore(store: DataFrame, requests: DataFrame, fetch: DataFrame,
+                       nowMs: Long, ttlMs: Long = HeadTtlMs): (DataFrame, DataFrame) = {
+    val fresh = requests.select("url").join(store, Seq("url"))
+      .where(lit(nowMs) - col("fetched_at") <= ttlMs)
+    val toFetch = requests.select("url")
+      .join(fresh.select("url"), Seq("url"), "left_anti")
+    val fetched = toFetch.join(fetch, Seq("url"), "left")
+      .select(col("url"),
+        coalesce(col("status"), lit("not_valid")).as("status"),
+        coalesce(col("head"), lit("")).as("head"),
+        lit(nowMs).as("fetched_at"))
+    val served = fresh.select("url", "status", "head", "fetched_at")
+      .unionByName(fetched)
+    val newStore = store.join(fetched.select("url"), Seq("url"), "left_anti")
+      .select("url", "status", "head", "fetched_at")
+      .unionByName(fetched)
+    (served, newStore)
+  }
+
   /** The seeder pipeline: union sources (rank: sitemap=0, cc=1), drop
     * invalid/nonsense, canonicalize, first-wins per url_hash, optional BM25
     * scoring over head text, max_urls cut. Mirrors :267-448.

@@ -63,6 +63,70 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("fast signature kernels are bit-identical to the Column spec forms") {
+    val sample = docs.select(col("doc_id"), col("text")).where(col("doc_id") < 10)
+    // minhash: compiled kernel vs the HOF aggregate over Spark's xxhash64
+    val colSigs = sample.select(col("doc_id"),
+        Dedup.minHashSignature(TextAnalysis.shingles(col("text"), 3), 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val texts = sample.as[(Long, String)].collect()
+    texts.foreach { case (id, t) =>
+      assert(Dedup.minHashSignatureFast(t, 16, 3).toSeq == colSigs(id),
+        s"minhash kernel diverges on doc $id")
+    }
+    // simhash: compiled kernel vs the 64-slot vote Column aggregate
+    val colSim = sample.select(col("doc_id"), Dedup.simHash(col("text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    texts.foreach { case (id, t) =>
+      assert(Dedup.simHashFast(t) == colSim(id), s"simhash kernel diverges on doc $id")
+    }
+  }
+
+  test("ngram jaccard doc-frequency cap: bounded candidates on a hot shingle") {
+    // skewed corpus: every doc shares one hot shingle; rare tails only
+    // within pairs (2i, 2i+1)
+    val n = 40
+    val letters = "abcdefghijklmnopqrstuvwxyz"
+    val rows = (0 until n).map { i =>
+      // letter-only markers: the tokenizer drops digits
+      val rare = s"rare${letters(i / 2)}"
+      val uniq = s"u${letters(i % 26)}${letters(i / 26)}"
+      (i.toLong, s"hot stop words shared by all docs $rare tail$rare $uniq")
+    }
+    val skewed = rows.toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccardPairs(skewed, "doc_id", "text",
+      n = 3, minJaccard = 0.0, docFreqCap = 5)
+    val cappedPairs = capped.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // candidates bounded: only the rare-shingle pairs survive, not O(n²)
+    assert(cappedPairs.length == n / 2, s"expected ${n / 2} rare pairs, got ${cappedPairs.length}")
+    assert(cappedPairs.forall { case (a, b, _) => b == a + 1 && a % 2 == 0 })
+    // and the emitted jaccard is the EXACT one (full-set verification)
+    val exact = Dedup.ngramJaccardPairs(skewed, "doc_id", "text",
+        n = 3, minJaccard = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    cappedPairs.foreach { case (a, b, j) =>
+      assert(math.abs(exact((a, b)) - j) < 1e-12)
+    }
+    // the uncapped form on this corpus generates every pair — the quadratic
+    // blowup the cap exists to avoid
+    assert(exact.size == n * (n - 1) / 2)
+  }
+
+  test("embedding near-dup: banded + auto-scaled planes keep full dup recall") {
+    val vecs = embs.select(col("vec_id"), col("embedding")).where(col("vec_id") < 80)
+    val dupVecs = vecs.unionByName(
+      vecs.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    val pairs = Dedup.embeddingNearDup(dupVecs, "vec_id", "embedding",
+        planes = 6, minCosine = 0.999, bands = 3, targetBucketSize = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // identical vectors share every bucket in every band → always found
+    val dupFound = pairs.count { case (a, b) => b == a + 100000 }
+    assert(dupFound == 80, s"exact-dup recall ${dupFound}/80")
+    // auto-scaling picked more planes than the toy default
+    assert(Dedup.planesFor(160, 16) >= 4)
+    assert(Dedup.planesFor(10L * 1000 * 1000 * 1000, 64) >= 24) // 10^10 rows
+  }
+
   test("simhash: hamming 0 for exact copies, small for light edits") {
     val pairs = Dedup.simHashPairs(withDups, "doc_id", "text", maxDist = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
@@ -272,5 +336,81 @@ class OpsSpec extends AnyFunSuite {
     assert(md.references_markdown ==
       "\n\n## References\n\n⟨1⟩ http://x.com/docs: docs\n⟨2⟩ http://ext.com: ext\n" +
       "⟨3⟩ http://x.com/p.jpg: a pic\n")
+  }
+
+  test("adaptive embedding: gaps, gap-filling link selection, KB dedup") {
+    import graft.ops.{AdaptiveEmbedding => AE, Embed}
+    val cfg = AE.Config(dim = 64)
+    val state = AE.mapQuerySemanticSpace("spark shuffle partition",
+      AE.expandQuery("spark shuffle partition", Seq("executor", "stage")))
+    // empty KB: every query point is a max-distance gap
+    assert(AE.coverageGaps(state.kb, state.queryEmb).forall(_._2 == 1.0))
+    // a query-relevant link outscores an unrelated one
+    val gaps = AE.coverageGaps(state.kb, state.queryEmb)
+    val ranked = AE.selectLinks(Seq(
+      ("http://a/rel", "spark shuffle partition executor tuning"),
+      ("http://a/noise", "pasta tomato basil recipe")), gaps, state.kb, cfg)
+    assert(ranked.head._1 == "http://a/rel" && ranked.head._2 > ranked(1)._2)
+    // KB update dedups near-identical content (cosine >= 0.95)
+    val n1 = AE.updateState(state, Seq(("u1", "spark shuffle partition tuning guide")), cfg)
+    val n2 = AE.updateState(state, Seq(("u2", "spark shuffle partition tuning guide")), cfg)
+    assert(n1 == 1 && n2 == 0 && state.kb.length == 1 && state.crawled == Set("u1", "u2"))
+    // redundancy: with topic A already in the KB, a topic-B link (fills the
+    // uncovered query points) outranks another topic-A link
+    val twoTopics = AE.mapQuerySemanticSpace("spark shuffle partition",
+      Seq("spark shuffle partition executor",
+        "pasta tomato basil sauce", "pasta basil garlic",
+        "spark stage tuning", "partition skew salt"))
+    AE.updateState(twoTopics, Seq(("uA", "spark shuffle partition executor stage tuning")), cfg)
+    val gapsAB = AE.coverageGaps(twoTopics.kb, twoTopics.queryEmb)
+    val rankedAB = AE.selectLinks(Seq(
+      ("http://a/topicA", "spark shuffle partition executor stage tuning"),
+      ("http://a/topicB", "pasta tomato basil sauce garlic")), gapsAB, twoTopics.kb, cfg)
+    assert(rankedAB.head._1 == "http://a/topicB",
+      s"gap-filling link should win: $rankedAB gaps=${gapsAB.map(_._2)}")
+  }
+
+  test("adaptive embedding: e2e crawl of the synthetic site to a confidence stop") {
+    import graft.core.Synth
+    import graft.ops.{AdaptiveEmbedding => AE}
+    val site = Synth.SiteCfg(seed = 42L, nHosts = 1, cats = 2, subs = 2, prods = 2)
+    val pages = (0L until Synth.pageCount(site)).map(Synth.pageAt(site, _))
+    val pageMap = pages.map(p => p.url -> p).toMap
+    def pageText(u: String): String =
+      pageMap(u).expectedSpans.filter(_.kind == "text").map(_.text).mkString(" ")
+
+    // query in the site's own vocabulary (the lorem corpus) so the stub
+    // embeddings produce meaningful relevance signal
+    val query = "lorem ipsum dolor sit amet consectetur adipiscing elit sed tempor"
+    val cfg = AE.Config(maxPages = 12)
+    val state = AE.mapQuerySemanticSpace(query,
+      AE.expandQuery(query, Seq("magna", "aliqua")))
+    assert(state.queryEmb.nonEmpty && state.valEmb.length >= 2)
+
+    var pending = Set(pages.head.url)
+    var iters = 0
+    var stopped = false
+    while (!stopped && iters < 40) {
+      val gaps = AE.coverageGaps(state.kb, state.queryEmb)
+      val candidates = pending.toSeq.sorted.map(u => (u, pageMap(u).title + " " + pageText(u).take(200)))
+      val ranked = AE.selectLinks(candidates, gaps, state.kb, cfg)
+      val batch = (if (ranked.forall(_._2 == 0.0)) candidates.map(_._1) else ranked.map(_._1)).take(3)
+      AE.updateState(state, batch.map(u => (u, pageText(u))), cfg)
+      pending = (pending -- batch) ++
+        batch.flatMap(u => pageMap(u).expectedLinks.filter(_.internal).map(_.href))
+          .filter(u => !state.crawled(u) && pageMap.contains(u))
+      state.confidenceHistory :+= AE.confidence(state)
+      stopped = AE.shouldStop(state, pending.size, cfg)
+      iters += 1
+    }
+    assert(stopped, s"never stopped; history=${state.confidenceHistory}")
+    assert(state.stoppedReason.isDefined)
+    // the crawl learned: confidence grew above the irrelevance floor
+    assert(state.confidenceHistory.last > cfg.minConfidenceThreshold,
+      s"reason=${state.stoppedReason} history=${state.confidenceHistory}")
+    // never exceeded the page budget by more than one batch
+    assert(state.crawled.size <= cfg.maxPages + 3)
+    // KB deduplication kept the knowledge base no larger than pages crawled
+    assert(state.kb.length <= state.crawled.size)
   }
 }

@@ -119,4 +119,43 @@ class SeederSpec extends AnyFunSuite {
       assert(spans.forall(_.getAs[String]("kind") == "text"))
     }
   }
+
+  test("head store: fresh entries served from cache, stale/missing refetched (TTL)") {
+    import spark.implicits._
+    val ttl = 1000L
+    val store = Seq(
+      ("http://a/fresh", "valid", "<title>cached fresh</title>", 9500L),
+      ("http://a/stale", "valid", "<title>cached stale</title>", 1000L),
+      ("http://a/unrelated", "valid", "<title>other</title>", 9000L))
+      .toDF("url", "status", "head", "fetched_at")
+    val requests = Seq("http://a/fresh", "http://a/stale", "http://a/new").toDF("url")
+    val fetch = Seq(
+      ("http://a/fresh", "valid", "<title>network fresh</title>"),
+      ("http://a/stale", "valid", "<title>network stale</title>"),
+      ("http://a/new", "valid", "<title>network new</title>"))
+      .toDF("url", "status", "head")
+    val (served, newStore) =
+      graft.sources.Seeder.refreshHeadStore(store, requests, fetch, nowMs = 10000L, ttlMs = ttl)
+
+    val m = served.collect()
+      .map(r => r.getString(0) -> ((r.getString(2), r.getLong(3)))).toMap
+    assert(m.keySet == Set("http://a/fresh", "http://a/stale", "http://a/new"))
+    // fresh (age 500 <= ttl): cache hit — the network copy is NOT consulted
+    assert(m("http://a/fresh") == (("<title>cached fresh</title>", 9500L)))
+    // stale (age 9000 > ttl): refetched and restamped
+    assert(m("http://a/stale") == (("<title>network stale</title>", 10000L)))
+    assert(m("http://a/new") == (("<title>network new</title>", 10000L)))
+
+    // store update is a DELTA: only stale/missing rows rewritten; a request
+    // absent from the fetch source records not_valid (reference head-fail)
+    val st = newStore.collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    assert(st("http://a/fresh")._2 == 9500L)
+    assert(st("http://a/stale")._2 == 10000L)
+    assert(st("http://a/new")._2 == 10000L)
+    assert(st("http://a/unrelated")._2 == 9000L)
+    val (served2, _) = graft.sources.Seeder.refreshHeadStore(
+      store, Seq("http://a/missing").toDF("url"), fetch.limit(0), nowMs = 10000L, ttlMs = ttl)
+    assert(served2.collect().head.getString(1) == "not_valid")
+  }
 }
