@@ -29,17 +29,20 @@ object FixtureGen {
 
   def main(args: Array[String]): Unit = args.toList match {
     case "pages" :: out :: Nil =>
-      val pages = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      // list format: the same URL carries DIFFERENT html across site configs
+      // (more product links at prods=3), so records are keyed url#prods=N
+      val recs = Seq.newBuilder[String]
+      var n = 0
       siteCfgs.foreach { cfg =>
         (0L until Synth.pageCount(cfg)).foreach { i =>
           val p = Synth.pageAt(cfg, i)
-          pages(p.url) = p.html
+          recs += s"""{"name":"${jsonEsc(p.url)}#prods=${cfg.prods}",""" +
+            s""""url":"${jsonEsc(p.url)}","html":"${jsonEsc(p.html)}"}"""
+          n += 1
         }
       }
-      val json = pages.map { case (u, h) => s""""${jsonEsc(u)}":"${jsonEsc(h)}"""" }
-        .mkString("{", ",", "}")
-      Files.writeString(Paths.get(out), json)
-      println(s"wrote ${pages.size} pages to $out")
+      Files.writeString(Paths.get(out), recs.result().mkString("[", ",", "]"))
+      println(s"wrote $n pages to $out")
     case other =>
       sys.error(s"usage: FixtureGen pages <out.json> (got: $other)")
   }

@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  // deterministic synthetic site used by the crawl-native queries
-  private val siteCfg = Synth.SiteCfg(seed = 42L, nHosts = 3, cats = 2, subs = 2, prods = 3)
+  // deterministic synthetic site used by the crawl-native queries (also the
+  // input of the Verify fixture writer, graft.oracle.Fixtures)
+  val siteCfg = Synth.SiteCfg(seed = 42L, nHosts = 3, cats = 2, subs = 2, prods = 3)
+  val crawlCfg = CrawlConfig(hostBudget = 8, maxEpochs = 40)
 
   private def synthPages(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -33,7 +35,7 @@ object SparkEntry {
   @volatile private var sharedRun: String = null
 
   private def runCrawl(spark: SparkSession, tag: String,
-                       cfg: CrawlConfig = CrawlConfig(hostBudget = 8, maxEpochs = 40)): String =
+                       cfg: CrawlConfig = crawlCfg): String =
     synchronized {
       if (sharedRun == null) {
         import spark.implicits._
@@ -323,13 +325,14 @@ object SparkEntry {
           col("n_events"), round(col("total_value"), 4).as("total_value"))
     }),
 
-    // ---- markdown generation with citations (html2text-fidelity pipeline:
-    // clean → convert → per-URL citation rewrite) over the page store -------
+    // ---- markdown generation with citations (html2text-fidelity pipeline)
+    // over the page store; raw_html content source so the fixture oracle can
+    // compare byte-for-byte against the REFERENCE converter's goldens -------
     "crawl_markdown" -> ((s, _) => {
       import s.implicits._
       synthPages(s).select("url", "html").as[(String, String)]
         .map { case (url, html) =>
-          val md = graft.scrape.Markdown.fromHtml(html, url)
+          val md = graft.scrape.Markdown.fromHtml(html, url, clean = false)
           (url, md.raw_markdown, md.markdown_with_citations, md.references_markdown)
         }
         .toDF("doc_id", "raw_markdown", "markdown_with_citations", "references_markdown")
@@ -345,14 +348,15 @@ object SparkEntry {
         }
         .toDF("url", "caption", "headers", "n_rows")
     }),
+    // metadata extraction; fixture-oracled against generator intent (the
+    // fit_html surface is pinned separately by MetaSpec goldens)
     "crawl_metadata" -> ((s, _) => {
       import s.implicits._
       synthPages(s).select("url", "html").as[(String, String)]
         .map { case (url, html) =>
-          val m = graft.scrape.Meta.extractMetadata(html)
-          (url, m.getOrElse("title", ""), graft.scrape.Meta.fitHtml(html).length)
+          (url, graft.scrape.Meta.extractMetadata(html).getOrElse("title", ""))
         }
-        .toDF("url", "title", "fit_html_len")
+        .toDF("url", "title")
     }),
 
     // link intrinsic scoring (pure column arithmetic; SQL-mirrorable)
@@ -444,6 +448,20 @@ object SparkEntry {
     * exactly — the driver sorts columns by name before hashing.
     */
   def oracleSql: Map[String, String] = Map(
+    // ---- expected-result fixtures (sequential oracles / generator intent /
+    // reference-derived goldens), written by Verify → graft.oracle.Fixtures
+    "crawl_visit_order" -> graft.oracle.Fixtures.sql("crawl_visit_order"),
+    "crawl_docs_spans" -> graft.oracle.Fixtures.sql("crawl_docs_spans"),
+    "crawl_epoch_manifests" -> graft.oracle.Fixtures.sql("crawl_epoch_manifests"),
+    "crawl_tables" -> graft.oracle.Fixtures.sql("crawl_tables"),
+    "crawl_metadata" -> graft.oracle.Fixtures.sql("crawl_metadata"),
+    "crawl_markdown" -> graft.oracle.Fixtures.sql("crawl_markdown"),
+    "q_minhash_lsh" -> graft.oracle.Fixtures.sql("q_minhash_lsh"),
+    "q_simhash_pairs" -> graft.oracle.Fixtures.sql("q_simhash_pairs"),
+    "q_embedding_neardup" -> graft.oracle.Fixtures.sql("q_embedding_neardup"),
+    "q_ann_lsh_topk" -> graft.oracle.Fixtures.sql("q_ann_lsh_topk"),
+    "q_media_features" -> graft.oracle.Fixtures.sql("q_media_features"),
+    "q_cosine_extract" -> graft.oracle.Fixtures.sql("q_cosine_extract"),
     "q_admission_window" ->
       """SELECT user_id, event_id, CAST(rk AS INTEGER) AS rk FROM (
         |  SELECT user_id, event_id,

@@ -22,6 +22,12 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // expected-result fixtures for the no-SQL-twin queries (sequential
+    // oracles + reference-derived goldens → parquet the oracle SQL reads)
+    try graft.oracle.Fixtures.writeAll(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] fixtures failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

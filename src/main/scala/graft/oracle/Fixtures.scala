@@ -1,0 +1,138 @@
+package graft.oracle
+
+import graft.core.Synth
+import graft.ops.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Expected-result fixtures for the driver's DuckDB compare (FIXTURES.md §5):
+  * each no-SQL-twin query gets a parquet fixture under [[dir]], computed by a
+  * SEQUENTIAL independent implementation ([[SeqOracle]], generator intent, or
+  * the reference-derived markdown goldens), and its `oracleSql` entry is just
+  * `SELECT * FROM parquet_scan('<fixture>')` — the expected-vs-actual compare
+  * then runs through the exact same driver pipeline as the SQL twins.
+  *
+  * Written by `graft.Verify` before it dumps oracle_sql.json; everything here
+  * is bounded driver-side work (the sequential crawl of the synthetic site,
+  * a few hundred collected rows per dedup/ANN slice).
+  */
+object Fixtures {
+
+  val dir = "/tmp/graft_expected"
+
+  def sql(name: String): String =
+    s"SELECT * FROM parquet_scan('$dir/$name/*.parquet')"
+
+  def writeAll(spark: SparkSession, sfDir: String): Unit = {
+    import spark.implicits._
+    val site = graft.SparkEntry.siteCfg
+    val pages = (0L until Synth.pageCount(site)).map(Synth.pageAt(site, _))
+    val pageMap = pages.map(p => p.url -> p).toMap
+    def write(name: String, df: DataFrame): Unit =
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name")
+
+    // ---- crawl-native fixtures from the sequential oracle -------------------
+    val trace = SeqOracle.crawl(site, graft.SparkEntry.crawlCfg)
+
+    write("crawl_visit_order",
+      trace.visits.toDF("epoch", "visit_rank", "url", "depth"))
+
+    write("crawl_docs_spans",
+      trace.crawledDocs.flatMap { u =>
+        pageMap(u).expectedSpans.map(s => (u, s.kind, s.text, s.media_ref, s.offset))
+      }.toDF("doc_id", "kind", "text", "media_ref", "offset"))
+
+    write("crawl_epoch_manifests",
+      trace.stats.map(s => (s.epoch, s.fetched, s.failed, s.skippedRobots,
+        s.newFrontier, s.seenTotal))
+        .toDF("epoch", "fetched", "failed", "skipped_robots", "new_frontier", "seen_total"))
+
+    // ---- generator-intent fixtures -----------------------------------------
+    write("crawl_tables", (for {
+      h <- 0 until site.nHosts
+      c <- 0 until site.cats
+      s <- 0 until site.subs
+    } yield (Synth.urlOf(site, h, Synth.Sub(c, s)),
+        s"Products in sub $s", "Name|Price", site.prods))
+      .toDF("url", "caption", "headers", "n_rows"))
+
+    write("crawl_metadata",
+      pages.map(p => (p.url, p.title)).toDF("url", "title"))
+
+    // ---- reference-derived markdown goldens --------------------------------
+    // raw_markdown comes from the REFERENCE converter's emission (captured in
+    // markdown_goldens.json); the citation columns are derived sequentially
+    // from those reference strings by the (OpsSpec-pinned) rewrite function.
+    val goldens = {
+      val is = getClass.getResourceAsStream("/markdown_goldens.json")
+      require(is != null, "markdown_goldens.json missing from resources")
+      val raw = scala.io.Source.fromInputStream(is, "UTF-8").mkString
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(raw)
+      (0 until root.size()).map { i =>
+        val n = root.get(i)
+        (n.get("name").asText(), n.get("base").asText(), n.get("md").asText())
+      }
+    }
+    val tag = s"#prods=${site.prods}"
+    write("crawl_markdown",
+      goldens.collect { case (name, base, md) if name.endsWith(tag) =>
+        val (cited, refs) = graft.scrape.Markdown.convertLinksToCitations(md, base)
+        (base, md, cited, refs)
+      }.toDF("doc_id", "raw_markdown", "markdown_with_citations", "references_markdown"))
+
+    // ---- sequential twins of the bucketed dedup/ANN plans -------------------
+    val docs200 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where($"doc_id" < 200).select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val docDups = docs200 ++ docs200.map { case (id, t) => (id + 100000L, t) }
+
+    write("q_minhash_lsh",
+      SeqOracle.minHashLsh(docDups, k = 32, bands = 8, shingleLen = 3, minEstJaccard = 0.5)
+        .toDF("id_a", "id_b", "est_jaccard"))
+
+    write("q_simhash_pairs",
+      SeqOracle.simHashPairs(docDups, maxDist = 3).toDF("id_a", "id_b", "hamming"))
+
+    val embAll = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+    val emb100 = embAll.filter(_._1 < 100)
+    val embDups = emb100 ++ emb100.map { case (id, v) => (id + 100000L, v) }
+
+    write("q_embedding_neardup",
+      SeqOracle.embeddingNearDup(embDups, planes = 8, minCosine = 0.999)
+        .map { case (a, b, c) =>
+          (a, b, BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        .toDF("id_a", "id_b", "cosine"))
+
+    val q0 = embAll.find(_._1 == 0L).get._2
+    write("q_ann_lsh_topk",
+      SeqOracle.lshTopK(embAll, q0, k = 10, planes = 6).toDF("vec_id", "sim"))
+
+    // ---- shared-kernel distribution twins ----------------------------------
+    // (the kernel itself is deterministic shared code; the fixture checks the
+    // distributed map/partitioning reproduces the sequential pass)
+    val mediaIds = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where($"doc_id" < 100).select("doc_id").as[Long].collect().toSeq.sorted
+    write("q_media_features",
+      mediaIds.map { id =>
+        val ext = if (id % 3 == 0) ".jpg" else if (id % 3 == 1) ".mp4" else ".ogg"
+        val kind = if (id % 3 == 0) "image" else if (id % 3 == 1) "video" else "audio"
+        val f = Multimodal.decodeStub(Multimodal.syntheticBlob(
+          id.toString, s"http://media.example.com/$id$ext", kind))
+        (f.doc_id, f.media_ref, f.kind, f.width, f.height, f.duration_ms, f.n_frames)
+      }.toDF("doc_id", "media_ref", "kind", "width", "height", "duration_ms", "n_frames"))
+
+    val docs60 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where($"doc_id" < 60).select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val cosCfg = graft.scrape.CosineExtract.Config(
+      semanticFilter = Some("spark window query"),
+      wordCountThreshold = 5, maxDist = 0.6)
+    write("q_cosine_extract",
+      docs60.flatMap { case (id, text) =>
+        val sections = graft.ops.Embed.tokens(text).grouped(10).map(_.mkString(" ")).toSeq
+        graft.scrape.CosineExtract.extract(sections, cosCfg)
+          .map(c => (id, c.index, c.tags.mkString(","), c.content))
+      }.toDF("doc_id", "cluster_index", "tags", "content"))
+  }
+}

@@ -1,0 +1,219 @@
+package graft.oracle
+
+import graft.core.{Synth, Urls}
+import graft.frontier.CrawlConfig
+import graft.politeness.Robots
+import graft.scrape.Scrape
+
+/** Single-threaded SEQUENTIAL oracles for the driver-checkable fixtures:
+  * independent re-implementations of the engine's specs as plain loops (no
+  * Spark), used by Verify to write expected-result parquet that the driver's
+  * DuckDB compare reads back (FIXTURES.md). CrawlSpec uses the same crawler
+  * oracle for its in-suite order-equality tests — one spec, two consumers.
+  */
+object SeqOracle {
+
+  final case class EpochStats(
+      epoch: Int, fetched: Long, failed: Long, skippedRobots: Long,
+      newFrontier: Long, seenTotal: Long)
+
+  final case class CrawlTrace(
+      visits: Seq[(Int, Int, String, Int)], // (epoch, visit_rank, url, depth)
+      crawledDocs: Seq[String],             // fetch-ok page urls, visit order
+      seen: Set[String],
+      stats: Seq[EpochStats])
+
+  private final case class OEntry(url: String, host: String, depth: Int,
+      score: Double, parent: String, path: String, enqueueEpoch: Int, retry: Int)
+
+  /** The engine's deterministic ordering/admission spec as a sequential
+    * crawler (SURVEY.md §5.3): admission sort per strategy → per-host budget
+    * → global capacity → robots gate → expansion with first-wins dedup →
+    * score threshold. Mirrors `Crawl.run` epoch for epoch, including the
+    * per-epoch manifest counters.
+    */
+  def crawl(site: Synth.SiteCfg, cfg: CrawlConfig): CrawlTrace = {
+    val allPages = (0L until Synth.pageCount(site)).map(Synth.pageAt(site, _))
+    val pageMap = allPages.map(p => p.url -> p).toMap
+    val robotsMap = Synth.robots(site).map(r => r.host -> r.rules).toMap
+
+    val canonSeeds = Synth.seeds(site)
+      .map(s => (Urls.canonicalizeDeep(s.url, ""), if (s.source == "sitemap") 0 else 1))
+      .filter { case (u, _) => u != null && Urls.isValidCrawlUrl(u) && !Urls.isNonsense(u) }
+    val firstWins = canonSeeds.groupBy(_._1).toSeq
+      .map { case (u, vs) => (u, vs.map(_._2).min) }
+      .sortBy(_._1)
+    var frontier = firstWins.zipWithIndex.map { case ((u, _), i) =>
+      OEntry(u, Urls.host(u), 0, 0.5, "", f"$i%04x", 0, 0)
+    }
+    var seen = frontier.map(_.url).toSet
+    val visits = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String, Int)]
+    val crawledDocs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val stats = scala.collection.mutable.ArrayBuffer.empty[EpochStats]
+    var epoch = 0
+    var fetchedTotal = 0L
+    var doneFlag = false
+    while (!doneFlag && epoch < cfg.maxEpochs && frontier.nonEmpty &&
+           fetchedTotal < cfg.maxPages) {
+      val withPrio = frontier.map { e =>
+        val wait = epoch - e.enqueueEpoch
+        val prio = if (wait > cfg.fairnessEpochs) -wait.toDouble else e.retry.toDouble
+        (e, prio)
+      }
+      val ordered = cfg.strategy match {
+        case "dfs" => withPrio.sortBy { case (e, p) => (p, e.path) }
+        case "best_first" => withPrio.sortBy { case (e, p) => (p, -e.score, e.depth, e.path) }
+        case _ => withPrio.sortBy { case (e, p) => (p, e.depth, e.path) }
+      }
+      val hostCount = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+      val (admitted0, deferred) = ordered.partition { case (e, _) =>
+        val ok = hostCount(e.host) < cfg.hostBudget
+        if (ok) hostCount(e.host) += 1
+        ok
+      }
+      val capacity = math.min(cfg.globalBatch, cfg.maxPages - fetchedTotal)
+      val admitted = admitted0.take(math.min(capacity, Int.MaxValue.toLong).toInt)
+      val spill = admitted0.drop(admitted.size)
+      val allowed = admitted.map(_._1).filter(e =>
+        Robots.canFetch(robotsMap.getOrElse(e.host, null), e.url, cfg.userAgent))
+      val skippedRobots = admitted.size - allowed.size
+      allowed.zipWithIndex.foreach { case (e, i) =>
+        visits += ((epoch, i + 1, e.url, e.depth))
+      }
+      val fetchOk = allowed.filter(e => pageMap.contains(e.url))
+      fetchOk.foreach(e => crawledDocs += e.url)
+      val nFailed = allowed.size - fetchOk.size
+      fetchedTotal += fetchOk.size
+
+      val newEntries = scala.collection.mutable.LinkedHashMap.empty[String, OEntry]
+      for (e <- allowed; page <- pageMap.get(e.url)) {
+        val doc = Scrape.scrape(e.url, page.html)
+        for (l <- doc.links if l.internal || cfg.includeExternal) {
+          val u = l.href
+          if (u != null && Urls.isValidCrawlUrl(u) && !Urls.isNonsense(u) &&
+              e.depth + 1 <= cfg.maxDepth && !seen.contains(u)) {
+            val score =
+              if (cfg.keywords.isEmpty) 0.5
+              else cfg.keywords.count(k => u.toLowerCase.contains(k.toLowerCase))
+                .toDouble / cfg.keywords.size
+            val cand = OEntry(u, Urls.host(u), e.depth + 1, score, e.url,
+              e.path + f"${l.linkIndex}%04x", epoch + 1, 0)
+            val better = newEntries.get(u).forall(x => cand.path < x.path)
+            if (better) newEntries(u) = cand
+          }
+        }
+      }
+      val news = newEntries.values.toSeq.filter(_.score >= cfg.scoreThreshold)
+      seen ++= news.map(_.url)
+      stats += EpochStats(epoch + 1, fetchOk.size.toLong, nFailed.toLong,
+        skippedRobots.toLong, news.size.toLong, seen.size.toLong)
+      frontier = (deferred ++ spill).map(_._1) ++ news
+      if (news.isEmpty && deferred.isEmpty && spill.isEmpty) doneFlag = true
+      epoch += 1
+    }
+    CrawlTrace(visits.toSeq, crawledDocs.toSeq, seen, stats.toSeq)
+  }
+
+  // ---- sequential twins of the bucketed dedup/ANN plans ---------------------
+
+  /** MinHash+LSH candidate pairs: band-slice equality instead of the engine's
+    * band-hash equi-join (identical result modulo 64-bit hash collisions). */
+  def minHashLsh(docs: Seq[(Long, String)], k: Int, bands: Int, shingleLen: Int,
+                 minEstJaccard: Double): Seq[(Long, Long, Double)] = {
+    val rpb = k / bands
+    val sigs = docs.map { case (id, t) =>
+      (id, graft.ops.Dedup.minHashSignatureFast(t, k, shingleLen)) }
+    val out = scala.collection.mutable.LinkedHashMap.empty[(Long, Long), Double]
+    for (b <- 0 until bands) {
+      val buckets = sigs.groupBy(_._2.slice(b * rpb, (b + 1) * rpb).toSeq)
+      buckets.values.foreach { members =>
+        for (i <- members.indices; j <- i + 1 until members.length) {
+          val (idA, sigA) = members(i); val (idB, sigB) = members(j)
+          val (a, b2) = if (idA < idB) (idA, idB) else (idB, idA)
+          if (!out.contains((a, b2))) {
+            val eq = sigA.zip(sigB).count { case (x, y) => x == y }
+            out((a, b2)) = eq.toDouble / k.toDouble
+          }
+        }
+      }
+    }
+    out.toSeq.collect { case ((a, b2), est) if est >= minEstJaccard => (a, b2, est) }
+  }
+
+  /** SimHash pairs via 16-bit band blocking + Hamming verify. */
+  def simHashPairs(docs: Seq[(Long, String)], maxDist: Int): Seq[(Long, Long, Int)] = {
+    val sigs = docs.map { case (id, t) => (id, graft.ops.Dedup.simHashFast(t)) }
+    val out = scala.collection.mutable.LinkedHashMap.empty[(Long, Long), Int]
+    for (b <- 0 until 4) {
+      val buckets = sigs.groupBy { case (_, s) => (s >>> (b * 16)) & 0xffffL }
+      buckets.values.foreach { members =>
+        for (i <- members.indices; j <- i + 1 until members.length) {
+          val (idA, sA) = members(i); val (idB, sB) = members(j)
+          val (a, b2) = if (idA < idB) (idA, idB) else (idB, idA)
+          if (!out.contains((a, b2)))
+            out((a, b2)) = java.lang.Long.bitCount(sA ^ sB)
+        }
+      }
+    }
+    out.toSeq.collect { case ((a, b2), d) if d <= maxDist => (a, b2, d) }
+  }
+
+  /** Bit-exact twin of Similarity.dot/cosine Column arithmetic: FLOAT
+    * products accumulated into a double in index order. */
+  def cosineF(a: Seq[Float], b: Seq[Float]): Double = {
+    def dot(x: Seq[Float], y: Seq[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < math.min(x.length, y.length)) { acc += (x(i) * y(i)).toDouble; i += 1 }
+      acc
+    }
+    val d = math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))
+    if (d == 0.0) 0.0 else dot(a, b) / d
+  }
+
+  /** Twin of Similarity.signBucket (xxhash64(plane, dim) sign components —
+    * Spark hashes INT sequence elements through the 4-byte path). */
+  def signBucket(v: Seq[Float], planes: Int, planeOffset: Int = 0): Long = {
+    var bucket = 0L
+    var p = planeOffset
+    while (p < planeOffset + planes) {
+      val seed = graft.core.Xxh64.hashInt(p, 42L)
+      var proj = 0.0
+      var j = 0
+      while (j < v.length) {
+        val comp = if ((graft.core.Xxh64.hashInt(j, seed) & 1L) == 1L) 1.0 else -1.0
+        proj += v(j) * comp
+        j += 1
+      }
+      if (proj > 0) bucket |= (1L << (p - planeOffset))
+      p += 1
+    }
+    bucket
+  }
+
+  /** Twin of Dedup.embeddingNearDup (single-band default form). */
+  def embeddingNearDup(vecs: Seq[(Long, Seq[Float])], planes: Int,
+                       minCosine: Double): Seq[(Long, Long, Double)] = {
+    val bucketed = vecs.map { case (id, v) => (id, v, signBucket(v, planes)) }
+    val out = Seq.newBuilder[(Long, Long, Double)]
+    bucketed.groupBy(_._3).values.foreach { members =>
+      for (i <- members.indices; j <- i + 1 until members.length) {
+        val (idA, vA, _) = members(i); val (idB, vB, _) = members(j)
+        val (a, va, b2, vb) = if (idA < idB) (idA, vA, idB, vB) else (idB, vB, idA, vA)
+        val cos = cosineF(va, vb)
+        if (cos >= minCosine) out += ((a, b2, cos))
+      }
+    }
+    out.result()
+  }
+
+  /** Twin of Similarity.lshTopK: probe the query bucket + 1-bit flips. */
+  def lshTopK(vecs: Seq[(Long, Seq[Float])], query: Seq[Float], k: Int,
+              planes: Int): Seq[(Long, Double)] = {
+    val qb = signBucket(query, planes)
+    val probes = (0 until planes).map(p => qb ^ (1L << p)).toSet + qb
+    vecs.filter { case (_, v) => probes.contains(signBucket(v, planes)) }
+      .map { case (id, v) => (id, cosineF(v, query)) }
+      .sortBy { case (id, sim) => (-sim, id) }
+      .take(k)
+  }
+}

@@ -26,86 +26,13 @@ class CrawlSpec extends AnyFunSuite {
   lazy val robotsDF = Synth.robots(site).toDF()
   lazy val seedsDF = Synth.seeds(site).toDF()
 
-  // ---- the oracle ----------------------------------------------------------
+  // ---- the oracle (shared with the Verify fixture writer) ------------------
 
-  case class OEntry(url: String, host: String, depth: Int, score: Double,
-                    parent: String, path: String, enqueueEpoch: Int, retry: Int)
-
-  /** Single-threaded crawler implementing the engine's spec exactly. */
+  /** Single-threaded crawler implementing the engine's spec exactly —
+    * graft.oracle.SeqOracle, also used by Verify's fixture writer. */
   def oracleCrawl(cfg: CrawlConfig): (Seq[(Int, String)], Set[String]) = {
-    val pageMap = allPages.map(p => p.url -> p).toMap
-    val robotsMap = Synth.robots(site).map(r => r.host -> r.rules).toMap
-
-    // seed bootstrap: canonicalize, filter, first-wins (sitemap<cc, then url)
-    val canonSeeds = Synth.seeds(site)
-      .map(s => (Urls.canonicalizeDeep(s.url, ""), if (s.source == "sitemap") 0 else 1))
-      .filter { case (u, _) => u != null && Urls.isValidCrawlUrl(u) && !Urls.isNonsense(u) }
-    val firstWins = canonSeeds.groupBy(_._1).toSeq
-      .map { case (u, vs) => (u, vs.map(_._2).min) }
-      .sortBy(_._1)
-    var frontier = firstWins.zipWithIndex.map { case ((u, _), i) =>
-      OEntry(u, Urls.host(u), 0, 0.5, "", f"$i%04x", 0, 0)
-    }
-    var seen = frontier.map(_.url).toSet
-    val visits = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
-    var epoch = 0
-    var fetchedTotal = 0L
-    var doneFlag = false
-    while (!doneFlag && epoch < cfg.maxEpochs && frontier.nonEmpty &&
-           fetchedTotal < cfg.maxPages) {
-      val withPrio = frontier.map { e =>
-        val wait = epoch - e.enqueueEpoch
-        val prio = if (wait > cfg.fairnessEpochs) -wait.toDouble else e.retry.toDouble
-        (e, prio)
-      }
-      val ordered = cfg.strategy match {
-        case "dfs" => withPrio.sortBy { case (e, p) => (p, e.path) }
-        case "best_first" => withPrio.sortBy { case (e, p) => (p, -e.score, e.depth, e.path) }
-        case _ => withPrio.sortBy { case (e, p) => (p, e.depth, e.path) }
-      }
-      // per-host budget
-      val hostCount = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
-      val (admitted0, deferred) = ordered.partition { case (e, _) =>
-        val ok = hostCount(e.host) < cfg.hostBudget
-        if (ok) hostCount(e.host) += 1
-        ok
-      }
-      val capacity = math.min(cfg.globalBatch, cfg.maxPages - fetchedTotal)
-      val admitted = admitted0.take(math.min(capacity, Int.MaxValue.toLong).toInt)
-      val spill = admitted0.drop(admitted.size)
-      val allowed = admitted.map(_._1).filter(e =>
-        Robots.canFetch(robotsMap.getOrElse(e.host, null), e.url, cfg.userAgent))
-      allowed.foreach(e => visits += ((epoch, e.url)))
-      fetchedTotal += allowed.count(e => pageMap.contains(e.url))
-
-      // expansion
-      val newEntries = scala.collection.mutable.LinkedHashMap.empty[String, OEntry]
-      for (e <- allowed; page <- pageMap.get(e.url)) {
-        val doc = Scrape.scrape(e.url, page.html)
-        for (l <- doc.links if l.internal || cfg.includeExternal) {
-          val u = l.href
-          if (u != null && Urls.isValidCrawlUrl(u) && !Urls.isNonsense(u) &&
-              e.depth + 1 <= cfg.maxDepth && !seen.contains(u)) {
-            // same scoring spec as the engine: keyword relevance when
-            // configured (fraction of keywords contained), else neutral 0.5
-            val score =
-              if (cfg.keywords.isEmpty) 0.5
-              else cfg.keywords.count(k => u.toLowerCase.contains(k.toLowerCase))
-                .toDouble / cfg.keywords.size
-            val cand = OEntry(u, Urls.host(u), e.depth + 1, score, e.url,
-              e.path + f"${l.linkIndex}%04x", epoch + 1, 0)
-            val better = newEntries.get(u).forall(x => cand.path < x.path)
-            if (better) newEntries(u) = cand
-          }
-        }
-      }
-      val news = newEntries.values.toSeq.filter(_.score >= cfg.scoreThreshold)
-      seen ++= news.map(_.url)
-      frontier = (deferred ++ spill).map(_._1) ++ news
-      if (news.isEmpty && deferred.isEmpty && spill.isEmpty) doneFlag = true
-      epoch += 1
-    }
-    (visits.toSeq, seen)
+    val t = graft.oracle.SeqOracle.crawl(site, cfg)
+    (t.visits.map(v => (v._1, v._3)), t.seen)
   }
 
   private def freshDir(tag: String): String =

@@ -89,11 +89,12 @@ CASES = [
 records = [{"name": n, "html": h, "base": b, "md": md(h, b)} for n, h, b in CASES]
 
 if len(sys.argv) > 1:
-    pages = json.load(open(sys.argv[1]))
-    for url, html in sorted(pages.items()):
-        records.append({"name": url, "html": html, "base": url, "md": md(html, url)})
+    pages = json.load(open(sys.argv[1]))  # [{name, url, html}] — url#prods=N keys
+    for rec in sorted(pages, key=lambda r: r["name"]):
+        records.append({"name": rec["name"], "html": rec["html"],
+                        "base": rec["url"], "md": md(rec["html"], rec["url"])})
 
-out = os.path.join(os.path.dirname(__file__), "..", "src", "test", "resources",
+out = os.path.join(os.path.dirname(__file__), "..", "src", "main", "resources",
                    "markdown_goldens.json")
 os.makedirs(os.path.dirname(out), exist_ok=True)
 with open(out, "w") as f:
