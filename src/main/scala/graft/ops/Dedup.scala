@@ -200,8 +200,11 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, minJaccard: Double = 0.8,
                         docFreqCap: Int = Int.MaxValue): DataFrame = {
-    val sets = df.select(col(idCol).as("id"),
-        array_distinct(TextAnalysis.shingles(col(textCol), n)).as("sh"))
+    // compiled shingle kernel (same strings as TextAnalysis.shingles +
+    // array_distinct): the interpreted HOF would be re-evaluated on BOTH
+    // sides of the self-join below
+    val shingleSet = udf((t: String) => shinglesFast(t, n).distinct.toSeq)
+    val sets = df.select(col(idCol).as("id"), shingleSet(col(textCol)).as("sh"))
       .withColumn("sz", size(col("sh")))
     val inv = sets.select(col("id"), col("sz"), explode(col("sh")).as("shingle"))
     if (docFreqCap == Int.MaxValue) {
