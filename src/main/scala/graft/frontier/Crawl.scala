@@ -72,6 +72,15 @@ final case class CrawlSummary(
 
 object Crawl {
 
+  /** Executor for the epoch loop's concurrent snapshot jobs (daemon threads;
+    * Spark job submission is thread-safe and local/cluster schedulers both
+    * interleave concurrent jobs). */
+  private lazy val epochEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(6, (r: Runnable) => {
+        val t = new Thread(r, "graft-epoch-io"); t.setDaemon(true); t
+      }))
+
   // ---- snapshot layout ------------------------------------------------------
 
   private def dir(runDir: String, epoch: Int, what: String) =
@@ -300,8 +309,39 @@ object Crawl {
             "fetch_ok", "status_code", "spans", "links", "title", "n_words")
           .cache()
 
-        // ---- politeness state evolution (deterministic backoff per epoch)
-        if (cfg.dynamicPoliteness) {
+        // ---- phase A: materialize the scraped cache with the ONE lineage
+        // aggregation pass, then overlap the independent consumers of that
+        // cache (docs write, visits write, robots-blocked count, politeness
+        // evolution) as CONCURRENT Spark jobs. They share cached inputs and
+        // write disjoint outputs; overlapping hides the fixed per-job
+        // latency that dominates small epochs and costs nothing on a real
+        // cluster (concurrent jobs just share the scheduler).
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: scala.concurrent.ExecutionContext = Crawl.epochEc
+        val lineageRows = scraped.groupBy(spark_partition_id().as("pid"), col("fetch_ok"))
+          .agg(count(lit(1)).as("rows"), sum(col("n_words")).as("words"))
+          .collect()
+
+        val fDocs = Future {
+          scraped.where(col("fetch_ok"))
+            .select(col("url").as("doc_id"), col("spans"), col("links"),
+              col("title"), col("n_words"), lit(epoch).as("epoch"))
+            .write.mode(SaveMode.Overwrite).parquet(dir(runDir, epoch, "docs"))
+        }
+        // visits carry the full sort key (priority, score, depth, path) but
+        // NO materialized rank: visit order is fully determined by the key,
+        // so `Crawl.visits` derives ranks at read time — the epoch loop never
+        // runs a partitionless global-order window.
+        val fVisits = Future {
+          allowed
+            .select(col("url"), col("depth"), col("score"), col("priority"),
+              col("path"), lit(epoch).as("epoch"))
+            .write.mode(SaveMode.Overwrite).parquet(dir(runDir, epoch, "visits"))
+        }
+        val fBlocked = Future { robotsBlocked.count() }
+        // politeness state evolution (deterministic backoff per epoch)
+        val fState = if (!cfg.dynamicPoliteness) Future.successful(()) else Future {
           val st0 = domainState.getOrElse(
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -314,20 +354,6 @@ object Crawl {
               scraped.select(col("host"), col("status_code")))
             .write.mode(SaveMode.Overwrite).parquet(dir(runDir, epoch + 1, "domain_state"))
         }
-
-        // ---- outputs: docs + visit order
-        scraped.where(col("fetch_ok"))
-          .select(col("url").as("doc_id"), col("spans"), col("links"),
-            col("title"), col("n_words"), lit(epoch).as("epoch"))
-          .write.mode(SaveMode.Overwrite).parquet(dir(runDir, epoch, "docs"))
-        // visits carry the full sort key (priority, score, depth, path) but
-        // NO materialized rank: visit order is fully determined by the key,
-        // so `Crawl.visits` derives ranks at read time — the epoch loop never
-        // runs a partitionless global-order window.
-        allowed
-          .select(col("url"), col("depth"), col("score"), col("priority"),
-            col("path"), lit(epoch).as("epoch"))
-          .write.mode(SaveMode.Overwrite).parquet(dir(runDir, epoch, "visits"))
 
         // ---- expansion: links are already deep-canonical (scrape map)
         val linkRows = scraped.where(col("fetch_ok"))
@@ -370,48 +396,55 @@ object Crawl {
             lit(epoch + 1).as("epoch"), lit(CrawlStatus.Queued).as("status"))
           .cache() // reused by frontier write, count, seen delta, delta bloom
 
-        // ---- next snapshot: frontier t+1 = deferred ∪ new; seen += admitted
-        // hashes ∪ discovered hashes (reference adds on DISCOVERY,
-        // bfs_strategy.py:153)
-        val nextFrontier = deferred
-          .select(newEntries.columns.map(col): _*)
-          .withColumn("epoch", lit(epoch + 1))
-          .unionByName(newEntries)
-        nextFrontier.write.mode(SaveMode.Overwrite).parquet(dir(runDir, epoch + 1, "frontier"))
+        // ---- phase B: materialize the newEntries cache with its count, then
+        // overlap the next-snapshot writes (frontier t+1 = deferred ∪ new;
+        // seen delta + bloom) — reference adds to seen on DISCOVERY,
+        // bfs_strategy.py:153.
         val nNew = newEntries.count()
+        val nextEpoch = epoch + 1
+        val fFrontier = Future {
+          deferred
+            .select(newEntries.columns.map(col): _*)
+            .withColumn("epoch", lit(nextEpoch))
+            .unionByName(newEntries)
+            .write.mode(SaveMode.Overwrite).parquet(dir(runDir, nextEpoch, "frontier"))
+        }
         // seen commit is a DELTA: only this epoch's first-seen hashes are
         // written (disjoint from history by construction — exact anti-join
         // upstream; bloom has no false negatives). O(delta) I/O per epoch.
         // Every seenCompactEvery epochs the delta run is compacted into one
         // full set + one right-sized bloom, bounding reader fan-in and the
         // bloom vector (the ONLY full-set pass, amortized 1/K per epoch).
-        val nextEpoch = epoch + 1
-        if (nextEpoch - seenBase >= cfg.seenCompactEvery) {
-          seen.unionByName(newEntries.select("url_hash"))
-            .write.mode(SaveMode.Overwrite).parquet(dir(runDir, nextEpoch, "seen"))
-          seenBase = nextEpoch
-          val full = spark.read.parquet(dir(runDir, nextEpoch, "seen"))
-          val compactBloom = BloomSeen.build(full, "url_hash", seenCount + nNew, cfg.bloomFpp)
-          BloomSeen.save(compactBloom, bloomPath(runDir, nextEpoch))
-          blooms = Vector(compactBloom)
-        } else {
-          newEntries.select("url_hash")
-            .write.mode(SaveMode.Overwrite).parquet(dir(runDir, nextEpoch, "seen"))
-          val deltaBloom =
-            if (nNew == 0) BloomSeen.empty(cfg.bloomFpp)
-            else BloomSeen.build(newEntries, "url_hash", nNew, cfg.bloomFpp)
-          BloomSeen.save(deltaBloom, bloomPath(runDir, nextEpoch))
-          blooms = blooms :+ deltaBloom
+        val fSeen: Future[(Int, Vector[org.apache.spark.util.sketch.BloomFilter])] = Future {
+          if (nextEpoch - seenBase >= cfg.seenCompactEvery) {
+            seen.unionByName(newEntries.select("url_hash"))
+              .write.mode(SaveMode.Overwrite).parquet(dir(runDir, nextEpoch, "seen"))
+            val full = spark.read.parquet(dir(runDir, nextEpoch, "seen"))
+            val compactBloom = BloomSeen.build(full, "url_hash", seenCount + nNew, cfg.bloomFpp)
+            BloomSeen.save(compactBloom, bloomPath(runDir, nextEpoch))
+            (nextEpoch, Vector(compactBloom))
+          } else {
+            newEntries.select("url_hash")
+              .write.mode(SaveMode.Overwrite).parquet(dir(runDir, nextEpoch, "seen"))
+            val deltaBloom =
+              if (nNew == 0) BloomSeen.empty(cfg.bloomFpp)
+              else BloomSeen.build(newEntries, "url_hash", nNew, cfg.bloomFpp)
+            BloomSeen.save(deltaBloom, bloomPath(runDir, nextEpoch))
+            (seenBase, blooms :+ deltaBloom)
+          }
         }
 
-        // ---- metrics + per-partition lineage in ONE aggregation pass over
-        // the cached scrape output, then the atomic commit
-        val lineageRows = scraped.groupBy(spark_partition_id().as("pid"), col("fetch_ok"))
-          .agg(count(lit(1)).as("rows"), sum(col("n_words")).as("words"))
-          .collect()
+        // ---- join all concurrent jobs, then the atomic commit
+        val nBlocked = Await.result(fBlocked, Duration.Inf)
+        val (newSeenBase, newBlooms) = Await.result(fSeen, Duration.Inf)
+        Await.result(fDocs, Duration.Inf)
+        Await.result(fVisits, Duration.Inf)
+        Await.result(fState, Duration.Inf)
+        Await.result(fFrontier, Duration.Inf)
+        seenBase = newSeenBase
+        blooms = newBlooms
         val nFetched = lineageRows.filter(_.getBoolean(1)).map(_.getLong(2)).sum
         val nFailed = lineageRows.filterNot(_.getBoolean(1)).map(_.getLong(2)).sum
-        val nBlocked = robotsBlocked.count()
         // derived, no extra jobs: admitted = allowed + blocked; deferred =
         // queued − admitted; seen grows only by the (disjoint) new entries
         val admittedCount = nFetched + nFailed + nBlocked

@@ -18,12 +18,15 @@ import graft.scrape.HtmlTok._
   *     at every block-element boundary (open or close), whitespace-collapsed.
   *     Spans with fewer than `minWords` words are dropped
   *     (word_count_threshold semantics).
-  *  3. `<img>` flushes the text buffer, then emits a media span at the current
-  *     position if its score ≥ `imageScoreThreshold`:
-  *     +2 width or height ≥ 150, +1 non-empty alt, +1 known raster/vector
-  *     extension, +1 srcset, +1 inside `<picture>` (reference scoring shape,
-  *     content_scraping_strategy.py:420-566). `data:` URIs are blanked
-  *     (media_ref = "") but keep their position. Span text = alt.
+  *  3. `<img>` flushes the text buffer, then emits a media span at the
+  *     current position if it survives the icon-context rejection (parent
+  *     button/input; button/icon/logo in parent class, src, or alt) AND its
+  *     score STRICTLY exceeds `imageScoreThreshold`: +1 width>150, +1
+  *     height>150, +1 non-empty alt, +1 early position (index/total < 0.5),
+  *     +1 raster-format mention in any source, +1 srcset/data-srcset, +1
+  *     inside `<picture>` (reference scoring, content_scraping_strategy.py:
+  *     420-566). `data:` URIs are blanked (media_ref = "") but keep their
+  *     position. Span text = alt.
   *  4. `<video>/<audio>` emit one media span from their first `src` (inline or
   *     first nested `<source>`).
   *  5. `<tr>` rows flush as one text span with cells joined by " | "
@@ -48,25 +51,48 @@ object Scrape {
     "h1", "h2", "h3", "h4", "h5", "h6", "p", "li", "ul", "ol",
     "table", "thead", "tbody", "tr", "caption", "nav", "blockquote",
     "pre", "header", "footer", "figure", "figcaption", "form", "br", "hr")
-  private val knownImgExt = Set("jpg", "jpeg", "png", "gif", "webp", "svg", "avif", "bmp")
+  // reference constants (content_scraping_strategy.py:446-448)
+  private val imageFormats = Seq("jpg", "jpeg", "png", "webp", "avif", "gif")
+  private val iconContextWords = Seq("button", "icon", "logo")
+  private val iconParentTags = Set("button", "input")
 
   def wordCount(s: String): Int = s.split("\\s+").count(_.nonEmpty)
 
-  def imageScore(attrs: Map[String, String], inPicture: Boolean): Int = {
+  /** Icon-context rejection (content_scraping_strategy.py:463-470): an image
+    * is dropped outright when its parent is a button/input, when the parent's
+    * class — or its own src or alt — mentions button/icon/logo, or when its
+    * own style hides it.
+    */
+  def imageRejected(attrs: Map[String, String], parentTag: String,
+                    parentClass: String): Boolean = {
+    val src = attrs.getOrElse("src", "")
+    val alt = attrs.getOrElse("alt", "")
+    attrs.get("style").exists(_.replaceAll("\\s", "").toLowerCase.contains("display:none")) ||
+      iconParentTags.contains(parentTag) ||
+      iconContextWords.exists(parentClass.contains) ||
+      iconContextWords.exists(src.contains) ||
+      iconContextWords.exists(alt.contains)
+  }
+
+  /** Usefulness score (content_scraping_strategy.py:473-509): +1 width>150,
+    * +1 height>150, +1 non-empty alt, +1 early position (index/total < 0.5),
+    * +1 any source (src/data-src/srcset/data-srcset) mentioning a raster
+    * format, +1 srcset/data-srcset present, +1 inside `<picture>`. Emission
+    * requires score STRICTLY greater than the threshold (:522).
+    */
+  def imageScore(attrs: Map[String, String], inPicture: Boolean,
+                 index: Int, totalImages: Int): Int = {
     var score = 0
     def dim(a: String): Int =
       attrs.get(a).flatMap(v => scala.util.Try(v.trim.toInt).toOption).getOrElse(0)
-    if (dim("width") >= 150 || dim("height") >= 150) score += 2
+    if (dim("width") > 150) score += 1
+    if (dim("height") > 150) score += 1
     if (attrs.get("alt").exists(_.nonEmpty)) score += 1
-    val src = attrs.getOrElse("src", "")
-    val ext = {
-      val q = src.indexOf('?')
-      val clean = if (q >= 0) src.substring(0, q) else src
-      val dot = clean.lastIndexOf('.')
-      if (dot >= 0) clean.substring(dot + 1).toLowerCase else ""
-    }
-    if (knownImgExt.contains(ext)) score += 1
-    if (attrs.contains("srcset")) score += 1
+    if (totalImages > 0 && index.toDouble / totalImages < 0.5) score += 1
+    val sources = Seq("src", "data-src", "srcset", "data-srcset")
+      .flatMap(attrs.get).map(_.toLowerCase)
+    if (sources.exists(s => imageFormats.exists(s.contains))) score += 1
+    if (attrs.contains("srcset") || attrs.contains("data-srcset")) score += 1
     if (inPicture) score += 1
     score
   }
@@ -80,8 +106,9 @@ object Scrape {
     val title = new StringBuilder
     var nWords = 0
 
-    // element stack: (tag, skipped) — skipped covers excluded tags + display:none
-    var stack = List.empty[(String, Boolean)]
+    // element stack: (tag, skipped, classAttr) — skipped covers excluded
+    // tags + display:none; classAttr feeds the icon-context image rejection
+    var stack = List.empty[(String, Boolean, String)]
     def skipping: Boolean = stack.exists(_._2)
     def inside(tag: String): Boolean = stack.exists(_._1 == tag)
 
@@ -90,6 +117,11 @@ object Scrape {
     var mediaSrcPending: String = null // inside <video>/<audio> awaiting <source>
     var inTr = false
     var rowHadCell = false
+    // image position scoring needs (index, total): total from a cheap
+    // pre-pass; index counts EVERY <img> open (including rejected/hidden —
+    // reference indexes the full select('img') list)
+    val totalImages = { var c = 0; var i = html.indexOf("<img"); while (i >= 0) { c += 1; i = html.indexOf("<img", i + 4) }; c }
+    var imgIndex = 0
 
     def flushText(): Unit = {
       val text = HtmlTok.normSpace(buf.toString)
@@ -139,10 +171,14 @@ object Scrape {
             if (rowHadCell) buf ++= " | "
             rowHadCell = true
           }
+          val thisImgIndex = if (tag == "img") { val x = imgIndex; imgIndex += 1; x } else -1
           if (!skipped) tag match {
             case "img" =>
-              val score = imageScore(attrs, inside("picture"))
-              if (score >= cfg.imageScoreThreshold)
+              val parentTag = stack.headOption.map(_._1).getOrElse("")
+              val parentClass = stack.headOption.map(_._3).getOrElse("")
+              val score = imageScore(attrs, inside("picture"), thisImgIndex, totalImages)
+              if (!imageRejected(attrs, parentTag, parentClass) &&
+                  score > cfg.imageScoreThreshold)
                 emitMedia(attrs.getOrElse("src", ""), attrs.getOrElse("alt", ""))
             case "video" | "audio" =>
               if (attrs.contains("src")) emitMedia(attrs("src"), attrs.getOrElse("alt", ""))
@@ -159,7 +195,7 @@ object Scrape {
               } else if (attrs.contains("href")) addLink(attrs("href"), "")
             case _ =>
           }
-          if (!selfClosing) stack = (tag, skipThis) :: stack
+          if (!selfClosing) stack = (tag, skipThis, attrs.getOrElse("class", "")) :: stack
 
         case Close(tag) =>
           // tolerant pop: drop frames up to and including the matching tag

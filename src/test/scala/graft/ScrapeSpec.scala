@@ -65,11 +65,22 @@ class ScrapeSpec extends AnyFunSuite {
     assert(doc.spans == Seq(Span("text", "visible", "", 0)))
   }
 
-  test("image scoring thresholds") {
-    // icon: no dims, no alt, known ext → score 1 → dropped at default threshold 2
-    val html = """<html><body><img src="/i.png" width="16"><img src="/big.jpg" width="200"><p>t</p></body></html>"""
+  test("image scoring: early-position bonus, strict threshold, icon-context rejection") {
+    // first of two: width 200 (+1) + format (+1) + early position (+1) = 3 > 2 → kept
+    // second of two: width 200 (+1) + format (+1) = 2, NOT > 2 → dropped
+    // (position alone decides — the reference's index/total < 0.5 rule)
+    val html = """<html><body><img src="/big.jpg" width="200"><img src="/late.jpg" width="200"><p>t</p></body></html>"""
     val doc = Scrape.scrape("http://x.com/a", html)
     assert(doc.spans == Seq(Span("media", "", "http://x.com/big.jpg", 0), Span("text", "t", "", 1)))
+
+    // icon-context rejection: src mentioning icon/logo/button is dropped even
+    // with a high score; a button parent likewise
+    val html2 = """<html><body><img src="/icons/a.jpg" width="300" alt="x">""" +
+      """<button><img src="/b.jpg" width="300" alt="y"></button>""" +
+      """<div class="logo-row"><img src="/c.jpg" width="300" alt="z"></div>""" +
+      """<img src="/keep.jpg" width="300" alt="k"><p>t</p></body></html>"""
+    val doc2 = Scrape.scrape("http://x.com/a", html2)
+    assert(doc2.spans == Seq(Span("media", "k", "http://x.com/keep.jpg", 0), Span("text", "t", "", 1)))
   }
 
   test("data: URI media keeps position with blanked ref") {
