@@ -39,17 +39,19 @@ object Bm25 {
     val tf = termFreqs(df, idCol, textCol)
     val lens = df.select(col(idCol).as("doc_id"),
       size(TextAnalysis.tokens(col(textCol))).cast("double").as("dl"))
-    val n = df.count()
-    val avgdl = lens.agg(avg("dl")).head().getDouble(0)
+    // corpus scalars (N, avgdl) stay IN the plan as a broadcast 1-row
+    // aggregate — no driver-side collect serializing the job chain
+    val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
     val qTerms = query.map(_.toLowerCase).distinct.toDF("term")
     val dfs = docFreqs(tf).join(broadcast(qTerms), Seq("term"))
-    val idf = dfs.withColumn("idf",
-      log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
-    tf.join(broadcast(idf.select("term", "idf")), Seq("term"))
+    val idf = dfs.crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+    tf.join(broadcast(idf.select("term", "idf", "avgdl")), Seq("term"))
       .join(lens, Seq("doc_id"))
       .withColumn("contrib",
         col("idf") * col("tf") * (k1 + 1.0) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl)))
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy("doc_id").agg(sum("contrib").as("score"))
   }
 }
