@@ -50,6 +50,16 @@ final class Graft(val spark: SparkSession) {
   def extractCss(html: String, schema: CssExtract.Schema): String =
     CssExtract.toJson(CssExtract.extract(html, schema))
 
+  /** Schema-driven XPath extraction → JSON string (JsonXPathExtractionStrategy). */
+  def extractXPath(html: String, schema: CssExtract.Schema): String =
+    graft.scrape.XPathExtract.toJson(graft.scrape.XPathExtract.extract(html, schema))
+
+  /** Semantic-cluster extraction over a page's text sections (CosineStrategy). */
+  def extractClusters(sections: Seq[String],
+                      cfg: graft.scrape.CosineExtract.Config = graft.scrape.CosineExtract.Config())
+      : Seq[graft.scrape.CosineExtract.Cluster] =
+    graft.scrape.CosineExtract.extract(sections, cfg)
+
   /** Structural data tables of a document. */
   def extractTables(html: String): Seq[Tables.TableData] = Tables.extract(html)
 

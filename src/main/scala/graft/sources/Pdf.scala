@@ -9,11 +9,15 @@ import org.apache.spark.sql.functions._
   * processor.py:57-430): one input binary → N page rows with text, image
   * counts, and links.
   *
-  * THE PDF CODEC IS A STUB (this container ships no PDF library): page
-  * content derives deterministically from the byte content. The Spark
-  * plumbing is the real shape and is tested: `binaryFile`-schema input
-  * (path, length, content), per-partition batched decode, page explosion,
-  * and the downstream span-document projection.
+  * REAL bytes go through [[PdfParse]] — a from-scratch parser for the
+  * classic text-PDF subset (raw//FlateDecode streams, BT…ET text operators,
+  * page tree, /Annots URIs, image XObjects; the JDK's Inflater is the only
+  * codec needed). Inputs the parser cannot resolve (not a PDF, encrypted,
+  * exotic filters) fall back to the deterministic STUB kernel below, which
+  * synthesizes page features from the byte content — so the Spark plumbing
+  * (`binaryFile` schema, per-partition batched decode, page explosion,
+  * span-doc projection) always has rows to carry and the benchmark corpus
+  * needs no real files.
   */
 object Pdf {
 
@@ -53,12 +57,21 @@ object Pdf {
     }
   }
 
+  /** Real parse with stub fallback: one binary in, its page rows out. */
+  def extractPages(doc: PdfBinary): Seq[PdfPage] =
+    PdfParse.parse(doc.content) match {
+      case Some(ps) => ps.zipWithIndex.map { case (p, i) =>
+        PdfPage(doc.path, i, p.text, p.nImages, p.links)
+      }
+      case None => extractPagesStub(doc)
+    }
+
   /** Binary docs → page rows; decode batched per partition (one kernel init
     * per task), pages exploded downstream of the kernel.
     */
   def pages(docs: Dataset[PdfBinary]): Dataset[PdfPage] = {
     import docs.sparkSession.implicits._
-    docs.mapPartitions { it => it.flatMap(extractPagesStub) }
+    docs.mapPartitions { it => it.flatMap(extractPages) }
   }
 
   /** Page rows → the engine's span-document shape (text span per page, media

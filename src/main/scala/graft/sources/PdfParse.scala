@@ -1,0 +1,218 @@
+package graft.sources
+
+/** Minimal REAL PDF parser for the classic text-PDF subset — replaces the
+  * round-1 stub for actual PDF bytes (the reference extracts text, images,
+  * and links per page with pypdf, processors/pdf/processor.py:57-430).
+  *
+  * Supported subset (everything a simple text PDF produced by common
+  * generators uses):
+  *  - object scanning without xref (sequential `N 0 obj … endobj`);
+  *  - streams raw or /FlateDecode (java.util.zip.Inflater — in the JDK);
+  *  - page tree via /Root → /Pages → /Kids (document order fallback);
+  *  - text from BT…ET blocks: `(…) Tj`, quote, `[…] TJ` with literal-string
+  *    escapes (backslash, parens, n/r/t, octal) and hex strings; the Td, TD,
+  *    T-star, and quote operators start a new line;
+  *  - per-page image counts via /Resources /XObject → /Subtype /Image;
+  *  - links via /Annots → /URI.
+  *
+  * Out of scope (returns what it can, never throws): CID/Type0 composite
+  * fonts, encrypted files, object streams (/ObjStm), non-Flate filters —
+  * those fall back to the deterministic stub kernel in [[Pdf]].
+  */
+object PdfParse {
+
+  final case class Obj(num: Int, dict: String, stream: Option[Array[Byte]])
+  final case class Page(text: String, nImages: Int, links: Seq[String])
+
+  private def latin(bytes: Array[Byte], from: Int, until: Int): String =
+    new String(bytes, from, until - from, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** Scan all `N G obj … endobj` objects; stream payloads delimited by the
+    * stream/endstream keywords (no xref needed). */
+  def scanObjects(bytes: Array[Byte]): Map[Int, Obj] = {
+    val s = latin(bytes, 0, bytes.length)
+    val p = java.util.regex.Pattern.compile("""(\d+)\s+\d+\s+obj\b""")
+    val m = p.matcher(s)
+    val out = scala.collection.mutable.Map.empty[Int, Obj]
+    var from = 0
+    var going = true
+    while (going && from < s.length && m.find(from)) {
+      val num = m.group(1).toInt
+      val bodyStart = m.end
+      val streamKw = s.indexOf("stream", bodyStart)
+      val endObj0 = s.indexOf("endobj", bodyStart)
+      if (endObj0 < 0) going = false
+      else if (streamKw >= 0 && streamKw < endObj0) {
+        val dict = s.substring(bodyStart, streamKw)
+        // data begins after "stream" + EOL
+        var dataStart = streamKw + "stream".length
+        if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
+        if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
+        val endStream = s.indexOf("endstream", dataStart)
+        val dataEnd = if (endStream < 0) dataStart else endStream
+        out(num) = Obj(num, dict,
+          Some(java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)))
+        val endObj = s.indexOf("endobj", dataEnd)
+        from = if (endObj < 0) s.length else endObj + "endobj".length
+      } else {
+        out(num) = Obj(num, s.substring(bodyStart, endObj0), None)
+        from = endObj0 + "endobj".length
+      }
+    }
+    out.toMap
+  }
+
+  def inflate(data: Array[Byte]): Option[Array[Byte]] = {
+    try {
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(data.length * 4)
+      val buf = new Array[Byte](8192)
+      while (!inf.finished() && !inf.needsInput()) {
+        val n = inf.inflate(buf)
+        if (n > 0) out.write(buf, 0, n)
+        else if (n == 0 && inf.needsDictionary()) return None
+      }
+      inf.end()
+      Some(out.toByteArray)
+    } catch { case _: Exception => None }
+  }
+
+  private def decodedStream(o: Obj): Option[Array[Byte]] = o.stream.flatMap { raw =>
+    if (o.dict.contains("FlateDecode")) inflate(raw)
+    else if (o.dict.contains("/Filter")) None // unsupported filter
+    else Some(raw)
+  }
+
+  private val refRe = """(\d+)\s+\d+\s+R""".r
+
+  private def refsIn(s: String): Seq[Int] =
+    refRe.findAllMatchIn(s).map(_.group(1).toInt).toSeq
+
+  private def dictValue(dict: String, key: String): Option[String] = {
+    val i = dict.indexOf(key)
+    if (i < 0) None else Some(dict.substring(i + key.length))
+  }
+
+  /** Text of one content stream: literal/hex strings inside BT…ET, with
+    * line breaks at the Td, TD, T-star, and quote operators. */
+  def textOf(content: Array[Byte]): String = {
+    val s = latin(content, 0, content.length)
+    val sb = new StringBuilder
+    var i = 0
+    var inText = false
+    var lastShowStart = -1 // sb offset where the most recent string began
+    def prevOpIs(j: Int, op: String): Boolean = s.regionMatches(j, op, 0, op.length)
+    while (i < s.length) {
+      if (!inText) {
+        val bt = s.indexOf("BT", i)
+        if (bt < 0) i = s.length
+        else { inText = true; i = bt + 2 }
+      } else s.charAt(i) match {
+        case '(' => // literal string
+          lastShowStart = sb.length
+          i += 1
+          var depth = 1
+          while (i < s.length && depth > 0) {
+            s.charAt(i) match {
+              case '\\' if i + 1 < s.length =>
+                s.charAt(i + 1) match {
+                  case 'n' => sb += '\n'; i += 2
+                  case 'r' => sb += '\r'; i += 2
+                  case 't' => sb += '\t'; i += 2
+                  case 'b' => sb += '\b'; i += 2
+                  case 'f' => sb += '\f'; i += 2
+                  case '(' => sb += '('; i += 2
+                  case ')' => sb += ')'; i += 2
+                  case '\\' => sb += '\\'; i += 2
+                  case d if d >= '0' && d <= '7' =>
+                    var code = 0; var k = 0
+                    i += 1
+                    while (k < 3 && i < s.length && s.charAt(i) >= '0' && s.charAt(i) <= '7') {
+                      code = code * 8 + (s.charAt(i) - '0'); i += 1; k += 1
+                    }
+                    sb += code.toChar
+                  case _ => i += 1 // line continuation etc.
+                }
+              case '(' => depth += 1; sb += '('; i += 1
+              case ')' =>
+                depth -= 1
+                if (depth > 0) sb += ')'
+                i += 1
+              case c => sb += c; i += 1
+            }
+          }
+        case '<' if i + 1 < s.length && s.charAt(i + 1) != '<' => // hex string
+          lastShowStart = sb.length
+          val close = s.indexOf('>', i)
+          if (close < 0) i = s.length
+          else {
+            val hex = s.substring(i + 1, close).filterNot(_.isWhitespace)
+            val padded = if (hex.length % 2 == 1) hex + "0" else hex
+            padded.grouped(2).foreach { h =>
+              try sb += Integer.parseInt(h, 16).toChar catch { case _: Exception => }
+            }
+            i = close + 1
+          }
+        case 'E' if prevOpIs(i, "ET") => inText = false; i += 2
+        case 'T' if prevOpIs(i, "T*") || prevOpIs(i, "Td") || prevOpIs(i, "TD") =>
+          if (sb.nonEmpty && sb.last != '\n') sb += '\n'
+          i += 2
+        case '\'' =>
+          // quote = T* + Tj with the string BEFORE the operator: the line
+          // break belongs in front of the just-shown string
+          if (lastShowStart > 0 && lastShowStart <= sb.length &&
+              sb.charAt(lastShowStart - 1) != '\n')
+            sb.insert(lastShowStart, '\n')
+          i += 1
+        case _ => i += 1
+      }
+    }
+    sb.toString.linesIterator.map(_.trim).filter(_.nonEmpty).mkString("\n")
+  }
+
+  /** Parse a full document. None when the bytes are not a PDF or the page
+    * tree cannot be resolved. */
+  def parse(bytes: Array[Byte]): Option[Seq[Page]] = {
+    if (bytes.length < 5 || latin(bytes, 0, 5) != "%PDF-") return None
+    val objs =
+      try scanObjects(bytes)
+      catch { case _: Exception => return None }
+    if (objs.isEmpty) return None
+
+    def isPage(o: Obj) =
+      (o.dict.contains("/Type /Page") || o.dict.contains("/Type/Page")) &&
+        !o.dict.contains("/Type /Pages") && !o.dict.contains("/Type/Pages")
+
+    // page order: /Pages → /Kids when present, else document order
+    val pagesObj = objs.values.find(o =>
+      o.dict.contains("/Type /Pages") || o.dict.contains("/Type/Pages"))
+    val kidOrder = pagesObj.flatMap(o => dictValue(o.dict, "/Kids")).map(refsIn)
+      .getOrElse(Seq.empty)
+    val pageObjs0 = objs.values.filter(isPage).toSeq.sortBy(_.num)
+    val pageObjs =
+      if (kidOrder.nonEmpty) kidOrder.flatMap(objs.get).filter(isPage)
+      else pageObjs0
+    if (pageObjs.isEmpty) return None
+
+    val pages = pageObjs.map { p =>
+      val contentRefs = dictValue(p.dict, "/Contents").map(v => refsIn(v.take(200)))
+        .getOrElse(Seq.empty)
+      val text = contentRefs.flatMap(objs.get).flatMap(decodedStream)
+        .map(textOf).filter(_.nonEmpty).mkString("\n")
+      // image count: /Resources /XObject refs that are /Subtype /Image
+      val xobjRefs = dictValue(p.dict, "/XObject").map(v => refsIn(v.take(400)))
+        .getOrElse(Seq.empty)
+      val nImages = xobjRefs.flatMap(objs.get).count(o =>
+        o.dict.contains("/Subtype /Image") || o.dict.contains("/Subtype/Image"))
+      // links: /Annots → /URI ( … )
+      val annotRefs = dictValue(p.dict, "/Annots").map(v => refsIn(v.take(400)))
+        .getOrElse(Seq.empty)
+      val uriRe = """/URI\s*\(([^)]*)\)""".r
+      val links = annotRefs.flatMap(objs.get).flatMap(o =>
+        uriRe.findAllMatchIn(o.dict).map(_.group(1)).toSeq)
+      Page(text, nImages, links)
+    }
+    Some(pages)
+  }
+}

@@ -95,6 +95,18 @@ class PropertySpec extends AnyFunSuite {
     val exact = candidates.join(seen, Seq("url_hash"), "left_anti")
       .as[Long].collect().toSet
     assert(viaBloom == exact)
+    // MULTI-bloom vector (the epoch-loop hot path: one delta bloom per
+    // epoch) is equivalent too, regardless of how the set splits into deltas
+    val delta1 = (0L until 700L).toDF("url_hash")
+    val delta2 = (700L until 1600L).toDF("url_hash")
+    val delta3 = (1600L until 2000L).toDF("url_hash")
+    val blooms = Seq(
+      BloomSeen.build(delta1, "url_hash", 700, 0.03),
+      BloomSeen.build(delta2, "url_hash", 900, 0.03),
+      BloomSeen.build(delta3, "url_hash", 400, 0.03))
+    val viaVector = BloomSeen.antiJoin(spark, candidates, seen, "url_hash", blooms)
+      .as[Long].collect().toSet
+    assert(viaVector == exact)
   }
 
   test("path-encoded discovery order sorts parents before children (DFS preorder)") {
