@@ -142,6 +142,46 @@ object AdaptiveEmbedding {
     } else false
   }
 
+  /** One fetched page for [[digest]]: extracted text + outlinks with anchor
+    * text (what the link embedding scores against). */
+  final case class PageData(text: String, links: Seq[(String, String)])
+
+  /** `AdaptiveCrawler.digest` parity (adaptive_crawler.py:1266-1412): start
+    * from a URL, rank pending links by gap reduction, crawl the top batch
+    * through `fetch`, update the KB, repeat until [[shouldStop]]. Sequential
+    * driver loop like the reference; at corpus scale the same per-epoch
+    * steps run through `Crawl.run` with rank-ordered admission.
+    */
+  def digest(startUrl: String, query: String,
+             fetch: String => Option[PageData],
+             variations: Seq[String] = Nil,
+             cfg: Config = Config(),
+             batchSize: Int = 3, maxIters: Int = 100): State = {
+    val vars = if (variations.nonEmpty) variations else expandQuery(query)
+    val state = mapQuerySemanticSpace(query, vars, cfg.dim)
+    var pending = Map(startUrl -> startUrl) // url → anchor/context text
+    var iters = 0
+    var stopped = false
+    while (!stopped && iters < maxIters && pending.nonEmpty) {
+      val gaps = coverageGaps(state.kb, state.queryEmb)
+      val ranked = selectLinks(pending.toSeq.sortBy(_._1), gaps, state.kb, cfg)
+      val batch =
+        (if (ranked.isEmpty || ranked.forall(_._2 == 0.0)) pending.keys.toSeq.sorted
+         else ranked.map(_._1)).take(batchSize)
+      val docs = batch.flatMap(u => fetch(u).map(u -> _))
+      updateState(state, docs.map { case (u, p) => (u, p.text) }, cfg)
+      state.crawled ++= batch // un-fetchable URLs must not re-enter the queue
+      pending = (pending -- batch) ++
+        docs.flatMap(_._2.links).filterNot { case (u, _) => state.crawled(u) }
+      state.confidenceHistory :+= confidence(state)
+      stopped = shouldStop(state, pending.size, cfg)
+      iters += 1
+    }
+    if (!stopped && state.stoppedReason.isEmpty)
+      state.stoppedReason = Some(if (pending.isEmpty) "exhausted" else "max_iters")
+    state
+  }
+
   /** Add new documents to the KB, skipping near-duplicates (max cosine to the
     * existing KB ≥ kbSimThreshold). Returns the number actually added. */
   def updateState(state: State, newDocs: Seq[(String, String)], cfg: Config): Int = {

@@ -244,6 +244,37 @@ class CrawlSpec extends AnyFunSuite {
     assert(seenHashes(full).size == oracleSeen.size)
   }
 
+  test("crash consistency: uncommitted partial writes are invisible on resume") {
+    val cfg = CrawlConfig(strategy = "bfs", hostBudget = 3, maxEpochs = 40)
+    val full = freshDir("crash-full")
+    Crawl.run(spark, seedsDF, pagesDF, robotsDF, full, cfg)
+
+    val partial = freshDir("crash-part")
+    Crawl.run(spark, seedsDF, pagesDF, robotsDF, partial, cfg.copy(maxEpochs = 3))
+    // simulate a crash AFTER some epoch-4 data landed but BEFORE its
+    // manifest committed: garbage state below the commit point
+    val last = Crawl.lastCommittedEpoch(partial)
+    val nextSeen = java.nio.file.Paths.get(f"$partial/seen/epoch=${last + 1}%04d")
+    Files.createDirectories(nextSeen)
+    Seq(999999999L).toDF("url_hash").write.mode("overwrite").parquet(nextSeen.toString)
+    val nextVisits = java.nio.file.Paths.get(f"$partial/visits/epoch=${last + 1}%04d")
+    Files.createDirectories(nextVisits)
+    Files.writeString(nextVisits.resolve("garbage.txt"), "not parquet")
+    Files.writeString(java.nio.file.Paths.get(
+      f"$partial/bloom_${last + 1}%04d.bin"), "junk")
+
+    // resume: commit-then-advance means the orphaned writes are overwritten,
+    // never read — final state identical to the uninterrupted run
+    Crawl.run(spark, seedsDF, pagesDF, robotsDF, partial, cfg)
+    def seenHashes(d: String): Set[Long] =
+      Crawl.seenSet(spark, d).as[Long].collect().toSet
+    assert(seenHashes(partial) == seenHashes(full))
+    assert(!seenHashes(partial).contains(999999999L))
+    def vs(d: String) = Crawl.visits(spark, d).select("epoch", "visit_rank", "url")
+      .orderBy("epoch", "visit_rank").collect().map(r => (r.getInt(0), r.getString(2))).toSeq
+    assert(vs(partial) == vs(full))
+  }
+
   test("domain state: idle hosts carry delay/fail_count forward (no resurrection)") {
     import graft.politeness.DomainState
     val states = Seq(

@@ -370,6 +370,26 @@ class OpsSpec extends AnyFunSuite {
       s"gap-filling link should win: $rankedAB gaps=${gapsAB.map(_._2)}")
   }
 
+  test("adaptive embedding: digest() drives the reference loop shape to a stop") {
+    import graft.core.Synth
+    import graft.ops.{AdaptiveEmbedding => AE}
+    val site = Synth.SiteCfg(seed = 42L, nHosts = 1, cats = 2, subs = 2, prods = 2)
+    val pages = (0L until Synth.pageCount(site)).map(Synth.pageAt(site, _))
+    val pageMap = pages.map(p => p.url -> p).toMap
+    def fetch(u: String): Option[AE.PageData] = pageMap.get(u).map { p =>
+      AE.PageData(
+        p.expectedSpans.filter(_.kind == "text").map(_.text).mkString(" "),
+        p.expectedLinks.filter(_.internal).map(l => (l.href, l.text)))
+    }
+    val query = "lorem ipsum dolor sit amet consectetur adipiscing elit sed tempor"
+    val state = AE.digest(pages.head.url, query, fetch,
+      cfg = AE.Config(maxPages = 10))
+    assert(state.stoppedReason.isDefined)
+    assert(state.crawled.nonEmpty && state.crawled.size <= 13) // budget + one batch
+    assert(state.kb.nonEmpty)
+    assert(state.confidenceHistory.last > 0.1)
+  }
+
   test("adaptive embedding: e2e crawl of the synthetic site to a confidence stop") {
     import graft.core.Synth
     import graft.ops.{AdaptiveEmbedding => AE}

@@ -80,4 +80,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
+
+  test("cosine pre-filter: one shuffle-free typed-map stage over a pruned scan") {
+    val p = plan(SparkEntry.queries("q_cosine_filter")(spark, sf))
+    assert(!p.contains("Exchange"), p)
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"), readSchema)
+    assert(!readSchema.contains("lang") && !readSchema.contains("n_chars"), readSchema)
+  }
+
+  test("xpath extraction: shuffle-free map, scan pruned to the consumed columns") {
+    val p = plan(SparkEntry.queries("q_xpath_extract")(spark, sf))
+    assert(!p.contains("Exchange"), p)
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("c_custkey") && readSchema.contains("c_mktsegment"), readSchema)
+    // untouched wide columns must not be read
+    assert(!readSchema.contains("c_address") && !readSchema.contains("c_comment"), readSchema)
+  }
 }
