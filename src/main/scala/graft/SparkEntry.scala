@@ -359,6 +359,17 @@ object SparkEntry {
         .toDF("url", "title")
     }),
 
+    // ---- media-variant extraction (process_image output shape) ------------
+    "crawl_media_variants" -> ((s, _) => {
+      import s.implicits._
+      synthPages(s).select("url", "html").as[(String, String)]
+        .flatMap { case (url, html) =>
+          graft.scrape.MediaExtract.extract(html).map(v =>
+            (url, v.group_id, v.src, v.width, v.alt, v.format, v.score))
+        }
+        .toDF("url", "group_id", "src", "width", "alt", "format", "score")
+    }),
+
     // link intrinsic scoring (pure column arithmetic; SQL-mirrorable)
     "q_link_score" -> ((s, dir) => {
       val links = table(s, dir, "part").select(
@@ -456,6 +467,7 @@ object SparkEntry {
     "crawl_tables" -> graft.oracle.Fixtures.sql("crawl_tables"),
     "crawl_metadata" -> graft.oracle.Fixtures.sql("crawl_metadata"),
     "crawl_markdown" -> graft.oracle.Fixtures.sql("crawl_markdown"),
+    "crawl_media_variants" -> graft.oracle.Fixtures.sql("crawl_media_variants"),
     "q_minhash_lsh" -> graft.oracle.Fixtures.sql("q_minhash_lsh"),
     "q_simhash_pairs" -> graft.oracle.Fixtures.sql("q_simhash_pairs"),
     "q_embedding_neardup" -> graft.oracle.Fixtures.sql("q_embedding_neardup"),

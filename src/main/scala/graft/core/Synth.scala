@@ -254,7 +254,7 @@ object Synth {
         b.mediaSpan(s"Product $p hero", s"/img/c${c}s${s}p$p-hero.jpg")
         hb ++= s"""<p>${lorem(seed, 50, 8)}</p>\n"""
         b.textSpan(lorem(seed, 50, 8))
-        hb ++= s"""<img src="/img/c${c}s${s}p$p-alt.png" srcset="/img/p$p-1x.png 1x, /img/p$p-2x.png 2x" width="200" alt="">\n"""
+        hb ++= s"""<img src="/img/c${c}s${s}p$p-alt.png" srcset="/img/p$p-480.png 480w, /img/p$p-960.png 960w" width="200" alt="">\n"""
         b.mediaSpan("", s"/img/c${c}s${s}p$p-alt.png")
         hb ++= """<img src="/icons/cart.png" width="16" height="16">""" ++= "\n"
         hb ++= s"""<img src="data:image/png;base64,iVBORw0KGgo=" alt="inline badge" width="200">\n"""

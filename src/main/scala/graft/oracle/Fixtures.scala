@@ -58,6 +58,25 @@ object Fixtures {
     write("crawl_metadata",
       pages.map(p => (p.url, p.title)).toDF("url", "title"))
 
+    // media variants from generator intent: per Prod page, hero (1 variant)
+    // + srcset image (src + two w-descriptor variants); the icon-context,
+    // hidden, and data-URI-only images yield no variant rows
+    write("crawl_media_variants", (for {
+      h <- 0 until site.nHosts
+      c <- 0 until site.cats
+      s <- 0 until site.subs
+      p <- 0 until site.prods
+      row <- {
+        val url = Synth.urlOf(site, h, Synth.Prod(c, s, p))
+        Seq(
+          (url, 0, s"/img/c${c}s${s}p$p-hero.jpg", Option.empty[Int],
+            s"Product $p hero", "jpg", 4),
+          (url, 1, s"/img/c${c}s${s}p$p-alt.png", Option.empty[Int], "", "png", 4),
+          (url, 1, s"/img/p$p-480.png", Some(480), "", "png", 4),
+          (url, 1, s"/img/p$p-960.png", Some(960), "", "png", 4))
+      }
+    } yield row).toDF("url", "group_id", "src", "width", "alt", "format", "score"))
+
     // ---- reference-derived markdown goldens --------------------------------
     // raw_markdown comes from the REFERENCE converter's emission (captured in
     // markdown_goldens.json); the citation columns are derived sequentially

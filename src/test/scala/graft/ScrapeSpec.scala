@@ -83,6 +83,35 @@ class ScrapeSpec extends AnyFunSuite {
     assert(doc2.spans == Seq(Span("media", "k", "http://x.com/keep.jpg", 0), Span("text", "t", "", 1)))
   }
 
+  test("media variants: srcset widths, picture sources, dedup, desc, data-URI drop") {
+    import graft.scrape.MediaExtract
+    val html =
+      """<html><body><div class="gallery"><p>Product gallery with plenty words</p>
+        |<picture><source srcset="/pic/a-800.webp 800w"><img src="/pic/a.jpg" alt="A" width="300"
+        |  srcset="/pic/a-400.jpg 400w, /pic/a-2x.jpg 2x" data-src="/pic/a-lazy.jpg"
+        |  data-lazy-src="http://cdn.x.com/a.jpg"></picture>
+        |<img src="data:image/png;base64,AA==" alt="badge" width="200">
+        |</div></body></html>""".stripMargin
+    val vs = MediaExtract.extract(html)
+    // image 0: src, data-src, one w-descriptor srcset entry (2x → no width),
+    // picture source, framework attr — deduped, ordered
+    val g0 = vs.filter(_.group_id == 0)
+    assert(g0.map(v => (v.src, v.width)) == Seq(
+      ("/pic/a.jpg", None), ("/pic/a-lazy.jpg", None),
+      ("/pic/a-400.jpg", Some(400)), ("/pic/a-2x.jpg", None),
+      ("/pic/a-800.webp", Some(800)), ("http://cdn.x.com/a.jpg", None)))
+    assert(g0.forall(_.alt == "A"))
+    assert(g0.forall(_.format == "jpg"))
+    // +1 width>150, +1 alt, +1 early, +1 format, +1 srcset, +1 picture = 6
+    assert(g0.forall(_.score == 6))
+    assert(g0.head.desc.contains("Product gallery"))
+    // image 1: only a data: source → NO variant rows (reference returns None)
+    assert(!vs.exists(_.group_id == 1))
+    // parse_srcset quirks pinned directly
+    assert(MediaExtract.parseSrcset("/a.png 480w, /b.png 2x, /c.png") ==
+      Seq(("/a.png", Some(480)), ("/b.png", None), ("/c.png", None)))
+  }
+
   test("data: URI media keeps position with blanked ref") {
     val html = """<html><body><p>before</p><img src="data:image/png;base64,AA==" alt="badge" width="200"><p>after</p></body></html>"""
     val doc = Scrape.scrape("http://x.com/a", html)
