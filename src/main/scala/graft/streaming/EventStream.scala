@@ -64,6 +64,20 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup of an incoming document stream: the FIRST
+    * occurrence of each content hash survives; later duplicates are dropped
+    * across micro-batches with state bounded by the watermark horizon
+    * (`dropDuplicatesWithinWatermark` — duplicates arriving within
+    * `lateness` of each other are guaranteed caught, state evicted beyond
+    * it). This is `Dedup.exact`'s contract on the ingest stream: at crawl
+    * scale the continuous pipeline dedups documents as they arrive instead
+    * of re-scanning the corpus.
+    */
+  def streamingDedup(docs: DataFrame, hashCol: String = "content_hash",
+                     tsCol: String = "ts", lateness: String = "1 hour"): DataFrame =
+    docs.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(hashCol)
+
   /** Batch twin of [[sessionize]] via lag-window gap detection — the
     * relational sessionization used in queries (and its DuckDB oracle).
     */

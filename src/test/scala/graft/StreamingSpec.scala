@@ -54,6 +54,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: first content hash survives across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "content_hash", "doc_id")
+    val q = EventStream.streamingDedup(docs, lateness = "30 minutes")
+      .writeStream.format("memory").queryName("dedup_docs")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts(1), 100L, "a"), (ts(2), 200L, "b"), (ts(3), 100L, "a-dup"))
+      q.processAllAvailable()
+      mem.addData((ts(4), 100L, "a-dup2"), (ts(5), 300L, "c")) // dup from an earlier batch
+      q.processAllAvailable()
+      val rows = spark.table("dedup_docs").select("content_hash", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rows == Set((100L, "a"), (200L, "b"), (300L, "c")))
+    } finally q.stop()
+  }
+
   test("batch sessionization twin: gap split and aggregates") {
     val df = Seq(
       (1L, ts(0), 1.0), (1L, ts(5), 2.0), (1L, ts(60), 4.0),
