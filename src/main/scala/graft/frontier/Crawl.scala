@@ -77,7 +77,7 @@ object Crawl {
     * interleave concurrent jobs). */
   private lazy val epochEc: scala.concurrent.ExecutionContext =
     scala.concurrent.ExecutionContext.fromExecutorService(
-      java.util.concurrent.Executors.newFixedThreadPool(6, (r: Runnable) => {
+      java.util.concurrent.Executors.newFixedThreadPool(8, (r: Runnable) => {
         val t = new Thread(r, "graft-epoch-io"); t.setDaemon(true); t
       }))
 
@@ -205,10 +205,15 @@ object Crawl {
     // compaction base: first epoch of the current delta run (deltas base..k
     // union to the full seen set; their blooms form the pre-filter vector)
     var seenBase = manifestField(runDir, epoch, "seen_base").map(_.toInt).getOrElse(0)
+    // explicit schemas for the per-epoch readbacks: skips footer-based schema
+    // inference in the planning phase of every epoch
+    val frontierSchema = org.apache.spark.sql.Encoders.product[FrontierEntry].schema
+    val seenSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("url_hash", org.apache.spark.sql.types.LongType)))
     def readSeen(upTo: Int): DataFrame = {
       val dirs = (seenBase to upTo).map(e => dir(runDir, e, "seen"))
         .filter(d => Files.isDirectory(Paths.get(d)))
-      spark.read.parquet(dirs: _*)
+      spark.read.schema(seenSchema).parquet(dirs: _*)
     }
     // per-epoch delta blooms, loaded from persisted files (rebuilt from the
     // delta dir — delta-sized, cheap — if a file is missing)
@@ -222,7 +227,7 @@ object Crawl {
     }
     while (!done && epoch < cfg.maxEpochs) {
       val t0 = System.currentTimeMillis()
-      val frontier = spark.read.parquet(dir(runDir, epoch, "frontier"))
+      val frontier = spark.read.schema(frontierSchema).parquet(dir(runDir, epoch, "frontier"))
       val seen = readSeen(epoch)
       val domainStatePath = dir(runDir, epoch, "domain_state")
       val domainState: Option[DataFrame] =
@@ -319,9 +324,11 @@ object Crawl {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
         implicit val ec: scala.concurrent.ExecutionContext = Crawl.epochEc
+        val tPlan = System.currentTimeMillis()
         val lineageRows = scraped.groupBy(spark_partition_id().as("pid"), col("fetch_ok"))
           .agg(count(lit(1)).as("rows"), sum(col("n_words")).as("words"))
           .collect()
+        val tLineage = System.currentTimeMillis()
 
         val fDocs = Future {
           scraped.where(col("fetch_ok"))
@@ -396,12 +403,16 @@ object Crawl {
             lit(epoch + 1).as("epoch"), lit(CrawlStatus.Queued).as("status"))
           .cache() // reused by frontier write, count, seen delta, delta bloom
 
-        // ---- phase B: materialize the newEntries cache with its count, then
-        // overlap the next-snapshot writes (frontier t+1 = deferred ∪ new;
-        // seen delta + bloom) — reference adds to seen on DISCOVERY,
+        // ---- phase B: the newEntries count, the frontier(t+1) write, and the
+        // seen commit all launch CONCURRENTLY (with phase A still in flight).
+        // All three consume the same cached newEntries plan; the BlockManager's
+        // per-partition cache locks serialize materialization, so the plan is
+        // computed once no matter which job wins — no duplicated expansion
+        // work at any scale. Reference adds to seen on DISCOVERY,
         // bfs_strategy.py:153.
-        val nNew = newEntries.count()
+        val tA = System.currentTimeMillis()
         val nextEpoch = epoch + 1
+        val fNew = Future { newEntries.count() }
         val fFrontier = Future {
           deferred
             .select(newEntries.columns.map(col): _*)
@@ -415,32 +426,43 @@ object Crawl {
         // Every seenCompactEvery epochs the delta run is compacted into one
         // full set + one right-sized bloom, bounding reader fan-in and the
         // bloom vector (the ONLY full-set pass, amortized 1/K per epoch).
-        val fSeen: Future[(Int, Vector[org.apache.spark.util.sketch.BloomFilter])] = Future {
-          if (nextEpoch - seenBase >= cfg.seenCompactEvery) {
-            seen.unionByName(newEntries.select("url_hash"))
-              .write.mode(SaveMode.Overwrite).parquet(dir(runDir, nextEpoch, "seen"))
-            val full = spark.read.parquet(dir(runDir, nextEpoch, "seen"))
-            val compactBloom = BloomSeen.build(full, "url_hash", seenCount + nNew, cfg.bloomFpp)
-            BloomSeen.save(compactBloom, bloomPath(runDir, nextEpoch))
-            (nextEpoch, Vector(compactBloom))
-          } else {
-            newEntries.select("url_hash")
-              .write.mode(SaveMode.Overwrite).parquet(dir(runDir, nextEpoch, "seen"))
-            val deltaBloom =
-              if (nNew == 0) BloomSeen.empty(cfg.bloomFpp)
-              else BloomSeen.build(newEntries, "url_hash", nNew, cfg.bloomFpp)
-            BloomSeen.save(deltaBloom, bloomPath(runDir, nextEpoch))
-            (seenBase, blooms :+ deltaBloom)
-          }
+        val compacting = nextEpoch - seenBase >= cfg.seenCompactEvery
+        val fSeenWrite = Future {
+          val out =
+            if (compacting) seen.unionByName(newEntries.select("url_hash"))
+            else newEntries.select("url_hash")
+          out.write.mode(SaveMode.Overwrite).parquet(dir(runDir, nextEpoch, "seen"))
         }
+        // the bloom needs the exact delta count for sizing → chains on fNew
+        // (and, when compacting, on the full-set write it re-reads)
+        val fSeen: Future[(Int, Vector[org.apache.spark.util.sketch.BloomFilter])] =
+          fNew.zip(fSeenWrite).map { case (nNew, _) =>
+            if (compacting) {
+              val full = spark.read.schema(seenSchema).parquet(dir(runDir, nextEpoch, "seen"))
+              val compactBloom = BloomSeen.build(full, "url_hash", seenCount + nNew, cfg.bloomFpp)
+              BloomSeen.save(compactBloom, bloomPath(runDir, nextEpoch))
+              (nextEpoch, Vector(compactBloom))
+            } else {
+              val deltaBloom =
+                if (nNew == 0) BloomSeen.empty(cfg.bloomFpp)
+                else BloomSeen.build(newEntries, "url_hash", nNew, cfg.bloomFpp)
+              BloomSeen.save(deltaBloom, bloomPath(runDir, nextEpoch))
+              (seenBase, blooms :+ deltaBloom)
+            }
+          }
 
         // ---- join all concurrent jobs, then the atomic commit
+        val nNew = Await.result(fNew, Duration.Inf)
+        val tB = System.currentTimeMillis()
         val nBlocked = Await.result(fBlocked, Duration.Inf)
         val (newSeenBase, newBlooms) = Await.result(fSeen, Duration.Inf)
         Await.result(fDocs, Duration.Inf)
         Await.result(fVisits, Duration.Inf)
         Await.result(fState, Duration.Inf)
         Await.result(fFrontier, Duration.Inf)
+        if (sys.env.contains("GRAFT_EPOCH_TIMING"))
+          System.err.println(s"[epoch $epoch] plan=${tPlan - t0}ms lineage=${tLineage - tPlan}ms " +
+            s"phaseA+expand=${tA - tLineage}ms nNew=${tB - tA}ms joinAll=${System.currentTimeMillis() - tB}ms")
         seenBase = newSeenBase
         blooms = newBlooms
         val nFetched = lineageRows.filter(_.getBoolean(1)).map(_.getLong(2)).sum
