@@ -182,13 +182,16 @@ object Bench {
     val thr4N = best(8)
     val efficiency = (thr4N / thrN) / 4.0
 
-    // full-machine headline throughput (single burst at local[cpus])
+    // full-machine headline throughput (best of 2 gated bursts at local[cpus])
     val sFull = session(cpus)
     val fullThr = try {
       epochJob(sFull, 4000)
       val n = pagesPerCore * math.min(cpus, 16)
-      val (_, sec) = timeIt(epochJob(sFull, n))
-      n / sec
+      (0 until 2).map { _ =>
+        waitForQuiet(maxWaitSec = 30, maxOtherCores = 1.5)
+        val (_, sec) = timeIt(epochJob(sFull, n))
+        n / sec
+      }.max
     } finally sFull.stop()
 
     // ---- part 2: headline operator timings ---------------------------------

@@ -116,8 +116,13 @@ object ContentFilter {
   private val chunkTags = Set("p", "article", "section", "li", "td", "pre",
     "blockquote", "h1", "h2", "h3", "h4", "h5", "h6", "div")
 
+  /** `useStemming` mirrors the reference default: BM25ContentFilter stems
+    * every corpus/query token with Snowball english before scoring
+    * (content_filter_strategy.py:408,485-494).
+    */
   def bm25Chunks(html: String, query: Seq[String], threshold: Double = 1.0,
-                 k1: Double = 1.2, b: Double = 0.75): Seq[ChunkScore] = {
+                 k1: Double = 1.2, b: Double = 0.75,
+                 useStemming: Boolean = true): Seq[ChunkScore] = {
     val root = Dom.parse(html)
     val body = root.descendants.find(_.tag == "body").getOrElse(root)
     val chunks = body.descendants
@@ -126,8 +131,11 @@ object ContentFilter {
       .filter(_._2.nonEmpty)
       .toVector
     if (chunks.isEmpty) return Nil
-    val qTerms = query.map(_.toLowerCase).distinct
-    def toks(s: String) = s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    def norm(t: String) =
+      if (useStemming) graft.ops.Stem.snowball(t.toLowerCase) else t.toLowerCase
+    val qTerms = query.map(norm).distinct
+    def toks(s: String) =
+      s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).map(norm).toSeq
     val docs = chunks.map { case (_, t) => toks(t) }
     val nDocs = docs.size
     val avgdl = docs.map(_.size).sum.toDouble / nDocs

@@ -119,6 +119,43 @@ class MetaSpec extends AnyFunSuite {
     }
   }
 
+  test("snowball english (Porter2) stems per the published spec") {
+    val cases = Seq(
+      // exceptional forms + invariants (spec tables)
+      "skis" -> "ski", "skies" -> "sky", "dying" -> "die", "lying" -> "lie",
+      "tying" -> "tie", "idly" -> "idl", "gently" -> "gentl", "ugly" -> "ugli",
+      "early" -> "earli", "only" -> "onli", "singly" -> "singl",
+      "sky" -> "sky", "news" -> "news", "atlas" -> "atlas", "bias" -> "bias",
+      // post-step-1a invariants
+      "inning" -> "inning", "herring" -> "herring", "proceed" -> "proceed",
+      "exceed" -> "exceed", "succeed" -> "succeed", "proceeding" -> "proceed",
+      // step 1a
+      "caresses" -> "caress", "ponies" -> "poni", "ties" -> "tie",
+      "cries" -> "cri", "dies" -> "die", "gaps" -> "gap", "gas" -> "gas",
+      "kiwis" -> "kiwi", "caress" -> "caress", "cats" -> "cat",
+      // step 1b incl. short-word +e, doubles, R1 gate on eed
+      "agreed" -> "agre", "feed" -> "feed", "plastered" -> "plaster",
+      "bled" -> "bled", "motoring" -> "motor", "sing" -> "sing",
+      "hopping" -> "hop", "hoping" -> "hope", "tanned" -> "tan",
+      "falling" -> "fall", "hissing" -> "hiss", "failing" -> "fail",
+      "filing" -> "file", "knitting" -> "knit",
+      // step 1c + consonant-Y prelude
+      "cry" -> "cri", "crying" -> "cri", "by" -> "by", "say" -> "say",
+      "saying" -> "say", "enjoying" -> "enjoy", "flying" -> "fli",
+      "gypsy" -> "gypsi", "happily" -> "happili",
+      // steps 2-5 chains
+      "conditional" -> "condit", "rational" -> "ration", "national" -> "nation",
+      "generously" -> "generous", "generate" -> "generat",
+      "communication" -> "communic", "beautiful" -> "beauti",
+      "beautifully" -> "beauti", "happiness" -> "happi",
+      "electricity" -> "electr", "sensational" -> "sensat",
+      "replacement" -> "replac", "argument" -> "argument",
+      "adjustment" -> "adjust", "allowance" -> "allow", "inference" -> "infer")
+    cases.foreach { case (in, exp) =>
+      assert(Stem.snowball(in) == exp, s"snowball($in) = ${Stem.snowball(in)}, want $exp")
+    }
+  }
+
   test("url relevance: 3-gram overlap favors matching paths") {
     val r1 = Stem.urlRelevance("http://x.com/spark-tuning-guide", "spark tuning")
     val r2 = Stem.urlRelevance("http://x.com/cooking/pasta", "spark tuning")
