@@ -31,24 +31,31 @@ object Bm25 {
 
   /** BM25 Okapi scores of every document against one query.
     * Output: (doc_id, score) for docs matching ≥ 1 query term.
+    *
+    * Scale shape: the query-term restriction is pushed INSIDE the token
+    * array before anything explodes, so the only rows that ever shuffle are
+    * query-term occurrences (∝ hits, not ∝ corpus tokens), the document
+    * length rides along with them (no separate doc_id lens join), and the
+    * corpus is tokenized exactly once per branch of a single projection.
+    * Corpus scalars (N, avgdl) stay IN the plan as a broadcast 1-row
+    * aggregate — no driver-side collect serializing the job chain.
     */
   def score(df: DataFrame, idCol: String, textCol: String, query: Seq[String],
             k1: Double = 1.5, b: Double = 0.75): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val tf = termFreqs(df, idCol, textCol)
-    val lens = df.select(col(idCol).as("doc_id"),
-      size(TextAnalysis.tokens(col(textCol))).cast("double").as("dl"))
-    // corpus scalars (N, avgdl) stay IN the plan as a broadcast 1-row
-    // aggregate — no driver-side collect serializing the job chain
-    val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
-    val qTerms = query.map(_.toLowerCase).distinct.toDF("term")
-    val dfs = docFreqs(tf).join(broadcast(qTerms), Seq("term"))
+    val qLits = query.map(_.toLowerCase).distinct
+    val tk = TextAnalysis.tokens(col(textCol))
+    val sel = df.select(col(idCol).as("doc_id"),
+      size(tk).cast("double").as("dl"),
+      filter(tk, t => t.isin(qLits: _*)).as("qtk"))
+    val stats = sel.agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
+    val tf = sel.where(size(col("qtk")) > 0)
+      .select(col("doc_id"), col("dl"), explode(col("qtk")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = dfs.crossJoin(broadcast(stats))
       .withColumn("idf",
         log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
     tf.join(broadcast(idf.select("term", "idf", "avgdl")), Seq("term"))
-      .join(lens, Seq("doc_id"))
       .withColumn("contrib",
         col("idf") * col("tf") * (k1 + 1.0) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))

@@ -90,7 +90,7 @@ object Similarity {
     * deterministic — the quality of a real trained quantizer is not the
     * point; the partition-pruned probe topology is).
     */
-  private def centroidComponent(c: Column, j: Column): Column =
+  private[graft] def centroidComponent(c: Column, j: Column): Column =
     (pmod(xxhash64(c, j), lit(2001L)).cast("double") - 1000.0d) / 1000.0d
 
   def ivfCell(v: Column, cells: Int): Column = {
@@ -118,6 +118,90 @@ object Similarity {
     df.select(col(idCol), col(vecCol).as("v"))
       .withColumn("cell", ivfCell(col("v"), cells))
       .where(array_contains(qCells, col("cell")))
+      .select(col(idCol), cosine(col("v"), q).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  // ---- trained IVF (distributed k-means coarse quantizer) ------------------
+
+  /** Squared distance of a vector column to one literal centroid. */
+  private def distSqTo(v: Column, c: Seq[Double]): Column =
+    aggregate(zip_with(v.cast("array<double>"), typedLit(c),
+      (x, m) => (x - m) * (x - m)), lit(0.0d), (acc, x) => acc + x)
+
+  /** argmin cell over literal centroids (a broadcast-free column expr). */
+  def nearestCell(v: Column, centroids: Seq[Seq[Double]]): Column = {
+    val dists = array(centroids.map(c => distSqTo(v, c)): _*)
+    array_position(dists, array_min(dists)).cast("int") - 1
+  }
+
+  /** Train an IVF coarse quantizer with Lloyd's iterations, each one Spark
+    * aggregation pass (the MLlib shape): assignment is an argmin column expr
+    * over the current centroids (shipped as plan literals), the update is
+    * `posexplode(vec) → groupBy(cell, dim).sum/count` — map-side partial
+    * combine, one shuffle of ≤ C·dim rows per iteration, centroids collected
+    * to the driver (C·dim scalars, tiny). Deterministic: initial centroids
+    * are the first C vectors in id order; training runs on a deterministic
+    * hash-sample (`trainFraction`) — at 100 TB you never k-means the full
+    * corpus, you train the quantizer on a sample and assign everything else.
+    * Empty cells keep their previous centroid.
+    */
+  def trainIvf(df: DataFrame, idCol: String, vecCol: String, cells: Int,
+               iters: Int = 5, trainFraction: Double = 1.0): Seq[Seq[Double]] = {
+    val sample =
+      if (trainFraction >= 1.0) df
+      else df.where(pmod(xxhash64(col(idCol)), lit(math.max(1L, (1.0 / trainFraction).toLong))) === 0)
+    val train = sample.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v")).cache()
+    var centroids: Seq[Seq[Double]] = train.orderBy("id").limit(cells)
+      .select("v").collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    var it = 0
+    while (it < iters) {
+      val sums = train
+        .withColumn("cell", nearestCell(col("v"), centroids))
+        .select(col("cell"), posexplode(col("v")).as(Seq("j", "x")))
+        .groupBy("cell", "j").agg(sum("x").as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0))
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        byCell.get(c) match {
+          case Some(rows) =>
+            rows.sortBy(_.getInt(1)).map(r => r.getDouble(2) / r.getLong(3)).toIndexedSeq
+          case None => old // empty cell: keep previous centroid
+        }
+      }
+      it += 1
+    }
+    train.unpersist()
+    centroids
+  }
+
+  /** Mean squared distance to the assigned centroid (the k-means objective —
+    * exposed so tests can assert Lloyd's monotone descent). */
+  def ivfObjective(df: DataFrame, vecCol: String, centroids: Seq[Seq[Double]]): Double = {
+    val dists = array(centroids.map(c => distSqTo(col(vecCol), c)): _*)
+    df.select(array_min(dists).as("d")).agg(avg("d")).head().getDouble(0)
+  }
+
+  /** IVF top-k over a TRAINED quantizer: assign = argmin over the trained
+    * centroids, probe the query's nProbe nearest cells, exact cosine within.
+    * Same partition-pruned probe topology as `ivfTopK` (write the assigned
+    * table partitioned by cell; the probe reads only nProbe cells), with a
+    * data-adapted quantizer instead of hash-seeded centroids.
+    */
+  def ivfTopKTrained(df: DataFrame, idCol: String, vecCol: String,
+                     query: Seq[Float], k: Int, centroids: Seq[Seq[Double]],
+                     nProbe: Int = 4): DataFrame = {
+    val q = typedLit(query)
+    val qCells = centroids.zipWithIndex
+      .map { case (c, i) =>
+        val d = c.zip(query).map { case (m, x) => (x - m) * (x - m) }.sum
+        (d, i)
+      }.sortBy(_._1).take(nProbe).map(_._2)
+    df.select(col(idCol), col(vecCol).as("v"))
+      .withColumn("cell", nearestCell(col("v"), centroids))
+      .where(col("cell").isin(qCells: _*))
       .select(col(idCol), cosine(col("v"), q).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)

@@ -199,6 +199,35 @@ class OpsSpec extends AnyFunSuite {
       brute.collect().map(_.getLong(0)).toSeq)
   }
 
+  test("trained IVF: Lloyd's objective descends; probe beats hash centroids") {
+    // k-means objective is non-increasing across Lloyd iterations
+    val objs = Seq(0, 1, 3, 6).map { it =>
+      val c = Similarity.trainIvf(embs, "vec_id", "embedding", cells = 8, iters = it)
+      Similarity.ivfObjective(embs, "embedding", c)
+    }
+    objs.sliding(2).foreach { case Seq(a, b) => assert(b <= a + 1e-9, s"objective rose: $objs") }
+    // trained quantizer fits the data at least as well as hash-seeded toys
+    val hashCentroids = spark.range(8)
+      .select(transform(sequence(lit(0), lit(63)),
+        j => Similarity.centroidComponent(col("id"), j)).as("c"))
+      .collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    val trained = Similarity.trainIvf(embs, "vec_id", "embedding", cells = 8, iters = 6)
+    assert(Similarity.ivfObjective(embs, "embedding", trained) <=
+      Similarity.ivfObjective(embs, "embedding", hashCentroids))
+    // probe: all-cells probe == exact brute force; partial probe finds self
+    val q = embs.where(col("vec_id") === 3).select("embedding").as[Seq[Float]].head()
+    val all = Similarity.ivfTopKTrained(embs, "vec_id", "embedding", q, 10, trained, nProbe = 8)
+    val brute = Similarity.bruteForceTopK(embs, "vec_id", "embedding", q, 10)
+    assert(all.collect().map(_.getLong(0)).toSeq ==
+      brute.collect().map(_.getLong(0)).toSeq)
+    val part = Similarity.ivfTopKTrained(embs, "vec_id", "embedding", q, 10, trained, nProbe = 2)
+    assert(part.collect().map(_.getLong(0)).contains(3L))
+    // deterministic hash-sample training still yields a full quantizer
+    val sampled = Similarity.trainIvf(embs, "vec_id", "embedding", cells = 8,
+      iters = 3, trainFraction = 0.5)
+    assert(sampled.size == 8 && sampled.forall(_.size == 64))
+  }
+
   test("embedding near-dup: exact duplicate vectors collide and score 1") {
     val dupVecs = embs.where(col("vec_id") < 20)
       .select(col("vec_id"), col("embedding"))
