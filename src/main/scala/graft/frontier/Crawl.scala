@@ -314,20 +314,24 @@ object Crawl {
             "fetch_ok", "status_code", "spans", "links", "title", "n_words")
           .cache()
 
-        // ---- phase A: materialize the scraped cache with the ONE lineage
-        // aggregation pass, then overlap the independent consumers of that
-        // cache (docs write, visits write, robots-blocked count, politeness
-        // evolution) as CONCURRENT Spark jobs. They share cached inputs and
-        // write disjoint outputs; overlapping hides the fixed per-job
-        // latency that dominates small epochs and costs nothing on a real
-        // cluster (concurrent jobs just share the scheduler).
+        // ---- phase A: ALL consumers of the scraped cache — the lineage
+        // aggregation, docs write, visits write, robots-blocked count,
+        // politeness evolution — launch as CONCURRENT Spark jobs. The
+        // BlockManager's per-partition cache locks make the concurrent jobs
+        // co-materialize the cache (different partitions in parallel, each
+        // computed exactly once); they write disjoint outputs, so overlapping
+        // hides the fixed per-job latency that dominates small epochs and
+        // costs nothing on a real cluster (concurrent jobs share the
+        // scheduler).
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
         implicit val ec: scala.concurrent.ExecutionContext = Crawl.epochEc
         val tPlan = System.currentTimeMillis()
-        val lineageRows = scraped.groupBy(spark_partition_id().as("pid"), col("fetch_ok"))
-          .agg(count(lit(1)).as("rows"), sum(col("n_words")).as("words"))
-          .collect()
+        val fLineage = Future {
+          scraped.groupBy(spark_partition_id().as("pid"), col("fetch_ok"))
+            .agg(count(lit(1)).as("rows"), sum(col("n_words")).as("words"))
+            .collect()
+        }
         val tLineage = System.currentTimeMillis()
 
         val fDocs = Future {
@@ -452,6 +456,7 @@ object Crawl {
           }
 
         // ---- join all concurrent jobs, then the atomic commit
+        val lineageRows = Await.result(fLineage, Duration.Inf)
         val nNew = Await.result(fNew, Duration.Inf)
         val tB = System.currentTimeMillis()
         val nBlocked = Await.result(fBlocked, Duration.Inf)

@@ -265,8 +265,9 @@ object Dedup {
       else planes
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     val candidates = (0 until bands).map { b =>
-      val bucketed = base.withColumn("bucket",
-        Similarity.signBucket(col("v"), p, planeOffset = b * p))
+      // compiled kernel (bit-identical twin of Similarity.signBucket)
+      val bucketU = udf((v: Seq[Float]) => Similarity.signBucketFast(v, p, b * p))
+      val bucketed = base.withColumn("bucket", bucketU(col("v")))
       val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
       val bb = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
       a.join(bb, Seq("bucket"))

@@ -65,6 +65,30 @@ object Similarity {
       }),
       lit(0L), (acc, bit) => acc.bitwiseOR(bit))
 
+  /** Compiled per-row twin of [[signBucket]] — BIT-IDENTICAL to the Column
+    * spec form (asserted by OpsSpec): Spark 4 interprets HOF lambdas, so the
+    * hot bucketing path runs as a JVM kernel while the Column form stays the
+    * executable spec. `xxhash64(p, j)` chains IntegerType hashes, seed 42.
+    */
+  def signBucketFast(v: Seq[Float], planes: Int, planeOffset: Int = 0): Long = {
+    var acc = 0L
+    var p = planeOffset
+    while (p < planeOffset + planes) {
+      val seedP = graft.core.Xxh64.hashInt(p, 42L)
+      var proj = 0.0
+      var j = 0
+      val n = v.length
+      while (j < n) {
+        val comp = if ((graft.core.Xxh64.hashInt(j, seedP) & 1L) == 1L) 1.0 else -1.0
+        proj += v(j) * comp
+        j += 1
+      }
+      if (proj > 0) acc |= 1L << (p - planeOffset)
+      p += 1
+    }
+    acc
+  }
+
   /** ANN top-k: probe the query's sign bucket plus all 1-bit-flip neighbors
     * (multi-probe), exact cosine within. At 100 TB the bucketed table is
     * written partitioned by bucket → the probe is a partition-pruned scan.
@@ -72,13 +96,14 @@ object Similarity {
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
               query: Seq[Float], k: Int, planes: Int = 8): DataFrame = {
     val q = typedLit(query)
-    // query bucket is data-independent → computable as a literal-only expr
-    val qBucketCol = signBucket(q, planes)
-    val probes = array((0 until planes).map(p =>
-      qBucketCol.bitwiseXOR(shiftleft(lit(1L), p))) :+ qBucketCol: _*)
+    // query bucket is data-independent → a driver-side scalar of the same
+    // kernel; data-side buckets run the compiled kernel (spec twin asserted)
+    val qBucket = signBucketFast(query, planes)
+    val probes = (0 until planes).map(p => qBucket ^ (1L << p)) :+ qBucket
+    val bucketU = udf((v: Seq[Float]) => signBucketFast(v, planes))
     df.select(col(idCol), col(vecCol).as("v"))
-      .withColumn("bucket", signBucket(col("v"), planes))
-      .where(array_contains(probes, col("bucket")))
+      .withColumn("bucket", bucketU(col("v")))
+      .where(col("bucket").isin(probes: _*))
       .select(col(idCol), cosine(col("v"), q).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)

@@ -80,6 +80,20 @@ class OpsSpec extends AnyFunSuite {
     texts.foreach { case (id, t) =>
       assert(Dedup.simHashFast(t) == colSim(id), s"simhash kernel diverges on doc $id")
     }
+    // sign-bucket: compiled kernel vs the Column HOF spec, several plane
+    // configs incl. a banded offset
+    for ((planes, off) <- Seq((6, 0), (8, 0), (5, 10))) {
+      val colBuckets = embs.where(col("vec_id") < 20)
+        .select(col("vec_id"),
+          Similarity.signBucket(col("embedding"), planes, off).as("b"))
+        .as[(Long, Long)].collect().toMap
+      val vecs = embs.where(col("vec_id") < 20)
+        .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+      vecs.foreach { case (id, v) =>
+        assert(Similarity.signBucketFast(v, planes, off) == colBuckets(id),
+          s"sign-bucket kernel diverges on vec $id (planes=$planes off=$off)")
+      }
+    }
   }
 
   test("ngram jaccard doc-frequency cap: bounded candidates on a hot shingle") {
