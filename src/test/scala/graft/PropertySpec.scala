@@ -109,6 +109,56 @@ class PropertySpec extends AnyFunSuite {
     assert(viaVector == exact)
   }
 
+  test("cuckoo filter: no false negatives, FP bound, delete-driven recrawl eviction") {
+    import SparkTestSession.spark
+    import spark.implicits._
+    import graft.frontier.{CuckooFilter, CuckooSeen}
+    // keys are realistic url-hashes (xxh64 of synthetic urls), not sequential
+    def key(i: Long): Long = Xxh64.hashString(s"http://h${i % 97}.com/p/$i")
+    val n = 50000
+    val cf = CuckooFilter.create(n)
+    (0 until n).foreach { i => assert(cf.insert(key(i)), s"insert failed at $i (load)") }
+    // no false negatives
+    (0 until n).foreach { i => assert(cf.contains(key(i)), s"false negative at $i") }
+    // FP rate on disjoint keys ≈ 2·4/2^16 ≈ 1.2e-4; allow 10x slack
+    val fps = (n until n + 50000).count(i => cf.contains(key(i)))
+    assert(fps <= 50000 * 1.2e-4 * 10, s"fp count $fps")
+    // delete half → deleted keys gone (mod FP), survivors NEVER lost
+    (0 until n by 2).foreach(i => assert(cf.delete(key(i))))
+    val stillThere = (0 until n by 2).count(i => cf.contains(key(i)))
+    assert(stillThere <= n / 2 * 1.2e-4 * 10 + 1, s"deleted-but-present $stillThere")
+    (1 until n by 2).foreach { i => assert(cf.contains(key(i)), s"survivor lost at $i") }
+    // serialization round-trip preserves the table
+    val rt = CuckooFilter.deserialize(cf.serialize())
+    (1 until n by 2).foreach(i => assert(rt.contains(key(i))))
+    assert(rt.size == cf.size && rt.numBuckets == cf.numBuckets)
+
+    // ---- seen-set protocol: antiJoin equivalence + TTL eviction ----------
+    val d1 = (0L until 1200L).map(key).toDF("url_hash")   // epoch-1 delta
+    val d2 = (1200L until 2000L).map(key).toDF("url_hash") // epoch-2 delta
+    val seen = d1.unionByName(d2)
+    val filters = Seq(CuckooSeen.build(d1, "url_hash", 1200),
+      CuckooSeen.build(d2, "url_hash", 800))
+    val candidates = (1500L until 2500L).map(key).toDF("url_hash")
+    val viaCuckoo = CuckooSeen.antiJoin(spark, candidates, seen, "url_hash", filters)
+      .as[Long].collect().toSet
+    val exact = candidates.join(seen, Seq("url_hash"), "left_anti")
+      .as[Long].collect().toSet
+    assert(viaCuckoo == exact)
+    // TTL expiry of epoch-1: evict its delta from its filter; with the
+    // expired delta also dropped from the exact seen set, all its URLs
+    // become crawlable again — no rebuild of epoch-2 state
+    val removed = CuckooSeen.evictDelta(filters.head, d1, "url_hash")
+    assert(removed == 1200)
+    val cand2 = (0L until 1500L).map(key).toDF("url_hash")
+    val afterExpiry = CuckooSeen.antiJoin(spark, cand2, d2, "url_hash", filters)
+      .as[Long].collect().toSet
+    val exactAfter = cand2.join(d2, Seq("url_hash"), "left_anti")
+      .as[Long].collect().toSet
+    assert(afterExpiry == exactAfter)
+    assert((0L until 1200L).map(key).toSet.subsetOf(afterExpiry)) // refetchable
+  }
+
   test("path-encoded discovery order sorts parents before children (DFS preorder)") {
     forAll(Gen.listOfN(6, Gen.choose(0, 0xffff))) { idxs =>
       whenever(idxs.nonEmpty) {
