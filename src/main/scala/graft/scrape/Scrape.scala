@@ -43,7 +43,20 @@ object Scrape {
   final case class Config(
       minWords: Int = 1,
       imageScoreThreshold: Int = 2,
-      excludedTags: Set[String] = Set.empty)
+      excludedTags: Set[String] = Set.empty,
+      /** Slice the page to the matching elements' outerHTML (comma-separated
+        * selectors, concatenated per selector) BEFORE any processing —
+        * everything downstream sees only the slice
+        * (async_crawler_strategy.py:1022-1041). */
+      cssSelector: Option[String] = None,
+      /** Restrict CONTENT (spans) to the selected subtrees; links and title
+        * still come from the whole page (content_scraping_strategy.py:
+        * 914-927 + :1053 — cleaned_html is the targeted content, link
+        * extraction walks the full body). */
+      targetElements: Seq[String] = Nil,
+      /** Remove matching elements before processing
+        * (content_scraping_strategy.py:902-912). */
+      excludedSelector: Option[String] = None)
 
   private val alwaysExcluded = Set("script", "style", "noscript")
   private val blockTags = Set(
@@ -97,7 +110,52 @@ object Scrape {
     score
   }
 
+  /** Serialize `html` minus every element matching `selector`. */
+  private def removeMatching(html: String, selector: String): String = {
+    val root = Dom.parse(html)
+    val doomed = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[Dom.Node, java.lang.Boolean]())
+    selector.split(',').map(_.trim).filter(_.nonEmpty)
+      .foreach(s => CssExtract.select(root, s).foreach(doomed.add))
+    def prune(n: Dom.Node): Unit = {
+      n.children = n.children.filterNot(doomed.contains)
+      n.children.foreach(prune)
+    }
+    prune(root)
+    root.children.map(c => if (c.isText) c.text else c.outerHtml).mkString
+  }
+
   def scrape(url: String, html: String, cfg: Config = Config()): ScrapedDoc = {
+    if (cfg.cssSelector.isEmpty && cfg.targetElements.isEmpty &&
+        cfg.excludedSelector.isEmpty)
+      return scrapeTokens(url, html, cfg)
+    // selector preprocessing runs on the parsed Dom; the token scraper then
+    // consumes the re-serialized slice (per-row work, still one typed map)
+    val sliced = cfg.cssSelector match {
+      case Some(sel) =>
+        val root = Dom.parse(html)
+        val parts = sel.split(',').map(_.trim).filter(_.nonEmpty)
+          .flatMap(s => CssExtract.select(root, s).map(_.outerHtml))
+        s"<div class='crawl4ai-result'>\n${parts.mkString("\n")}\n</div>"
+      case None => html
+    }
+    val cleaned = cfg.excludedSelector match {
+      case Some(sel) => removeMatching(sliced, sel)
+      case None => sliced
+    }
+    if (cfg.targetElements.isEmpty) scrapeTokens(url, cleaned, cfg)
+    else {
+      val root = Dom.parse(cleaned)
+      val content = cfg.targetElements
+        .flatMap(s => CssExtract.select(root, s).map(_.outerHtml))
+      val contentDoc =
+        scrapeTokens(url, s"<div>${content.mkString("\n")}</div>", cfg)
+      val full = scrapeTokens(url, cleaned, cfg)
+      contentDoc.copy(links = full.links, title = full.title)
+    }
+  }
+
+  private def scrapeTokens(url: String, html: String, cfg: Config): ScrapedDoc = {
     val excluded = alwaysExcluded ++ cfg.excludedTags
     val base = Urls.baseDomain(url)
     val spans = scala.collection.mutable.ArrayBuffer.empty[Span]

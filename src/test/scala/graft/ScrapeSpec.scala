@@ -135,4 +135,38 @@ class ScrapeSpec extends AnyFunSuite {
       Span("media", "pic", "http://x.com/x.jpg", 1),
       Span("text", "beta", "", 2)))
   }
+
+  val selectorPage =
+    """<html><body>
+      |<nav><p>menu things</p><a href="/nav-link">nav</a></nav>
+      |<div class="main"><p>real content here</p><a href="/deep">deep</a></div>
+      |<div class="ads"><p>buy stuff now</p><a href="/ad-link">ad</a></div>
+      |<footer><p>fine print</p></footer>
+      |</body></html>""".stripMargin
+
+  test("cssSelector slices the page before anything else (reference scope semantics)") {
+    val doc = Scrape.scrape("http://x.com/a", selectorPage,
+      Scrape.Config(cssSelector = Some(".main")))
+    assert(doc.spans.map(_.text) == Seq("real content here", "deep"))
+    // links outside the slice never existed downstream
+    assert(doc.links.map(_.href) == Seq("http://x.com/deep"))
+  }
+
+  test("excludedSelector removes matching subtrees before processing") {
+    val doc = Scrape.scrape("http://x.com/a", selectorPage,
+      Scrape.Config(excludedSelector = Some(".ads, footer")))
+    assert(!doc.spans.exists(_.text.contains("buy stuff")))
+    assert(!doc.spans.exists(_.text.contains("fine print")))
+    assert(doc.spans.exists(_.text.contains("real content")))
+    assert(!doc.links.exists(_.href.contains("ad-link")))
+  }
+
+  test("targetElements restrict content spans; links still global") {
+    val doc = Scrape.scrape("http://x.com/a", selectorPage,
+      Scrape.Config(targetElements = Seq(".main")))
+    assert(doc.spans.map(_.text) == Seq("real content here", "deep"))
+    // reference keeps link extraction over the FULL body
+    assert(doc.links.map(_.href).toSet ==
+      Set("http://x.com/nav-link", "http://x.com/deep", "http://x.com/ad-link"))
+  }
 }
