@@ -56,7 +56,29 @@ object Scrape {
       targetElements: Seq[String] = Nil,
       /** Remove matching elements before processing
         * (content_scraping_strategy.py:902-912). */
-      excludedSelector: Option[String] = None)
+      excludedSelector: Option[String] = None,
+      /** Link/image domain exclusions (content_scraping_strategy.py:655-755):
+        * excluded `<a>`/`<img>` elements are DECOMPOSED — the anchor text
+        * disappears from content too, exactly like the reference's
+        * element.decompose(). Social flag merges [[Scrape.socialMediaDomains]]
+        * into excludeDomains (:929-935). */
+      excludeExternalLinks: Boolean = false,
+      excludeInternalLinks: Boolean = false,
+      excludeSocialMediaLinks: Boolean = false,
+      excludeDomains: Set[String] = Set.empty,
+      excludeExternalImages: Boolean = false) {
+    def effectiveExcludeDomains: Set[String] =
+      if (excludeSocialMediaLinks) excludeDomains ++ Scrape.socialMediaDomains
+      else excludeDomains
+    def hasLinkExclusions: Boolean =
+      excludeExternalLinks || excludeInternalLinks || excludeSocialMediaLinks ||
+        excludeDomains.nonEmpty
+  }
+
+  /** SOCIAL_MEDIA_DOMAINS (config.py:74-84). */
+  val socialMediaDomains: Set[String] = Set(
+    "facebook.com", "twitter.com", "x.com", "linkedin.com", "instagram.com",
+    "pinterest.com", "tiktok.com", "snapchat.com", "reddit.com")
 
   private val alwaysExcluded = Set("script", "style", "noscript")
   private val blockTags = Set(
@@ -157,6 +179,7 @@ object Scrape {
 
   private def scrapeTokens(url: String, html: String, cfg: Config): ScrapedDoc = {
     val excluded = alwaysExcluded ++ cfg.excludedTags
+    val excludeDoms = cfg.effectiveExcludeDomains
     val base = Urls.baseDomain(url)
     val spans = scala.collection.mutable.ArrayBuffer.empty[Span]
     val links = scala.collection.mutable.LinkedHashMap.empty[String, LinkOut]
@@ -202,6 +225,34 @@ object Scrape {
       spans += Span("media", alt, ref, spans.length)
     }
 
+    /** decompose-equivalent exclusion, decided at `<a>` open so the anchor's
+      * subtree (text included) is suppressed (reference :655-690). */
+    def linkExcluded(href: String): Boolean = {
+      if (!cfg.hasLinkExclusions) return false
+      val lower = href.toLowerCase
+      if (Seq("mailto:", "tel:", "javascript:", "data:").exists(lower.startsWith)) return false
+      val canon = Urls.canonicalizeDeep(href, url)
+      if (canon == null) return false
+      if (Urls.isExternal(canon, base)) {
+        if (cfg.excludeExternalLinks) true
+        else excludeDoms.nonEmpty && excludeDoms.contains(Urls.baseDomain(canon))
+      } else cfg.excludeInternalLinks
+    }
+
+    /** Image exclusion (reference :715-755): internal/relative src kept;
+      * external src dropped under excludeExternalImages or excludeDomains. */
+    def imageExcluded(src: String): Boolean = {
+      if (src == null || src.isEmpty || src.startsWith("data:")) return false
+      if (!cfg.excludeExternalImages && excludeDoms.isEmpty) return false
+      val abs = PyUrl.urljoin(url, src.trim)
+      if (!Urls.isExternal(abs, base)) return false
+      val srcDomain = Urls.baseDomain(abs)
+      val externalAbs = src.startsWith("http") || src.startsWith("//")
+      (cfg.excludeExternalImages && externalAbs && srcDomain.nonEmpty &&
+        base.nonEmpty && srcDomain != base) ||
+        (excludeDoms.nonEmpty && excludeDoms.contains(srcDomain))
+    }
+
     def addLink(href: String, text: String): Unit = {
       val lower = href.toLowerCase
       val special = Seq("mailto:", "tel:", "javascript:", "data:").exists(lower.startsWith)
@@ -219,7 +270,8 @@ object Scrape {
       toks.next() match {
         case Open(tag, attrs, selfClosing) =>
           val skipThis = excluded.contains(tag) ||
-            attrs.get("style").exists(_.replaceAll("\\s", "").toLowerCase.contains("display:none"))
+            attrs.get("style").exists(_.replaceAll("\\s", "").toLowerCase.contains("display:none")) ||
+            (tag == "a" && attrs.contains("href") && linkExcluded(attrs("href")))
           val skipped = skipping || skipThis
           if (blockTags.contains(tag) && !skipped) {
             if (tag == "tr") { inTr = true; rowHadCell = false }
@@ -236,7 +288,8 @@ object Scrape {
               val parentClass = stack.headOption.map(_._3).getOrElse("")
               val score = imageScore(attrs, inside("picture"), thisImgIndex, totalImages)
               if (!imageRejected(attrs, parentTag, parentClass) &&
-                  score > cfg.imageScoreThreshold)
+                  score > cfg.imageScoreThreshold &&
+                  !imageExcluded(attrs.getOrElse("src", "")))
                 emitMedia(attrs.getOrElse("src", ""), attrs.getOrElse("alt", ""))
             case "video" | "audio" =>
               if (attrs.contains("src")) emitMedia(attrs("src"), attrs.getOrElse("alt", ""))

@@ -75,6 +75,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("bm25: query-term filter below the explode; only hits shuffle") {
+    val p = plan(SparkEntry.queries("q_bm25")(spark, sf))
+    // the explode's input is the query-term-filtered array — the generate
+    // operator sits above a projection that already applied the filter HOF,
+    // so shuffled rows ∝ query hits, not corpus tokens
+    assert(p.contains("Generate ("), p)
+    assert(p.contains("qtk"), p)
+    // corpus scalars ride as a broadcast 1-row aggregate, not a collect
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    // the doc-length lens join on doc_id is GONE (dl rides with the rows):
+    // every remaining shuffle is an aggregate exchange, none a join on doc_id
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("lsh ANN: kernel bucket probe is scan → filter → TakeOrdered (no shuffle)") {
+    val q = (0 until 64).map(_.toFloat / 64)
+    val df = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(graft.ops.Similarity.lshTopK(df, "vec_id", "embedding", q, 10, planes = 8))
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("brute-force ANN is scan → project → TakeOrdered (no shuffle)") {
     val p = plan(SparkEntry.queries("q_embedding_topk")(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p)

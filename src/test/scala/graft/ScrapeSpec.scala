@@ -161,6 +161,44 @@ class ScrapeSpec extends AnyFunSuite {
     assert(!doc.links.exists(_.href.contains("ad-link")))
   }
 
+  test("link/image domain exclusions decompose elements (text suppressed too)") {
+    val page =
+      """<html><body>
+        |<p>before <a href="http://other.com/x">external anchor text</a> after</p>
+        |<p>social <a href="http://twitter.com/acct">tweet me</a> end</p>
+        |<p>keep <a href="/local">internal anchor</a> done</p>
+        |<img src="http://other.com/big.jpg" alt="ext pic" width="300" height="300">
+        |<img src="/own.jpg" alt="own pic" width="300" height="300">
+        |</body></html>""".stripMargin
+    // exclude_external_links: external anchors decomposed — link AND text gone
+    val d1 = Scrape.scrape("http://x.com/a", page,
+      Scrape.Config(excludeExternalLinks = true))
+    assert(d1.links.map(_.href) == Seq("http://x.com/local"))
+    assert(d1.spans.exists(_.text == "before after"), d1.spans)
+    assert(d1.spans.exists(_.text == "social end"), d1.spans)
+    // exclude_social_media_links: only the social domain decomposed
+    val d2 = Scrape.scrape("http://x.com/a", page,
+      Scrape.Config(excludeSocialMediaLinks = true))
+    assert(d2.links.map(_.href).toSet ==
+      Set("http://other.com/x", "http://x.com/local"))
+    assert(d2.spans.exists(_.text == "social end"), d2.spans)
+    assert(d2.spans.exists(_.text.contains("external anchor text")), d2.spans)
+    // exclude_internal_links
+    val d3 = Scrape.scrape("http://x.com/a", page,
+      Scrape.Config(excludeInternalLinks = true))
+    assert(!d3.links.exists(_.internal))
+    assert(d3.spans.exists(_.text == "keep done"), d3.spans)
+    // exclude_external_images: own-domain image survives, external dropped
+    val d4 = Scrape.scrape("http://x.com/a", page,
+      Scrape.Config(excludeExternalImages = true))
+    assert(d4.spans.filter(_.kind == "media").map(_.text) == Seq("own pic"))
+    // excludeDomains hits images of that domain too
+    val d5 = Scrape.scrape("http://x.com/a", page,
+      Scrape.Config(excludeDomains = Set("other.com")))
+    assert(!d5.links.exists(_.href.contains("other.com")))
+    assert(d5.spans.filter(_.kind == "media").map(_.text) == Seq("own pic"))
+  }
+
   test("targetElements restrict content spans; links still global") {
     val doc = Scrape.scrape("http://x.com/a", selectorPage,
       Scrape.Config(targetElements = Seq(".main")))
