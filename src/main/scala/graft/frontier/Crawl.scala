@@ -527,13 +527,31 @@ object Crawl {
     }.sum
   }
 
-  /** All docs produced by a run (doc_id, spans, links, title, n_words, epoch). */
-  def docs(spark: SparkSession, runDir: String): DataFrame = {
-    val last = lastCommittedEpoch(runDir)
+  /** All docs produced by a run (doc_id, spans, links, title, n_words, epoch).
+    * `asOf` (an epoch with a committed manifest) time-travels the read to
+    * that snapshot — Iceberg-style: a reader pinned to manifest k sees
+    * exactly the state the epoch-k commit published, regardless of how far
+    * the crawl has advanced since.
+    */
+  def docs(spark: SparkSession, runDir: String, asOf: Int = Int.MaxValue): DataFrame = {
+    val last = snapshotEpoch(runDir, asOf)
     val dirs = (0 until math.max(last, 0)).map(e => dir(runDir, e, "docs"))
       .filter(d => Files.isDirectory(Paths.get(d)))
     if (dirs.isEmpty) spark.emptyDataFrame
     else spark.read.parquet(dirs: _*)
+  }
+
+  /** Resolve an as-of epoch against the committed manifests: the newest
+    * committed epoch ≤ `asOf` (so a reader can never observe uncommitted
+    * directories, even mid-crash). */
+  private def snapshotEpoch(runDir: String, asOf: Int): Int = {
+    val last = lastCommittedEpoch(runDir)
+    if (asOf >= last) last
+    else {
+      require(Files.exists(manifestPath(runDir, asOf)),
+        s"no committed snapshot at epoch $asOf under $runDir")
+      asOf
+    }
   }
 
   /** Deterministic visit order across epochs (epoch, visit_rank, url, ...).
@@ -542,8 +560,8 @@ object Crawl {
     * path), so ranking is a consumer-side window partitioned by epoch — the
     * epoch loop itself never runs a global-order window.
     */
-  def visits(spark: SparkSession, runDir: String): DataFrame = {
-    val last = lastCommittedEpoch(runDir)
+  def visits(spark: SparkSession, runDir: String, asOf: Int = Int.MaxValue): DataFrame = {
+    val last = snapshotEpoch(runDir, asOf)
     val dirs = (0 until math.max(last, 0)).map(e => dir(runDir, e, "visits"))
       .filter(d => Files.isDirectory(Paths.get(d)))
     if (dirs.isEmpty) return spark.emptyDataFrame
@@ -559,8 +577,8 @@ object Crawl {
   /** URL-seen set of the last committed snapshot (the resume-identity set):
     * the union of the seen DELTAS from the last compaction base onward.
     */
-  def seenSet(spark: SparkSession, runDir: String): DataFrame = {
-    val last = math.max(lastCommittedEpoch(runDir), 0)
+  def seenSet(spark: SparkSession, runDir: String, asOf: Int = Int.MaxValue): DataFrame = {
+    val last = math.max(snapshotEpoch(runDir, asOf), 0)
     val base = manifestField(runDir, last, "seen_base").map(_.toInt).getOrElse(0)
     val dirs = (base to last).map(e => dir(runDir, e, "seen"))
       .filter(d => Files.isDirectory(Paths.get(d)))

@@ -143,6 +143,19 @@ class CrawlSpec extends AnyFunSuite {
     def vs(d: String) = Crawl.visits(spark, d).select("epoch", "visit_rank", "url")
       .orderBy("epoch", "visit_rank").collect().map(r => (r.getInt(0), r.getString(2))).toSeq
     assert(vs(partial) == vs(full))
+
+    // time travel: reading the FULL run pinned to snapshot 2 sees exactly
+    // the state the killed run had committed — asOf is the kill
+    val killedSeen = Crawl.seenSet(spark, partial, asOf = 2)
+    val travelSeen = Crawl.seenSet(spark, full, asOf = 2)
+    assert(travelSeen.as[Long].collect().toSet == killedSeen.as[Long].collect().toSet)
+    val travelDocs = Crawl.docs(spark, full, asOf = 2)
+    assert(travelDocs.agg(max("epoch")).head().getInt(0) <= 1)
+    assert(Crawl.visits(spark, full, asOf = 2).agg(max("epoch")).head().getInt(0) <= 1)
+    // asOf beyond the head clamps to the newest committed snapshot
+    assert(Crawl.seenSet(spark, full, asOf = 999).count() == Crawl.seenSet(spark, full).count())
+    // reading an uncommitted epoch is refused
+    intercept[IllegalArgumentException] { Crawl.docs(spark, full, asOf = -5) }
   }
 
   test("dynamic politeness: a throttling host shrinks to its backoff budget and aborts") {
