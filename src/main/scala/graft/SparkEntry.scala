@@ -427,12 +427,11 @@ object SparkEntry {
     // chunk + BM25-ish relevance filter pipeline (RegexChunking shape:
     // fixed 10-word windows since the corpus has no sentence punctuation)
     "q_chunk_filter" -> ((s, dir) => {
-      val toks = graft.ops.TextAnalysis.tokens(col("text"))
-      val chunks = transform(
-        sequence(lit(0), ((size(toks) - 1) / 10).cast("int")),
-        i => concat_ws(" ", slice(toks, i * 10 + 1, lit(10))))
+      // compiled chunking kernel (twin of the sequence/slice Column form,
+      // equality asserted in OpsSpec — HOF lambdas are interpreted in Spark 4)
+      val chunkU = udf((t: String) => graft.ops.TextAnalysis.fixedChunksFast(t, 10))
       val d = table(s, dir, "documents")
-        .withColumn("chunks", chunks)
+        .withColumn("chunks", chunkU(col("text")))
       graft.scrape.ContentFilter.bm25ChunkPipeline(d, "doc_id", "chunks",
           Seq("spark", "window"), 1.0)
         .select(col("doc_id"), col("n_kept"),

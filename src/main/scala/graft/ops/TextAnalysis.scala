@@ -136,4 +136,17 @@ object TextAnalysis {
         sequence(lit(0), ((size(toks) - window + step - 1) / step).cast("int")),
         i => concat_ws(" ", slice(toks, i * step + 1, lit(window)))))
   }
+
+  /** Compiled twin of the fixed-width chunking Column form
+    * `transform(sequence(0, (size(tokens)-1)/w), i -> concat_ws(" ",
+    * slice(tokens, i*w+1, w)))` — identical output including the single
+    * empty chunk a token-less text produces there (Spark 4 interprets the
+    * HOF lambdas; the kernel runs compiled). Equality asserted in OpsSpec.
+    */
+  def fixedChunksFast(text: String, words: Int): Seq[String] = {
+    if (text == null) return null
+    val t = text.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+    if (t.isEmpty) Seq("")
+    else t.grouped(words).map(_.mkString(" ")).toSeq
+  }
 }

@@ -80,6 +80,19 @@ class OpsSpec extends AnyFunSuite {
     texts.foreach { case (id, t) =>
       assert(Dedup.simHashFast(t) == colSim(id), s"simhash kernel diverges on doc $id")
     }
+    // fixed-width chunking: compiled kernel vs the sequence/slice Column form
+    val sample2 = docs.select(col("doc_id"), col("text")).where(col("doc_id") < 30)
+    val toksCol = TextAnalysis.tokens(col("text"))
+    val chunkCol = transform(
+      sequence(lit(0), ((size(toksCol) - 1) / 10).cast("int")),
+      i => concat_ws(" ", slice(toksCol, i * 10 + 1, lit(10))))
+    val colChunks = sample2.select(col("doc_id"), chunkCol.as("c"))
+      .as[(Long, Seq[String])].collect().toMap
+    sample2.as[(Long, String)].collect().foreach { case (id, t) =>
+      assert(TextAnalysis.fixedChunksFast(t, 10) == colChunks(id),
+        s"chunk kernel diverges on doc $id")
+    }
+    assert(TextAnalysis.fixedChunksFast("?!", 10) == Seq("")) // token-less twin
     // sign-bucket: compiled kernel vs the Column HOF spec, several plane
     // configs incl. a banded offset
     for ((planes, off) <- Seq((6, 0), (8, 0), (5, 10))) {
