@@ -54,7 +54,12 @@ object Bench {
     // shuffles URL strings, let alone HTML (SURVEY.md §7.4.5). Dedup is then
     // a long-key aggregate with map-side partial combine.
     val scraped = spark.range(0, n, 1,
-        spark.sparkContext.defaultParallelism * 4) // partitioned at source, no shuffle
+        // fine-grained source split: page-generation cost is uneven across
+        // index ranges (product vs category pages), and coarse partitions
+        // leave a straggler tail whose relative cost DIFFERS between the
+        // 2-core and 8-core scaling levels (4 waves of 4 vs 4 waves of 16),
+        // skewing the ratio; 16 splits/core keeps both levels load-balanced
+        spark.sparkContext.defaultParallelism * 16) // partitioned at source, no shuffle
       .map { i =>
         val p = Synth.pageAt(cfg, i)
         val doc = Scrape.scrape(p.url, p.html)
