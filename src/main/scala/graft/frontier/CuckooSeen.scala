@@ -156,6 +156,19 @@ object CuckooFilter {
   }
 }
 
+/** Hash-sharded cuckoo filter: shard s owns keys with floorMod(key, n) == s.
+  * The 10^10-scale form — each shard is bounded, built executor-side, and a
+  * lookup touches exactly one shard. Supports the same delete-for-recrawl
+  * path per shard.
+  */
+final class ShardedCuckoo(val shardArr: Array[CuckooFilter]) extends Serializable {
+  private def shardOf(key: Long): Int =
+    ((key % shardArr.length).toInt + shardArr.length) % shardArr.length
+  def contains(key: Long): Boolean = shardArr(shardOf(key)).contains(key)
+  def delete(key: Long): Boolean = shardArr(shardOf(key)).delete(key)
+  def size: Int = shardArr.map(_.size).sum
+}
+
 /** Seen-set protocol over cuckoo filters — mirrors [[BloomSeen]]'s delta
   * vector, adding eviction ([[evictDelta]]) for TTL-based recrawl.
   */
@@ -176,6 +189,36 @@ object CuckooSeen {
       if (!r.isNullAt(0)) cf.insert(r.getLong(0))
     }
     cf
+  }
+
+  /** Distributed build: the delta is hash-sharded, each shard's filter is
+    * built inside ONE executor task (`mapGroups` over the shard key), and
+    * only the compact filters come back to the driver — no row collect at
+    * any scale. A key's shard is `floorMod(key, shards)`; lookups consult
+    * exactly one shard ([[ShardedCuckoo.contains]]), so the probe cost does
+    * not grow with shard count.
+    */
+  def buildSharded(df: DataFrame, colName: String, expectedItems: Long,
+                   shards: Int = 32): ShardedCuckoo = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val perShard = math.max(64L, expectedItems / shards + expectedItems / (4 * shards))
+    val built = df.select(col(colName).cast("long")).distinct().as[Long]
+      .groupByKey(h => ((h % shards).toInt + shards) % shards)
+      .mapGroups { (shard, keys) =>
+        val cf = CuckooFilter.create(perShard)
+        var overflow = 0L
+        keys.foreach { k => if (!cf.insert(k)) overflow += 1 }
+        (shard, cf.serialize(), overflow)
+      }
+      .collect()
+    require(built.forall(_._3 == 0L),
+      s"cuckoo shard overflow — raise shards or expectedItems ($expectedItems/$shards)")
+    val arr = new Array[CuckooFilter](shards)
+    built.foreach { case (s, bytes, _) => arr(s) = CuckooFilter.deserialize(bytes) }
+    // empty shards (no keys hashed there) get minimal filters
+    (0 until shards).foreach(s => if (arr(s) == null) arr(s) = CuckooFilter.create(64))
+    new ShardedCuckoo(arr)
   }
 
   /** Evict every key of an expired delta (TTL'd epoch) from the filter: the

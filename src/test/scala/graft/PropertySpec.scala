@@ -148,6 +148,14 @@ class PropertySpec extends AnyFunSuite {
     // TTL expiry of epoch-1: evict its delta from its filter; with the
     // expired delta also dropped from the exact seen set, all its URLs
     // become crawlable again — no rebuild of epoch-2 state
+    // sharded distributed build: no driver row collect, same answers
+    val sharded = CuckooSeen.buildSharded(seen, "url_hash", 2000, shards = 8)
+    (0L until 2000L).foreach(i => assert(sharded.contains(key(i)), s"sharded FN at $i"))
+    val shardedFps = (5000L until 15000L).count(i => sharded.contains(key(i)))
+    assert(shardedFps <= 10000 * 1.2e-4 * 10, s"sharded fp count $shardedFps")
+    assert(sharded.size == 2000)
+    assert(sharded.delete(key(7L)) && !(0L until 2000L).forall(i => sharded.contains(key(i))))
+
     val removed = CuckooSeen.evictDelta(filters.head, d1, "url_hash")
     assert(removed == 1200)
     val cand2 = (0L until 1500L).map(key).toDF("url_hash")

@@ -72,6 +72,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("text-analysis operators run unchanged on a stream (batch parity)") {
+    // the pipeline operators are pure Column expressions, so the SAME code
+    // path serves batch backfill and streaming ingest — parity asserted
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.TextAnalysis
+    val texts = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog and keeps running"),
+      (2L, "le chat et le chien sont dans la maison avec les enfants"),
+      (3L, "short"),
+      (4L, "Spark structured streaming shares the Catalyst planner with batch"))
+    def analyze(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"),
+      TextAnalysis.langId(col("text")).as("lang"),
+      TextAnalysis.qualityScore(col("text")).as("quality"),
+      TextAnalysis.tokenCount(col("text")).as("tokens"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3), r.getString(4))
+    val batch = analyze(texts.toDF("doc_id", "text")).collect().map(key).toSet
+    val mem = MemoryStream[(Long, String)]
+    val q = analyze(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("ta_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(texts.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(texts.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ta_stream").collect().map(key).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("batch sessionization twin: gap split and aggregates") {
     val df = Seq(
       (1L, ts(0), 1.0), (1L, ts(5), 2.0), (1L, ts(60), 4.0),
