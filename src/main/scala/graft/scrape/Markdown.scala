@@ -73,6 +73,29 @@ object Markdown {
     * noscript/head + display:none subtrees — the cleaned_html content source)
     * → html2text-fidelity raw markdown → citation rewrite.
     */
+  final case class FitResult(
+      raw_markdown: String,
+      markdown_with_citations: String,
+      references_markdown: String,
+      fit_html: String,
+      fit_markdown: String)
+
+  /** The full MarkdownGenerationResult surface incl. fit_html/fit_markdown
+    * (markdown_generation_strategy.py:227-248): the content filter
+    * (PruningContentFilter by default, :233) reduces the page to its
+    * significant chunks, and fit_markdown is the html2text conversion of
+    * that filtered HTML.
+    */
+  def fromHtmlFit(html: String, baseUrl: String = "",
+                  prune: ContentFilter.PruneConfig = ContentFilter.PruneConfig())
+      : FitResult = {
+    val base = fromHtml(html, baseUrl)
+    val fitHtml = ContentFilter.pruneHtml(html, prune).mkString("\n")
+    val fitMd = Html2Md.convert(fitHtml, baseUrl)
+    FitResult(base.raw_markdown, base.markdown_with_citations,
+      base.references_markdown, fitHtml, fitMd)
+  }
+
   def fromHtml(html: String, baseUrl: String = "", clean: Boolean = true): MarkdownResult = {
     val input = if (clean) Html2Md.cleaned(html) else html
     val raw = Html2Md.convert(input, baseUrl)

@@ -394,6 +394,24 @@ class OpsSpec extends AnyFunSuite {
       "⟨3⟩ http://x.com/p.jpg: a pic\n")
   }
 
+  test("fit_markdown: markdown of the pruned content, boilerplate gone") {
+    val boiler = "short nav link words " * 1
+    val html = "<html><body>" +
+      "<nav><a href='/a'>" + boiler + "</a></nav>" +
+      "<div><p>" + ("substantial real article content with many words here " * 8) + "</p></div>" +
+      "<footer>tiny</footer></body></html>"
+    val fit = graft.scrape.Markdown.fromHtmlFit(html, "http://x.com/")
+    // fit_markdown is exactly the converter over fit_html
+    assert(fit.fit_markdown ==
+      graft.scrape.Html2Md.convert(fit.fit_html, "http://x.com/"))
+    assert(fit.fit_markdown.contains("substantial real article content"))
+    assert(!fit.fit_markdown.contains("tiny"))
+    // raw/citation surfaces identical to fromHtml
+    val base = graft.scrape.Markdown.fromHtml(html, "http://x.com/")
+    assert(fit.raw_markdown == base.raw_markdown &&
+      fit.markdown_with_citations == base.markdown_with_citations)
+  }
+
   test("adaptive embedding: gaps, gap-filling link selection, KB dedup") {
     import graft.ops.{AdaptiveEmbedding => AE, Embed}
     val cfg = AE.Config(dim = 64)
