@@ -499,6 +499,64 @@ object Crawl {
     CrawlSummary(epoch, totalFetched, totals._1, totals._2, seenFinal)
   }
 
+  /** TTL-expire epoch `expired`: every URL FIRST ENQUEUED at that epoch is
+    * re-queued for refetch in a new frontier snapshot (the refresh-crawl /
+    * result-cache-TTL semantics — reference cache TTL invalidates stored
+    * results so the next visit refetches). No inner-loop change is needed:
+    * the seen set gates DISCOVERY, not the queued frontier, so re-enqueued
+    * entries are re-admitted while their hashes stay in seen (they cannot be
+    * re-discovered as duplicates). The old docs for those URLs remain in
+    * earlier snapshots (time travel still sees them); the re-crawl emits
+    * fresh docs at the new epochs. O(expired-delta) work.
+    *
+    * Returns the number of re-queued URLs; `Crawl.run` on the same runDir
+    * then resumes from the new snapshot and refetches them.
+    */
+  def expireEpoch(spark: SparkSession, runDir: String, expired: Int): Long = {
+    val last = lastCommittedEpoch(runDir)
+    require(last >= 0, s"no committed crawl under $runDir")
+    require(Files.exists(manifestPath(runDir, expired)),
+      s"epoch $expired was never committed")
+    val frontierSchema = org.apache.spark.sql.Encoders.product[FrontierEntry].schema
+    val fdir = dir(runDir, expired, "frontier")
+    require(Files.isDirectory(Paths.get(fdir)), s"no frontier snapshot at epoch $expired")
+    val nextEpoch = last + 1
+    val requeue = spark.read.schema(frontierSchema).parquet(fdir)
+      .where(col("enqueue_epoch") === expired && col("status") === CrawlStatus.Queued)
+      .withColumn("epoch", lit(nextEpoch))
+      .withColumn("retry_count", lit(0))
+    // merge with whatever is still queued at the head snapshot (normally
+    // empty after a completed run); first-wins per url_hash, oldest enqueue
+    val headDir = dir(runDir, last, "frontier")
+    val headQueued =
+      if (Files.isDirectory(Paths.get(headDir)))
+        spark.read.schema(frontierSchema).parquet(headDir)
+          .where(col("status") === CrawlStatus.Queued)
+          .withColumn("epoch", lit(nextEpoch))
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], frontierSchema)
+    val merged = requeue.unionByName(headQueued)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("url_hash").orderBy(col("enqueue_epoch"))))
+      .where(col("rk") === 1).drop("rk")
+    merged.write.mode(SaveMode.Overwrite).parquet(dir(runDir, nextEpoch, "frontier"))
+    val n = spark.read.schema(frontierSchema)
+      .parquet(dir(runDir, nextEpoch, "frontier")).count()
+    // empty seen delta for the new epoch (nothing newly seen by expiry)
+    requeue.limit(0).select("url_hash")
+      .write.mode(SaveMode.Overwrite).parquet(dir(runDir, nextEpoch, "seen"))
+    BloomSeen.save(BloomSeen.empty(), bloomPath(runDir, nextEpoch))
+    val base = manifestField(runDir, last, "seen_base").getOrElse(0L)
+    val seenTotal = manifestField(runDir, last, "seen_total").getOrElse(-1L)
+    val strategy = manifestStringField(runDir, last, "strategy").getOrElse("bfs")
+    commitManifest(runDir, nextEpoch,
+      s"""{"epoch":$nextEpoch,"kind":"recrawl","expired_epoch":$expired,""" +
+      s""""fetched":0,"failed":0,"skipped_robots":0,"new_frontier":0,""" +
+      s""""frontier_queued":$n,"seen_total":$seenTotal,"seen_base":$base,""" +
+      s""""strategy":"${jsonEsc(strategy)}"}""")
+    n
+  }
+
   /** Numeric field of the manifest at `epoch`, if committed. */
   private def manifestField(runDir: String, epoch: Int, field: String): Option[Long] = {
     val p = manifestPath(runDir, epoch)

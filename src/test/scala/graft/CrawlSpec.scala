@@ -158,6 +158,45 @@ class CrawlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Crawl.docs(spark, full, asOf = -5) }
   }
 
+  test("TTL recrawl: expiring an epoch refetches exactly its URLs; seen set unchanged") {
+    val cfg = CrawlConfig(strategy = "bfs", hostBudget = 3, maxEpochs = 40)
+    val runDir = freshDir("recrawl")
+    Crawl.run(spark, seedsDF, pagesDF, robotsDF, runDir, cfg)
+    val seenBefore = Crawl.seenSet(spark, runDir).as[Long].collect().toSet
+    val epochsBefore = Crawl.lastCommittedEpoch(runDir)
+    // the URLs first enqueued at epoch 1 (what a TTL of that epoch expires)
+    val expired = spark.read.parquet(f"$runDir/frontier/epoch=${1}%04d")
+      .where(col("enqueue_epoch") === 1 && col("status") === graft.core.CrawlStatus.Queued)
+      .select("url").as[String].collect().toSet
+    assert(expired.nonEmpty)
+    // of those, only the originally-VISITED ones can be re-visited (a
+    // robots-blocked entry is correctly re-blocked on the recrawl too)
+    val originallyVisited = Crawl.visits(spark, runDir)
+      .select("url").as[String].collect().toSet
+    val expectVisit = expired.intersect(originallyVisited)
+    assert(expectVisit.nonEmpty && expectVisit != expired) // site has a robots-blocked cat
+
+    val n = Crawl.expireEpoch(spark, runDir, 1)
+    assert(n == expired.size)
+    Crawl.run(spark, seedsDF, pagesDF, robotsDF, runDir, cfg)
+
+    // seen set identical — refetch, not rediscovery
+    assert(Crawl.seenSet(spark, runDir).as[Long].collect().toSet == seenBefore)
+    // the recrawl epochs visited EXACTLY the expired-and-allowed URLs
+    val revisited = Crawl.visits(spark, runDir)
+      .where(col("epoch") > epochsBefore)
+      .select("url").as[String].collect().toSet
+    assert(revisited == expectVisit)
+    // fresh docs re-emitted for them at the new epochs
+    val freshDocs = Crawl.docs(spark, runDir)
+      .where(col("epoch") > epochsBefore)
+      .select("doc_id").as[String].collect().toSet
+    assert(freshDocs.subsetOf(expectVisit) && freshDocs.nonEmpty)
+    // and no crawl growth beyond them (frontier drained again)
+    assert(Crawl.visits(spark, runDir).count() ==
+      Crawl.visits(spark, runDir, asOf = epochsBefore).count() + expectVisit.size)
+  }
+
   test("dynamic politeness: a throttling host shrinks to its backoff budget and aborts") {
     // site1 serves 503 on every page → its domain state fails repeatedly;
     // after MaxRetries throttled epochs the host is aborted (budget 0)
