@@ -53,6 +53,34 @@ object SparkEntry {
       sharedRun
     }
 
+  // TTL-recrawl run: a COPY of the shared run with epoch 1 expired and
+  // refetched (the shared run itself must stay immutable — every other
+  // crawl query's oracle reads it)
+  @volatile private var recrawlRun: String = null
+  @volatile private var recrawlBase: Int = -1
+
+  private def runRecrawl(spark: SparkSession): (String, Int) = synchronized {
+    if (recrawlRun == null) {
+      import spark.implicits._
+      val src = java.nio.file.Paths.get(runCrawl(spark, "recrawl-src"))
+      val dst = java.nio.file.Files.createTempDirectory("graft-recrawl")
+      val walk = java.nio.file.Files.walk(src)
+      try walk.forEach { p =>
+        val t = dst.resolve(src.relativize(p).toString)
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } finally walk.close()
+      val before = Crawl.lastCommittedEpoch(dst.toString)
+      Crawl.expireEpoch(spark, dst.toString, 1)
+      Crawl.run(spark, Synth.seeds(siteCfg).toDF(), synthPages(spark),
+        Synth.robots(siteCfg).toDF(), dst.toString, crawlCfg)
+      recrawlBase = before
+      recrawlRun = dst.toString
+    }
+    (recrawlRun, recrawlBase)
+  }
+
   private def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
@@ -79,6 +107,13 @@ object SparkEntry {
     "crawl_visit_order" -> ((s, _) => {
       val runDir = runCrawl(s, "visits")
       Crawl.visits(s, runDir).select("epoch", "visit_rank", "url", "depth")
+    }),
+    // TTL refresh: expire epoch 1 on a copy of the run, refetch, report the
+    // recrawl-epoch visits (exactly the expired-and-robots-allowed URLs)
+    "crawl_recrawl" -> ((s, _) => {
+      val (runDir, before) = runRecrawl(s)
+      Crawl.visits(s, runDir).where(col("epoch") > before)
+        .select(col("url"), col("depth"))
     }),
     // per-epoch metrics + lineage from the committed snapshot manifests
     // (wall_ms excluded: timing is the one nondeterministic manifest field)
@@ -463,6 +498,7 @@ object SparkEntry {
     // ---- expected-result fixtures (sequential oracles / generator intent /
     // reference-derived goldens), written by Verify → graft.oracle.Fixtures
     "crawl_visit_order" -> graft.oracle.Fixtures.sql("crawl_visit_order"),
+    "crawl_recrawl" -> graft.oracle.Fixtures.sql("crawl_recrawl"),
     "crawl_docs_spans" -> graft.oracle.Fixtures.sql("crawl_docs_spans"),
     "crawl_epoch_manifests" -> graft.oracle.Fixtures.sql("crawl_epoch_manifests"),
     "crawl_tables" -> graft.oracle.Fixtures.sql("crawl_tables"),

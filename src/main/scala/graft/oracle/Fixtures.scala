@@ -41,6 +41,17 @@ object Fixtures {
         pageMap(u).expectedSpans.map(s => (u, s.kind, s.text, s.media_ref, s.offset))
       }.toDF("doc_id", "kind", "text", "media_ref", "offset"))
 
+    // TTL-recrawl expectation: the epoch-1-enqueued URLs, robots-allowed —
+    // exactly what the engine revisits after expireEpoch(1) + rerun
+    val robotsMap = Synth.robots(site).map(r => r.host -> r.rules).toMap
+    write("crawl_recrawl",
+      trace.enqueued.filter(_._4 == 1)
+        .filter { case (u, h, _, _) =>
+          graft.politeness.Robots.canFetch(
+            robotsMap.getOrElse(h, null), u, graft.SparkEntry.crawlCfg.userAgent) }
+        .map { case (u, _, d, _) => (u, d) }
+        .toDF("url", "depth"))
+
     write("crawl_epoch_manifests",
       trace.stats.map(s => (s.epoch, s.fetched, s.failed, s.skippedRobots,
         s.newFrontier, s.seenTotal))

@@ -21,7 +21,8 @@ object SeqOracle {
       visits: Seq[(Int, Int, String, Int)], // (epoch, visit_rank, url, depth)
       crawledDocs: Seq[String],             // fetch-ok page urls, visit order
       seen: Set[String],
-      stats: Seq[EpochStats])
+      stats: Seq[EpochStats],
+      enqueued: Seq[(String, String, Int, Int)]) // (url, host, depth, enqueue_epoch)
 
   private final case class OEntry(url: String, host: String, depth: Int,
       score: Double, parent: String, path: String, enqueueEpoch: Int, retry: Int)
@@ -47,6 +48,8 @@ object SeqOracle {
       OEntry(u, Urls.host(u), 0, 0.5, "", f"$i%04x", 0, 0)
     }
     var seen = frontier.map(_.url).toSet
+    val enqueued = scala.collection.mutable.ArrayBuffer.empty[(String, String, Int, Int)]
+    frontier.foreach(e => enqueued += ((e.url, e.host, e.depth, 0)))
     val visits = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String, Int)]
     val crawledDocs = scala.collection.mutable.ArrayBuffer.empty[String]
     val stats = scala.collection.mutable.ArrayBuffer.empty[EpochStats]
@@ -104,6 +107,7 @@ object SeqOracle {
         }
       }
       val news = newEntries.values.toSeq.filter(_.score >= cfg.scoreThreshold)
+      news.foreach(e => enqueued += ((e.url, e.host, e.depth, e.enqueueEpoch)))
       seen ++= news.map(_.url)
       stats += EpochStats(epoch + 1, fetchOk.size.toLong, nFailed.toLong,
         skippedRobots.toLong, news.size.toLong, seen.size.toLong)
@@ -111,7 +115,7 @@ object SeqOracle {
       if (news.isEmpty && deferred.isEmpty && spill.isEmpty) doneFlag = true
       epoch += 1
     }
-    CrawlTrace(visits.toSeq, crawledDocs.toSeq, seen, stats.toSeq)
+    CrawlTrace(visits.toSeq, crawledDocs.toSeq, seen, stats.toSeq, enqueued.toSeq)
   }
 
   // ---- sequential twins of the bucketed dedup/ANN plans ---------------------
