@@ -114,7 +114,7 @@ object Bench {
     * cores of process CPU), inflating the N baseline and understating
     * efficiency; with it, both levels are measured on the same terms.
     * No-op if taskset is unavailable. */
-  private def pinCpus(n: Int): Unit =
+  private[graft] def pinCpus(n: Int): Unit =
     try {
       val pid = ProcessHandle.current().pid().toString
       new ProcessBuilder("taskset", "-a", "-p", "-c", s"0-${n - 1}", pid)

@@ -15,22 +15,13 @@ object ScaleProbe {
     ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean].getProcessCpuTime
 
-  /** Pin ALL threads of this JVM to cpus [0, n) — emulates an N-core
-    * executor container the way cgroup cpusets do on a real cluster. */
-  private def pinCpus(n: Int): Unit = {
-    val pid = ProcessHandle.current().pid()
-    val r = new ProcessBuilder("taskset", "-a", "-p", "-c", s"0-${n - 1}", pid.toString)
-      .redirectErrorStream(true).start()
-    r.waitFor()
-  }
-
   def main(args: Array[String]): Unit = {
     val ppc = args.headOption.map(_.toLong).getOrElse(30000L)
     val trials = args.lift(1).map(_.toInt).getOrElse(4)
     val pin = args.lift(2).contains("pin")
     val levels = Seq(2, 8)
     for (t <- 0 until trials; cores <- levels) {
-      if (pin) pinCpus(cores)
+      if (pin) Bench.pinCpus(cores)
       val s = org.apache.spark.sql.SparkSession.builder()
         .master(s"local[$cores]")
         .config("spark.sql.shuffle.partitions", math.max(cores, 8))

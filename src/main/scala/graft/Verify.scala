@@ -23,7 +23,19 @@ object Verify {
       }
     }
     // expected-result fixtures for the no-SQL-twin queries (sequential
-    // oracles + reference-derived goldens → parquet the oracle SQL reads)
+    // oracles + reference-derived goldens → parquet the oracle SQL reads).
+    // The fixture dir is deleted FIRST: a partial/failed writeAll must leave
+    // missing files (loud DuckDB errors), never stale expectations from a
+    // previous build that the compare would silently consume.
+    locally {
+      val d = java.nio.file.Paths.get(graft.oracle.Fixtures.dir)
+      if (Files.isDirectory(d)) {
+        val walk = Files.walk(d)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    }
     try graft.oracle.Fixtures.writeAll(spark, sfDir)
     catch { case e: Throwable =>
       System.err.println(s"[verify] fixtures failed: ${e.getMessage}")

@@ -54,6 +54,18 @@ object BloomSeen {
     */
   def split(spark: SparkSession, candidates: DataFrame, hashCol: String,
             blooms: Seq[BloomFilter]): (DataFrame, DataFrame) = {
+    val (a, b, _) = splitTracked(spark, candidates, hashCol, blooms)
+    (a, b)
+  }
+
+  /** As [[split]], but also returns the broadcast handle so the caller can
+    * `destroy()` it once the epoch's jobs are complete — without this, a
+    * long crawl accumulates one bloom-vector broadcast per epoch (including
+    * the full-set compacted bloom, MBs at scale) for the JVM lifetime.
+    */
+  def splitTracked(spark: SparkSession, candidates: DataFrame, hashCol: String,
+                   blooms: Seq[BloomFilter])
+      : (DataFrame, DataFrame, org.apache.spark.broadcast.Broadcast[Array[BloomFilter]]) = {
     val bc = spark.sparkContext.broadcast(blooms.toArray)
     val mightContain = udf { (h: Long) =>
       val bs = bc.value; var i = 0; var hit = false
@@ -62,7 +74,8 @@ object BloomSeen {
     }.asNondeterministic()
     val flagged = candidates.withColumn("__maybe_seen", mightContain(col(hashCol)))
     (flagged.where(!col("__maybe_seen")).drop("__maybe_seen"),
-      flagged.where(col("__maybe_seen")).drop("__maybe_seen"))
+      flagged.where(col("__maybe_seen")).drop("__maybe_seen"),
+      bc)
   }
 
   /** Bloom-accelerated anti-join: rows of `candidates` whose `hashCol` is not
@@ -70,10 +83,16 @@ object BloomSeen {
     * maybe-seen slice shuffles.
     */
   def antiJoin(spark: SparkSession, candidates: DataFrame, seen: DataFrame,
-               hashCol: String, blooms: Seq[BloomFilter]): DataFrame = {
-    val (definitelyNew, maybeSeen) = split(spark, candidates, hashCol, blooms)
+               hashCol: String, blooms: Seq[BloomFilter]): DataFrame =
+    antiJoinTracked(spark, candidates, seen, hashCol, blooms)._1
+
+  /** As [[antiJoin]], plus the broadcast handle for end-of-epoch destroy. */
+  def antiJoinTracked(spark: SparkSession, candidates: DataFrame, seen: DataFrame,
+                      hashCol: String, blooms: Seq[BloomFilter])
+      : (DataFrame, org.apache.spark.broadcast.Broadcast[Array[BloomFilter]]) = {
+    val (definitelyNew, maybeSeen, bc) = splitTracked(spark, candidates, hashCol, blooms)
     val survivors = maybeSeen.join(seen, Seq(hashCol), "left_anti")
-    definitelyNew.unionByName(survivors)
+    (definitelyNew.unionByName(survivors), bc)
   }
 
   /** Single-bloom convenience overload (kept for the property suite). */

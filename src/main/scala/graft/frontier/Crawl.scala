@@ -385,7 +385,8 @@ object Crawl {
         // dedup: incremental bloom vector pre-filter + exact anti-join, then
         // first-wins per hash (no full-history bloom rebuild — the vector
         // holds one delta-sized bloom per epoch since the last compaction)
-        val fresh = BloomSeen.antiJoin(spark, candidates, seen, "url_hash", blooms)
+        val (fresh, bloomBc) =
+          BloomSeen.antiJoinTracked(spark, candidates, seen, "url_hash", blooms)
         val firstWins = fresh.withColumn("rk", row_number().over(
             Window.partitionBy("url_hash")
               .orderBy(col("parent_path"), col("link_index"))))
@@ -491,6 +492,10 @@ object Crawl {
           s""""strategy":"${jsonEsc(cfg.strategy)}","wall_ms":$wall,"partitions":$partLineage}""")
 
         scraped.unpersist(); admitted.unpersist(); newEntries.unpersist()
+        // all consumers of this epoch's bloom broadcast have completed and
+        // their outputs are on disk — free it (one vector per epoch would
+        // otherwise accumulate for the crawl's lifetime)
+        bloomBc.destroy()
         if (queuedCount == 0) done = true
         epoch += 1
       }
@@ -620,14 +625,22 @@ object Crawl {
     */
   def visits(spark: SparkSession, runDir: String, asOf: Int = Int.MaxValue): DataFrame = {
     val last = snapshotEpoch(runDir, asOf)
-    val dirs = (0 until math.max(last, 0)).map(e => dir(runDir, e, "visits"))
-      .filter(d => Files.isDirectory(Paths.get(d)))
-    if (dirs.isEmpty) return spark.emptyDataFrame
-    val strategy = manifestStringField(runDir, math.max(last, 0), "strategy")
-      .getOrElse("bfs")
-    spark.read.parquet(dirs: _*)
-      .withColumn("visit_rank", row_number().over(
-        Window.partitionBy("epoch").orderBy(strategyOrder(strategy): _*)))
+    val epochs = (0 until math.max(last, 0))
+      .filter(e => Files.isDirectory(Paths.get(dir(runDir, e, "visits"))))
+    if (epochs.isEmpty) return spark.emptyDataFrame
+    // rank each epoch under ITS OWN strategy (manifest e+1 records epoch e's
+    // crawl): a run resumed under a different strategy keeps the earlier
+    // epochs' historical visit order intact
+    val perEpochStrategy = epochs.map { e =>
+      e -> manifestStringField(runDir, e + 1, "strategy")
+        .orElse(manifestStringField(runDir, math.max(last, 0), "strategy"))
+        .getOrElse("bfs")
+    }
+    perEpochStrategy.groupBy(_._2).map { case (strategy, es) =>
+      spark.read.parquet(es.map(x => dir(runDir, x._1, "visits")): _*)
+        .withColumn("visit_rank", row_number().over(
+          Window.partitionBy("epoch").orderBy(strategyOrder(strategy): _*)))
+    }.reduce(_ unionByName _)
       .select("url", "depth", "score", "path", "visit_rank", "epoch")
       .orderBy("epoch", "visit_rank")
   }

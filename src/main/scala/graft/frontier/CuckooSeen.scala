@@ -30,13 +30,15 @@ import java.nio.file.{Files, Path}
   * is never built.
   */
 final class CuckooFilter private (val numBuckets: Int,
-                                  private val table: Array[Short]) extends Serializable {
+                                  private val table: Array[Short],
+                                  private val stash: scala.collection.mutable.ArrayBuffer[(Int, Short)] =
+                                    scala.collection.mutable.ArrayBuffer.empty) extends Serializable {
   import CuckooFilter._
 
   private[frontier] def slots: Array[Short] = table
 
-  /** Count of occupied slots (fingerprint 0 = empty). */
-  def size: Int = { var c = 0; var i = 0; while (i < table.length) { if (table(i) != 0) c += 1; i += 1 }; c }
+  /** Count of occupied slots (fingerprint 0 = empty) + stashed orphans. */
+  def size: Int = { var c = 0; var i = 0; while (i < table.length) { if (table(i) != 0) c += 1; i += 1 }; c + stash.size }
 
   // numBuckets is a power of two: i2 = i1 XOR (h(fp) & mask) is then
   // self-inverse, so either bucket derives the other — the property the
@@ -89,14 +91,22 @@ final class CuckooFilter private (val numBuckets: Int,
       if (tryInsertAt(i, f)) return true
       kicks += 1
     }
-    false
+    // kick budget spent: the last displaced fingerprint would otherwise be
+    // ORPHANED — a silent false negative for a previously-inserted key,
+    // breaking the no-false-negative contract antiJoin's definitely-new fast
+    // path depends on. Park it in a bounded stash instead (consulted by
+    // contains/delete); only a full stash reports failure.
+    if (stash.size < StashCap) { stash += ((i, f)); true } else false
   }
 
   def contains(key: Long): Boolean = {
     val fp = fingerprint(key)
     val i1 = bucketIndex(Xxh64.hashLong(key, IndexSeed))
     if (bucketContains(i1, fp)) return true
-    bucketContains(altIndex(i1, fp), fp)
+    val i2 = altIndex(i1, fp)
+    if (bucketContains(i2, fp)) return true
+    // a stashed orphan's bucket pair is {b, alt(b, fp)} == {i1, i2} iff b hits
+    stash.exists { case (b, f) => f == fp && (b == i1 || b == i2) }
   }
 
   /** Remove one copy of the key's fingerprint; false if absent. */
@@ -112,13 +122,16 @@ final class CuckooFilter private (val numBuckets: Int,
         s += 1
       }
     }
-    false
+    val si = stash.indexWhere { case (b, f) => f == fp && (b == i1 || b == i2) }
+    if (si >= 0) { stash.remove(si); true } else false
   }
 
   def serialize(): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(4 + table.length * 2)
+    val bb = java.nio.ByteBuffer.allocate(8 + table.length * 2 + stash.size * 6)
     bb.putInt(numBuckets)
     table.foreach(bb.putShort)
+    bb.putInt(stash.size)
+    stash.foreach { case (b, f) => bb.putInt(b); bb.putShort(f) }
     bb.array()
   }
 }
@@ -126,6 +139,7 @@ final class CuckooFilter private (val numBuckets: Int,
 object CuckooFilter {
   final val SlotsPerBucket = 4
   final val MaxKicks = 500
+  final val StashCap = 32
   private final val IndexSeed = 0x51ab1e5eedL
   private final val AltSeed = 0xa17e4a7eL
   private final val KickSeed = 0x6b1c6b1cL
@@ -152,7 +166,12 @@ object CuckooFilter {
     val table = new Array[Short](buckets * SlotsPerBucket)
     var i = 0
     while (i < table.length) { table(i) = bb.getShort; i += 1 }
-    new CuckooFilter(buckets, table)
+    val stash = scala.collection.mutable.ArrayBuffer.empty[(Int, Short)]
+    if (bb.remaining() >= 4) {
+      val n = bb.getInt
+      (0 until n).foreach(_ => stash += ((bb.getInt, bb.getShort)))
+    }
+    new CuckooFilter(buckets, table, stash)
   }
 }
 
@@ -186,7 +205,9 @@ object CuckooSeen {
   def build(df: DataFrame, colName: String, expectedItems: Long): CuckooFilter = {
     val cf = CuckooFilter.create(math.max(expectedItems, 64L))
     df.select(col(colName)).distinct().collect().foreach { r =>
-      if (!r.isNullAt(0)) cf.insert(r.getLong(0))
+      if (!r.isNullAt(0))
+        require(cf.insert(r.getLong(0)),
+          s"cuckoo filter over capacity (expectedItems=$expectedItems too low)")
     }
     cf
   }

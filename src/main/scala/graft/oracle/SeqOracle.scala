@@ -101,7 +101,14 @@ object SeqOracle {
                 .toDouble / cfg.keywords.size
             val cand = OEntry(u, Urls.host(u), e.depth + 1, score, e.url,
               e.path + f"${l.linkIndex}%04x", epoch + 1, 0)
-            val better = newEntries.get(u).forall(x => cand.path < x.path)
+            // first-wins tiebreak must mirror the engine's
+            // Window.orderBy(parent_path, link_index) TUPLE order — plain
+            // concatenated-path comparison diverges when one parent path is
+            // a prefix of the other (different depths in one epoch)
+            def keyOf(x: OEntry) = (x.path.dropRight(4), x.path.takeRight(4))
+            val better = newEntries.get(u).forall { x =>
+              implicitly[Ordering[(String, String)]].lt(keyOf(cand), keyOf(x))
+            }
             if (better) newEntries(u) = cand
           }
         }

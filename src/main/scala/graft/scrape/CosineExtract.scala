@@ -39,11 +39,15 @@ object CosineExtract {
 
   // ---- semantic pre-filter (filter_documents_embeddings) --------------------
 
-  def filterBySimilarity(chunks: Seq[String], query: String, cfg: Config): Seq[String] = {
+  def filterBySimilarity(chunks: Seq[String], query: String, cfg: Config): Seq[String] =
+    filterBySimilarityEmb(chunks, query, cfg, cfg.embed)
+
+  private def filterBySimilarityEmb(chunks: Seq[String], query: String,
+      cfg: Config, emb: String => Array[Float]): Seq[String] = {
     if (chunks.isEmpty) return chunks
     val atLeastK = if (chunks.length < 20) chunks.length / 2 else 20
     val q = cfg.embed(query)
-    val sims = chunks.map(c => Embed.cosine(q, cfg.embed(c)))
+    val sims = chunks.map(c => Embed.cosine(q, emb(c)))
     val zipped = chunks.zip(sims)
     val kept = zipped.filter(_._2 >= cfg.simThreshold)
     val result =
@@ -127,14 +131,18 @@ object CosineExtract {
   private val tagStopwords = TextAnalysisStopwords.en
 
   def extract(sections: Seq[String], cfg: Config = Config()): Seq[Cluster] = {
+    // one embedding per distinct chunk for BOTH the pre-filter and the
+    // clustering pass (cfg.embed may be a real model — the dominant cost)
+    val embCache = scala.collection.mutable.HashMap.empty[String, Array[Float]]
+    def emb(c: String): Array[Float] = embCache.getOrElseUpdate(c, cfg.embed(c))
     val chunks = cfg.semanticFilter match {
-      case Some(q) => filterBySimilarity(sections, q, cfg)
+      case Some(q) => filterBySimilarityEmb(sections, q, cfg, emb)
       case None => sections
     }
     if (chunks.isEmpty) return Nil
     val labels =
       if (chunks.length == 1) Array(1)
-      else agglomerate(cosineDistances(chunks.map(cfg.embed)), cfg.linkage, cfg.maxDist)
+      else agglomerate(cosineDistances(chunks.map(emb)), cfg.linkage, cfg.maxDist)
     val grouped = scala.collection.mutable.LinkedHashMap.empty[Int, List[String]]
     chunks.zip(labels).foreach { case (c, l) =>
       grouped(l) = grouped.getOrElse(l, Nil) :+ c

@@ -199,9 +199,20 @@ object Scrape {
     var inTr = false
     var rowHadCell = false
     // image position scoring needs (index, total): total from a cheap
-    // pre-pass; index counts EVERY <img> open (including rejected/hidden —
-    // reference indexes the full select('img') list)
-    val totalImages = { var c = 0; var i = html.indexOf("<img"); while (i >= 0) { c += 1; i = html.indexOf("<img", i + 4) }; c }
+    // case-INSENSITIVE pre-pass (the tokenizer lowercases tags, so `<IMG`
+    // must count too or the denominator diverges from imgIndex); index
+    // counts EVERY <img> open (including rejected/hidden — reference indexes
+    // the full select('img') list). Known edge vs the reference's parsed
+    // select('img'): occurrences inside comments still count here.
+    val totalImages = {
+      var c = 0; var i = 0
+      val n = html.length - 4
+      while (i <= n) {
+        if (html.charAt(i) == '<' && html.regionMatches(true, i + 1, "img", 0, 3)) c += 1
+        i += 1
+      }
+      c
+    }
     var imgIndex = 0
 
     def flushText(): Unit = {

@@ -89,9 +89,40 @@ object PdfParse {
   private def refsIn(s: String): Seq[Int] =
     refRe.findAllMatchIn(s).map(_.group(1).toInt).toSeq
 
+  /** The VALUE span of `key` only — bounded at the next top-level name
+    * token or the dict's end, tracking array/dict nesting. (Returning the
+    * raw remainder would let refsIn() capture refs belonging to the
+    * FOLLOWING keys — /Parent, /Thumb, /Metadata — and feed e.g. a
+    * thumbnail stream into the page-text scan.) */
   private def dictValue(dict: String, key: String): Option[String] = {
     val i = dict.indexOf(key)
-    if (i < 0) None else Some(dict.substring(i + key.length))
+    if (i < 0) return None
+    var j = i + key.length
+    val n = dict.length
+    while (j < n && dict.charAt(j).isWhitespace) j += 1
+    val start = j
+    var depth = 0
+    var first = true
+    var k = j
+    var end = -1
+    while (k < n && end < 0) {
+      val c = dict.charAt(k)
+      if (c == '[') { depth += 1; first = false; k += 1 }
+      else if (c == ']') {
+        depth -= 1; k += 1
+        if (depth <= 0 && start < n && dict.charAt(start) == '[') end = k
+      }
+      else if (c == '<' && k + 1 < n && dict.charAt(k + 1) == '<') { depth += 1; first = false; k += 2 }
+      else if (c == '>' && k + 1 < n && dict.charAt(k + 1) == '>') {
+        if (depth == 0) end = k else { depth -= 1; k += 2 }
+      }
+      else if (c == '/') {
+        if (depth == 0 && !first) end = k else { first = false; k += 1 }
+      }
+      else { if (!c.isWhitespace) first = false; k += 1 }
+    }
+    if (end < 0) end = n
+    Some(dict.substring(start, end))
   }
 
   /** Text of one content stream: literal/hex strings inside BT…ET, with
@@ -196,17 +227,17 @@ object PdfParse {
     if (pageObjs.isEmpty) return None
 
     val pages = pageObjs.map { p =>
-      val contentRefs = dictValue(p.dict, "/Contents").map(v => refsIn(v.take(200)))
+      val contentRefs = dictValue(p.dict, "/Contents").map(refsIn)
         .getOrElse(Seq.empty)
       val text = contentRefs.flatMap(objs.get).flatMap(decodedStream)
         .map(textOf).filter(_.nonEmpty).mkString("\n")
       // image count: /Resources /XObject refs that are /Subtype /Image
-      val xobjRefs = dictValue(p.dict, "/XObject").map(v => refsIn(v.take(400)))
+      val xobjRefs = dictValue(p.dict, "/XObject").map(refsIn)
         .getOrElse(Seq.empty)
       val nImages = xobjRefs.flatMap(objs.get).count(o =>
         o.dict.contains("/Subtype /Image") || o.dict.contains("/Subtype/Image"))
       // links: /Annots → /URI ( … )
-      val annotRefs = dictValue(p.dict, "/Annots").map(v => refsIn(v.take(400)))
+      val annotRefs = dictValue(p.dict, "/Annots").map(refsIn)
         .getOrElse(Seq.empty)
       val uriRe = """/URI\s*\(([^)]*)\)""".r
       val links = annotRefs.flatMap(objs.get).flatMap(o =>
