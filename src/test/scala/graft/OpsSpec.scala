@@ -374,6 +374,39 @@ class OpsSpec extends AnyFunSuite {
     assert(dedup.where(col("n_copies") === 2).count() == 1)
   }
 
+  test("multimodal: REAL JDK codecs — PNG dims/features, WAV duration, resize") {
+    // real PNG: exact dimensions + content-based 4x4 gray-pool feature
+    val png = Multimodal.syntheticPngBlob("d1", "img://one", 320, 200)
+    val png2 = Multimodal.syntheticPngBlob("d2", "img://one", 320, 200) // same pixels
+    val pngOther = Multimodal.syntheticPngBlob("d3", "img://two", 320, 200)
+    val wav = Multimodal.syntheticWavBlob("d4", "snd://one", ms = 1500)
+    val feats = Multimodal.decode(Seq(png, png2, pngOther, wav).toDS())
+      .collect().map(f => f.media_ref -> f).toMap
+    val f1 = feats("img://one")
+    assert(f1.width == 320 && f1.height == 200 && f1.n_frames == 1)
+    assert(f1.feature.length == 16 && f1.feature.forall(v => v >= 0f && v <= 1f))
+    assert(f1.feature.distinct.length > 1) // real content, not constant
+    // same pixels → identical features regardless of doc
+    assert(feats.values.find(f => f.doc_id == "d2").get.feature.sameElements(f1.feature))
+    // different pixels → different features
+    assert(!feats("img://two").feature.sameElements(f1.feature))
+    // real WAV: exact duration from the frame count, energetic RMS profile
+    val fa = feats("snd://one")
+    assert(fa.duration_ms == 1500)
+    assert(fa.feature.forall(_ > 0.1f)) // a sine has uniform RMS everywhere
+    // real resize: aspect preserved, decodable output
+    val Some((rBytes, rw, rh)) = Multimodal.resizeImage(png.bytes, maxSide = 64)
+    assert(rw == 64 && rh == 40)
+    val rImg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rBytes))
+    assert(rImg.getWidth == 64 && rImg.getHeight == 40)
+    // corrupt payload: falls back to the deterministic stub, never throws
+    val junk = Multimodal.syntheticBlob("d5", "junk://x", "image")
+    val (real, stub) = (Multimodal.decodeReal(junk), Multimodal.decodeStub(junk))
+    assert((real.width, real.height, real.duration_ms, real.n_frames) ==
+      (stub.width, stub.height, stub.duration_ms, stub.n_frames) &&
+      real.feature.sameElements(stub.feature))
+  }
+
   test("markdown: html2text emission + per-URL citation dedup") {
     val html = """<h1>Doc</h1><p>See <a href="http://x.com/docs">docs</a> and """ +
       """<a href="http://x.com/docs">docs again</a> and <a href="http://ext.com">ext</a>.</p>""" +
