@@ -81,6 +81,23 @@ object SparkEntry {
     (recrawlRun, recrawlBase)
   }
 
+  /** Deterministic media blob for the q_media_features corpus: REAL PNG
+    * (ref-hash pixels, size derived from the ref) for images, REAL WAV
+    * (ref-derived sine + duration) for audio, hash-chain stub bytes for
+    * video. Shared by the query and the sequential fixture twin. */
+  private[graft] def mediaBlobFor(id: String, ref: String, kind: String)
+      : graft.ops.Multimodal.MediaBlob = kind match {
+    case "image" =>
+      val h = graft.core.Xxh64.hashString(ref)
+      graft.ops.Multimodal.syntheticPngBlob(id, ref,
+        32 + (math.abs(h) % 64).toInt, 24 + (math.abs(h >> 7) % 48).toInt)
+    case "audio" =>
+      val h = graft.core.Xxh64.hashString(ref)
+      graft.ops.Multimodal.syntheticWavBlob(id, ref,
+        ms = 500 + (math.abs(h >> 3) % 2000).toInt)
+    case _ => graft.ops.Multimodal.syntheticBlob(id, ref, kind)
+  }
+
   private def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
@@ -473,18 +490,19 @@ object SparkEntry {
           concat_ws("||", col("fit_chunks")).as("fit_text"))
     }),
 
-    // ---- multimodal plumbing (stub kernel; deterministic features) --------
+    // ---- multimodal: REAL JDK codecs for image (PNG) and audio (WAV),
+    // deterministic stub for video (no JDK video codec) --------------------
     "q_media_features" -> ((s, dir) => {
       import s.implicits._
       val refs = table(s, dir, "documents").where(col("doc_id") < 100)
         .select(col("doc_id").cast("string").as("doc_id"),
           concat(lit("http://media.example.com/"), col("doc_id"),
-            when(col("doc_id") % 3 === 0, ".jpg")
-              .when(col("doc_id") % 3 === 1, ".mp4").otherwise(".ogg")).as("media_ref"),
+            when(col("doc_id") % 3 === 0, ".png")
+              .when(col("doc_id") % 3 === 1, ".mp4").otherwise(".wav")).as("media_ref"),
           when(col("doc_id") % 3 === 0, "image")
             .when(col("doc_id") % 3 === 1, "video").otherwise("audio").as("kind"))
       val blobs = refs.as[(String, String, String)]
-        .map { case (id, ref, kind) => Multimodal.syntheticBlob(id, ref, kind) }
+        .map { case (id, ref, kind) => SparkEntry.mediaBlobFor(id, ref, kind) }
       Multimodal.decode(blobs).toDF()
         .select(col("doc_id"), col("media_ref"), col("kind"),
           col("width"), col("height"), col("duration_ms"), col("n_frames"))

@@ -145,9 +145,9 @@ object Fixtures {
       .where($"doc_id" < 100).select("doc_id").as[Long].collect().toSeq.sorted
     write("q_media_features",
       mediaIds.map { id =>
-        val ext = if (id % 3 == 0) ".jpg" else if (id % 3 == 1) ".mp4" else ".ogg"
+        val ext = if (id % 3 == 0) ".png" else if (id % 3 == 1) ".mp4" else ".wav"
         val kind = if (id % 3 == 0) "image" else if (id % 3 == 1) "video" else "audio"
-        val f = Multimodal.decodeStub(Multimodal.syntheticBlob(
+        val f = Multimodal.decodeReal(graft.SparkEntry.mediaBlobFor(
           id.toString, s"http://media.example.com/$id$ext", kind))
         (f.doc_id, f.media_ref, f.kind, f.width, f.height, f.duration_ms, f.n_frames)
       }.toDF("doc_id", "media_ref", "kind", "width", "height", "duration_ms", "n_frames"))
