@@ -172,12 +172,15 @@ object Scrape {
         .flatMap(s => CssExtract.select(root, s).map(_.outerHtml))
       val contentDoc =
         scrapeTokens(url, s"<div>${content.mkString("\n")}</div>", cfg)
-      val full = scrapeTokens(url, cleaned, cfg)
+      // links+title only — span/media emission skipped, so the second walk
+      // over the full page does not repeat the content work
+      val full = scrapeTokens(url, cleaned, cfg, emitSpans = false)
       contentDoc.copy(links = full.links, title = full.title)
     }
   }
 
-  private def scrapeTokens(url: String, html: String, cfg: Config): ScrapedDoc = {
+  private def scrapeTokens(url: String, html: String, cfg: Config,
+                           emitSpans: Boolean = true): ScrapedDoc = {
     val excluded = alwaysExcluded ++ cfg.excludedTags
     val excludeDoms = cfg.effectiveExcludeDomains
     val base = Urls.baseDomain(url)
@@ -216,6 +219,7 @@ object Scrape {
     var imgIndex = 0
 
     def flushText(): Unit = {
+      if (!emitSpans) { buf.clear(); return }
       val text = HtmlTok.normSpace(buf.toString)
       buf.clear()
       if (text.nonEmpty) {
@@ -228,6 +232,7 @@ object Scrape {
     }
 
     def emitMedia(src: String, alt: String): Unit = {
+      if (!emitSpans) return
       flushText()
       val ref =
         if (src == null || src.isEmpty) ""
