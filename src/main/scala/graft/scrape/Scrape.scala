@@ -66,7 +66,10 @@ object Scrape {
       excludeInternalLinks: Boolean = false,
       excludeSocialMediaLinks: Boolean = false,
       excludeDomains: Set[String] = Set.empty,
-      excludeExternalImages: Boolean = false) {
+      excludeExternalImages: Boolean = false,
+      /** remove_forms sugar: drops `<form>` subtrees
+        * (content_scraping_strategy.py kwargs). */
+      removeForms: Boolean = false) {
     def effectiveExcludeDomains: Set[String] =
       if (excludeSocialMediaLinks) excludeDomains ++ Scrape.socialMediaDomains
       else excludeDomains
@@ -181,7 +184,8 @@ object Scrape {
 
   private def scrapeTokens(url: String, html: String, cfg: Config,
                            emitSpans: Boolean = true): ScrapedDoc = {
-    val excluded = alwaysExcluded ++ cfg.excludedTags
+    val excluded = alwaysExcluded ++ cfg.excludedTags ++
+      (if (cfg.removeForms) Set("form") else Set.empty)
     val excludeDoms = cfg.effectiveExcludeDomains
     val base = Urls.baseDomain(url)
     val spans = scala.collection.mutable.ArrayBuffer.empty[Span]

@@ -199,6 +199,14 @@ class ScrapeSpec extends AnyFunSuite {
     assert(d5.spans.filter(_.kind == "media").map(_.text) == Seq("own pic"))
   }
 
+  test("removeForms drops form subtrees") {
+    val html = "<html><body><p>real</p><form><input><p>form text</p></form></body></html>"
+    val d = Scrape.scrape("http://x.com/a", html, Scrape.Config(removeForms = true))
+    assert(d.spans.map(_.text) == Seq("real"))
+    val keep = Scrape.scrape("http://x.com/a", html)
+    assert(keep.spans.exists(_.text.contains("form text")))
+  }
+
   test("targetElements restrict content spans; links still global") {
     val doc = Scrape.scrape("http://x.com/a", selectorPage,
       Scrape.Config(targetElements = Seq(".main")))
