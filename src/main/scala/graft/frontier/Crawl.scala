@@ -7,7 +7,6 @@ import graft.scrape.Scrape
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.util.sketch.BloomFilter
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
 /** The crawl engine: an epoch-batch frontier loop, each epoch one Catalyst
@@ -62,10 +61,19 @@ final case class CrawlConfig(
       * becomes the cap. */
     dynamicPoliteness: Boolean = false,
     epochSeconds: Double = 60.0,
-    /** Every this-many epochs the per-epoch seen DELTAS (and their blooms)
+    /** Every this-many epochs the per-epoch seen DELTAS (and their filters)
       * are compacted into one full set — bounds the number of delta dirs a
-      * reader unions and the per-epoch bloom vector length. */
-    seenCompactEvery: Int = 16)
+      * reader unions and the per-epoch filter vector length. */
+    seenCompactEvery: Int = 16,
+    /** Pre-filter family for the seen set: "bloom" (append-only, smallest) or
+      * "cuckoo" (deletable — TTL expiry evicts the expired delta's hashes from
+      * the persisted filters instead of leaving them to age out, see
+      * [[Crawl.expireEpoch]]). Either way the exact anti-join gates
+      * correctness; this only chooses the pre-filter. */
+    seenFilter: String = "bloom",
+    /** Shards per cuckoo delta filter (each built inside one executor task;
+      * auto-scaled up for large deltas). */
+    cuckooShards: Int = 32)
 
 final case class CrawlSummary(
     epochs: Int, fetched: Long, failed: Long, skippedRobots: Long, seen: Long)
@@ -88,9 +96,6 @@ object Crawl {
 
   private def manifestPath(runDir: String, epoch: Int) =
     Paths.get(f"$runDir/manifest_$epoch%04d.json")
-
-  private def bloomPath(runDir: String, epoch: Int) =
-    Paths.get(f"$runDir/bloom_$epoch%04d.bin")
 
   /** The admission/visit sort key per traversal strategy (the ONLY ordering
     * spec in the engine; `Crawl.visits` re-derives ranks from it at read
@@ -172,6 +177,7 @@ object Crawl {
       : CrawlSummary = {
     import spark.implicits._
     Files.createDirectories(Paths.get(runDir))
+    val store = SeenStore.forConfig(cfg.seenFilter, cfg.bloomFpp, cfg.cuckooShards)
 
     val start = lastCommittedEpoch(runDir)
     if (start < 0) {
@@ -184,10 +190,10 @@ object Crawl {
       val s0 = f0.select("url_hash").distinct()
       s0.write.mode(SaveMode.Overwrite).parquet(dir(runDir, 0, "seen"))
       val seedCount = spark.read.parquet(dir(runDir, 0, "seen")).count()
-      BloomSeen.save(
-        BloomSeen.build(spark.read.parquet(dir(runDir, 0, "seen")),
-          "url_hash", seedCount, cfg.bloomFpp),
-        bloomPath(runDir, 0))
+      store.save(
+        store.build(spark, spark.read.parquet(dir(runDir, 0, "seen")),
+          "url_hash", seedCount),
+        store.path(runDir, 0))
       commitManifest(runDir, 0,
         s"""{"epoch":0,"kind":"bootstrap","strategy":"${jsonEsc(cfg.strategy)}",""" +
         s""""seen_base":0,"seen_total":$seedCount,""" +
@@ -215,15 +221,16 @@ object Crawl {
         .filter(d => Files.isDirectory(Paths.get(d)))
       spark.read.schema(seenSchema).parquet(dirs: _*)
     }
-    // per-epoch delta blooms, loaded from persisted files (rebuilt from the
-    // delta dir — delta-sized, cheap — if a file is missing)
-    var blooms: Vector[BloomFilter] = (seenBase to epoch).toVector.map { e =>
-      val p = bloomPath(runDir, e)
-      if (Files.exists(p)) BloomSeen.load(p)
+    // per-epoch delta filters, loaded from persisted files (rebuilt from the
+    // delta dir — delta-sized, cheap — if a file is missing or the run is
+    // resumed under the other filter family)
+    var filters: Vector[SeenDelta] = (seenBase to epoch).toVector.map { e =>
+      val p = store.path(runDir, e)
+      if (Files.exists(p)) store.load(p)
       else scala.util.Try {
         val delta = spark.read.parquet(dir(runDir, e, "seen"))
-        BloomSeen.build(delta, "url_hash", delta.count(), cfg.bloomFpp)
-      }.getOrElse(BloomSeen.empty(cfg.bloomFpp))
+        store.build(spark, delta, "url_hash", delta.count())
+      }.getOrElse(store.empty())
     }
     while (!done && epoch < cfg.maxEpochs) {
       val t0 = System.currentTimeMillis()
@@ -382,11 +389,11 @@ object Crawl {
           .where(col("depth") + 1 <= cfg.maxDepth)
           .withColumn("url_hash", xxhash64(col("url")))
 
-        // dedup: incremental bloom vector pre-filter + exact anti-join, then
-        // first-wins per hash (no full-history bloom rebuild — the vector
-        // holds one delta-sized bloom per epoch since the last compaction)
-        val (fresh, bloomBc) =
-          BloomSeen.antiJoinTracked(spark, candidates, seen, "url_hash", blooms)
+        // dedup: incremental filter vector pre-filter + exact anti-join, then
+        // first-wins per hash (no full-history filter rebuild — the vector
+        // holds one delta-sized filter per epoch since the last compaction)
+        val (fresh, filterBc) =
+          SeenFilters.antiJoinTracked(spark, candidates, seen, "url_hash", filters)
         val firstWins = fresh.withColumn("rk", row_number().over(
             Window.partitionBy("url_hash")
               .orderBy(col("parent_path"), col("link_index"))))
@@ -438,21 +445,21 @@ object Crawl {
             else newEntries.select("url_hash")
           out.write.mode(SaveMode.Overwrite).parquet(dir(runDir, nextEpoch, "seen"))
         }
-        // the bloom needs the exact delta count for sizing → chains on fNew
+        // the filter needs the exact delta count for sizing → chains on fNew
         // (and, when compacting, on the full-set write it re-reads)
-        val fSeen: Future[(Int, Vector[org.apache.spark.util.sketch.BloomFilter])] =
+        val fSeen: Future[(Int, Vector[SeenDelta])] =
           fNew.zip(fSeenWrite).map { case (nNew, _) =>
             if (compacting) {
               val full = spark.read.schema(seenSchema).parquet(dir(runDir, nextEpoch, "seen"))
-              val compactBloom = BloomSeen.build(full, "url_hash", seenCount + nNew, cfg.bloomFpp)
-              BloomSeen.save(compactBloom, bloomPath(runDir, nextEpoch))
-              (nextEpoch, Vector(compactBloom))
+              val compactFilter = store.build(spark, full, "url_hash", seenCount + nNew)
+              store.save(compactFilter, store.path(runDir, nextEpoch))
+              (nextEpoch, Vector(compactFilter))
             } else {
-              val deltaBloom =
-                if (nNew == 0) BloomSeen.empty(cfg.bloomFpp)
-                else BloomSeen.build(newEntries, "url_hash", nNew, cfg.bloomFpp)
-              BloomSeen.save(deltaBloom, bloomPath(runDir, nextEpoch))
-              (seenBase, blooms :+ deltaBloom)
+              val deltaFilter =
+                if (nNew == 0) store.empty()
+                else store.build(spark, newEntries, "url_hash", nNew)
+              store.save(deltaFilter, store.path(runDir, nextEpoch))
+              (seenBase, filters :+ deltaFilter)
             }
           }
 
@@ -461,7 +468,7 @@ object Crawl {
         val nNew = Await.result(fNew, Duration.Inf)
         val tB = System.currentTimeMillis()
         val nBlocked = Await.result(fBlocked, Duration.Inf)
-        val (newSeenBase, newBlooms) = Await.result(fSeen, Duration.Inf)
+        val (newSeenBase, newFilters) = Await.result(fSeen, Duration.Inf)
         Await.result(fDocs, Duration.Inf)
         Await.result(fVisits, Duration.Inf)
         Await.result(fState, Duration.Inf)
@@ -470,7 +477,7 @@ object Crawl {
           System.err.println(s"[epoch $epoch] plan=${tPlan - t0}ms lineage=${tLineage - tPlan}ms " +
             s"phaseA+expand=${tA - tLineage}ms nNew=${tB - tA}ms joinAll=${System.currentTimeMillis() - tB}ms")
         seenBase = newSeenBase
-        blooms = newBlooms
+        filters = newFilters
         val nFetched = lineageRows.filter(_.getBoolean(1)).map(_.getLong(2)).sum
         val nFailed = lineageRows.filterNot(_.getBoolean(1)).map(_.getLong(2)).sum
         // derived, no extra jobs: admitted = allowed + blocked; deferred =
@@ -492,10 +499,10 @@ object Crawl {
           s""""strategy":"${jsonEsc(cfg.strategy)}","wall_ms":$wall,"partitions":$partLineage}""")
 
         scraped.unpersist(); admitted.unpersist(); newEntries.unpersist()
-        // all consumers of this epoch's bloom broadcast have completed and
+        // all consumers of this epoch's filter broadcast have completed and
         // their outputs are on disk — free it (one vector per epoch would
         // otherwise accumulate for the crawl's lifetime)
-        bloomBc.destroy()
+        filterBc.destroy()
         if (queuedCount == 0) done = true
         epoch += 1
       }
@@ -513,6 +520,18 @@ object Crawl {
     * re-discovered as duplicates). The old docs for those URLs remain in
     * earlier snapshots (time travel still sees them); the re-crawl emits
     * fresh docs at the new epochs. O(expired-delta) work.
+    *
+    * The EXACT seen parquet is a monotone ledger and never shrinks: that is
+    * what keeps queued ⊆ seen, so a re-queued URL rediscovered via links
+    * during the recrawl cannot enter the frontier twice (the reference keeps
+    * the same split — the per-crawl visited set is monotone, only the TTL'd
+    * result CACHE is deletable). Under `seenFilter = "cuckoo"` the deletable
+    * half is real: the expired delta's hashes are EVICTED from the persisted
+    * sharded filter (executor-side, [[CuckooSeen.evictSharded]] — per-shard
+    * `mapGroups` deletes, only compact filters cross the driver), so the
+    * recrawl's pre-filter stops short-circuiting them and the filter tracks
+    * the still-cached set exactly. Under bloom the filter is append-only and
+    * the stale bits simply age out at the next compaction.
     *
     * Returns the number of re-queued URLs; `Crawl.run` on the same runDir
     * then resumes from the new snapshot and refetches them.
@@ -540,18 +559,43 @@ object Crawl {
           .withColumn("epoch", lit(nextEpoch))
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], frontierSchema)
+    // tiebreak after enqueue_epoch: when a requeued URL is also still queued
+    // in the head snapshot at the SAME enqueue_epoch (expiring an epoch of an
+    // incomplete run), prefer the requeued copy (retry_count reset to 0) and
+    // break any residual tie on path — the merged snapshot must be
+    // reproducible run to run
     val merged = requeue.unionByName(headQueued)
       .withColumn("rk", row_number().over(
-        Window.partitionBy("url_hash").orderBy(col("enqueue_epoch"))))
+        Window.partitionBy("url_hash")
+          .orderBy(col("enqueue_epoch"), col("retry_count"), col("path"))))
       .where(col("rk") === 1).drop("rk")
     merged.write.mode(SaveMode.Overwrite).parquet(dir(runDir, nextEpoch, "frontier"))
     val n = spark.read.schema(frontierSchema)
       .parquet(dir(runDir, nextEpoch, "frontier")).count()
+    val base = manifestField(runDir, last, "seen_base").getOrElse(0L)
     // empty seen delta for the new epoch (nothing newly seen by expiry)
     requeue.limit(0).select("url_hash")
       .write.mode(SaveMode.Overwrite).parquet(dir(runDir, nextEpoch, "seen"))
-    BloomSeen.save(BloomSeen.empty(), bloomPath(runDir, nextEpoch))
-    val base = manifestField(runDir, last, "seen_base").getOrElse(0L)
+    val store = SeenStore.detect(runDir, last)
+    store.save(store.empty(), store.path(runDir, nextEpoch))
+    // deletable-filter path: evict the expired delta's hashes from the
+    // persisted cuckoo filter that contains them — the delta's own filter
+    // when it is still in the live vector, else the compacted full-set
+    // filter at the base epoch. Safe for cuckoo delete semantics: those
+    // hashes are in that filter by construction (the delta parquet IS the
+    // insert set), so no absent-key delete can strip a collider.
+    store match {
+      case _: CuckooStore =>
+        val target = if (expired >= base) expired else base.toInt
+        val p = store.path(runDir, target)
+        if (Files.exists(p)) {
+          val expiredHashes = spark.read.parquet(dir(runDir, expired, "seen"))
+          val (evicted, _) = CuckooSeen.evictSharded(
+            store.load(p).asInstanceOf[ShardedCuckoo], expiredHashes, "url_hash")
+          store.save(evicted, p)
+        }
+      case _ => // bloom: append-only; stale bits age out at compaction
+    }
     val seenTotal = manifestField(runDir, last, "seen_total").getOrElse(-1L)
     val strategy = manifestStringField(runDir, last, "strategy").getOrElse("bfs")
     commitManifest(runDir, nextEpoch,

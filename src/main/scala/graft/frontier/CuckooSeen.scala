@@ -1,7 +1,7 @@
 package graft.frontier
 
 import graft.core.Xxh64
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Path}
 
@@ -151,10 +151,12 @@ object CuckooFilter {
   }
 
   /** Sized for `expectedItems` at ≤ ~0.95 load, rounded up to a power of two
-    * (required by the self-inverse alternate-bucket derivation). */
+    * (required by the self-inverse alternate-bucket derivation). The bound is
+    * 2^28 buckets-worth: one step higher and `buckets * SlotsPerBucket`
+    * overflows the Int array size (2^29 × 4 = 2^31). */
   def create(expectedItems: Long): CuckooFilter = {
     val want = math.max(8L, math.ceil(expectedItems / (SlotsPerBucket * 0.95)).toLong)
-    require(want <= (1L << 29),
+    require(want <= (1L << 28),
       s"single cuckoo partition too large ($expectedItems items); shard it")
     val buckets = java.lang.Long.highestOneBit(want * 2 - 1).toInt
     new CuckooFilter(buckets, new Array[Short](buckets * SlotsPerBucket))
@@ -178,39 +180,45 @@ object CuckooFilter {
 /** Hash-sharded cuckoo filter: shard s owns keys with floorMod(key, n) == s.
   * The 10^10-scale form — each shard is bounded, built executor-side, and a
   * lookup touches exactly one shard. Supports the same delete-for-recrawl
-  * path per shard.
+  * path per shard ([[CuckooSeen.evictSharded]]).
   */
-final class ShardedCuckoo(val shardArr: Array[CuckooFilter]) extends Serializable {
+final class ShardedCuckoo(val shardArr: Array[CuckooFilter]) extends SeenDelta {
   private def shardOf(key: Long): Int =
     ((key % shardArr.length).toInt + shardArr.length) % shardArr.length
   def contains(key: Long): Boolean = shardArr(shardOf(key)).contains(key)
   def delete(key: Long): Boolean = shardArr(shardOf(key)).delete(key)
   def size: Int = shardArr.map(_.size).sum
+  override def mightContain(key: Long): Boolean = contains(key)
+
+  def serialize(): Array[Byte] = {
+    val parts = shardArr.map(_.serialize())
+    val bb = java.nio.ByteBuffer.allocate(4 + parts.map(_.length + 4).sum)
+    bb.putInt(parts.length)
+    parts.foreach { p => bb.putInt(p.length); bb.put(p) }
+    bb.array()
+  }
+}
+
+object ShardedCuckoo {
+  def deserialize(bytes: Array[Byte]): ShardedCuckoo = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val arr = (0 until n).map { _ =>
+      val len = bb.getInt
+      val p = new Array[Byte](len)
+      bb.get(p)
+      CuckooFilter.deserialize(p)
+    }.toArray
+    new ShardedCuckoo(arr)
+  }
 }
 
 /** Seen-set protocol over cuckoo filters — mirrors [[BloomSeen]]'s delta
-  * vector, adding eviction ([[evictDelta]]) for TTL-based recrawl.
+  * vector, adding eviction ([[evictSharded]]) for TTL-based recrawl. Every
+  * operation here is executor-side over the hash-sharded form: only compact
+  * serialized filters ever cross the driver boundary, never row data.
   */
 object CuckooSeen {
-
-  /** Build a filter over a LongType column. The per-partition hash arrays
-    * reduce via treeAggregate-style combining on executors: each partition
-    * inserts its keys into a local filter sized for the full delta... a
-    * cuckoo table cannot union by OR (evictions differ per path), so the
-    * build COLLECTS the distinct hash column per delta instead — acceptable
-    * because deltas are bounded by compaction and the hash column is 8
-    * bytes/row; the 10^10-scale path shards deltas into multiple filters
-    * (one per seen-delta file group) exactly like the parquet itself.
-    */
-  def build(df: DataFrame, colName: String, expectedItems: Long): CuckooFilter = {
-    val cf = CuckooFilter.create(math.max(expectedItems, 64L))
-    df.select(col(colName)).distinct().collect().foreach { r =>
-      if (!r.isNullAt(0))
-        require(cf.insert(r.getLong(0)),
-          s"cuckoo filter over capacity (expectedItems=$expectedItems too low)")
-    }
-    cf
-  }
 
   /** Distributed build: the delta is hash-sharded, each shard's filter is
     * built inside ONE executor task (`mapGroups` over the shard key), and
@@ -242,42 +250,46 @@ object CuckooSeen {
     new ShardedCuckoo(arr)
   }
 
-  /** Evict every key of an expired delta (TTL'd epoch) from the filter: the
-    * crawler then treats those URLs as unseen and refetches them. O(delta),
-    * no rebuild of surviving epochs' state.
+  /** Evict every key of an expired delta (TTL'd epoch) from the sharded
+    * filter, EXECUTOR-SIDE: the expired hashes are grouped by shard, each
+    * shard's filter is shipped once (broadcast), deletes run inside one
+    * `mapGroups` task per touched shard, and only the updated compact filters
+    * return to the driver — O(delta) distributed work, no row collect, no
+    * rebuild of surviving epochs' state. Returns the updated filter (untouched
+    * shards are shared, not copied) and the number of evicted keys.
+    *
+    * Cuckoo caveat honored by the caller ([[Crawl.expireEpoch]]): only keys
+    * KNOWN to be in this filter may be deleted — deleting an absent key can
+    * strip a colliding fingerprint of a different present key.
     */
-  def evictDelta(cf: CuckooFilter, expired: DataFrame, colName: String): Long = {
-    var removed = 0L
-    expired.select(col(colName)).distinct().collect().foreach { r =>
-      if (!r.isNullAt(0) && cf.delete(r.getLong(0))) removed += 1
-    }
-    removed
+  def evictSharded(sc: ShardedCuckoo, expired: DataFrame,
+                   colName: String): (ShardedCuckoo, Long) = {
+    val spark = expired.sparkSession
+    import spark.implicits._
+    val n = sc.shardArr.length
+    val bc = spark.sparkContext.broadcast(sc.shardArr.map(_.serialize()))
+    val updated = expired.select(col(colName).cast("long")).distinct().as[Long]
+      .groupByKey(h => ((h % n).toInt + n) % n)
+      .mapGroups { (shard, keys) =>
+        val cf = CuckooFilter.deserialize(bc.value(shard))
+        var removed = 0L
+        keys.foreach { k => if (cf.delete(k)) removed += 1 }
+        (shard, cf.serialize(), removed)
+      }
+      .collect()
+    bc.destroy()
+    val arr = sc.shardArr.clone()
+    updated.foreach { case (s, bytes, _) => arr(s) = CuckooFilter.deserialize(bytes) }
+    (new ShardedCuckoo(arr), updated.map(_._3).sum)
   }
 
-  def save(cf: CuckooFilter, path: Path): Unit = {
+  def saveSharded(sc: ShardedCuckoo, path: Path): Unit = {
     val tmp = path.resolveSibling("." + path.getFileName.toString + ".tmp")
-    Files.write(tmp, cf.serialize())
+    Files.write(tmp, sc.serialize())
     Files.move(tmp, path, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  def load(path: Path): CuckooFilter = CuckooFilter.deserialize(Files.readAllBytes(path))
-
-  /** Cuckoo-accelerated anti-join, identical contract to
-    * [[BloomSeen.antiJoin]]: only the maybe-seen slice shuffles into the
-    * exact left_anti join, so correctness never depends on the filter.
-    */
-  def antiJoin(spark: SparkSession, candidates: DataFrame, seen: DataFrame,
-               hashCol: String, filters: Seq[CuckooFilter]): DataFrame = {
-    val bc = spark.sparkContext.broadcast(filters.toArray)
-    val mightContain = udf { (h: Long) =>
-      val fs = bc.value; var i = 0; var hit = false
-      while (i < fs.length && !hit) { hit = fs(i).contains(h); i += 1 }
-      hit
-    }.asNondeterministic()
-    val flagged = candidates.withColumn("__maybe_seen", mightContain(col(hashCol)))
-    val definitelyNew = flagged.where(!col("__maybe_seen")).drop("__maybe_seen")
-    val maybeSeen = flagged.where(col("__maybe_seen")).drop("__maybe_seen")
-    definitelyNew.unionByName(maybeSeen.join(seen, Seq(hashCol), "left_anti"))
-  }
+  def loadSharded(path: Path): ShardedCuckoo =
+    ShardedCuckoo.deserialize(Files.readAllBytes(path))
 }

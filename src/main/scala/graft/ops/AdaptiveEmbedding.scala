@@ -25,7 +25,8 @@ package graft.ops
   *  - KB update: near-duplicate embeddings (cosine ≥ `kbSimThreshold`) are
   *    never added (:1169-1230).
   *
-  * All vectors are the deterministic stub kernel (ops/Embed.scala); every
+  * All vectors come from the [[Embedder]] seam (deterministic hashed-BoW
+  * stub by default; a real model drops in via `Config.embedder`); every
   * step is pure driver-side math over bounded per-epoch batches — the
   * per-epoch candidate scoring runs inside the crawl plan as a map over the
   * frontier when used at scale.
@@ -40,7 +41,9 @@ object AdaptiveEmbedding {
       minConfidenceThreshold: Double = 0.1,
       kbSimThreshold: Double = 0.95,
       maxPages: Int = 20,
-      dim: Int = 64)
+      /** The embedding kernel ([[Embedder]] seam); a real model drops in
+        * here without touching the strategy. */
+      embedder: Embedder = Embedder.default)
 
   final class State(
       val queryEmb: Vector[Array[Float]],
@@ -64,12 +67,13 @@ object AdaptiveEmbedding {
   /** Train/validation split of the semantic space (query always trains;
     * val = max(2, 20% of variations) — deterministic tail split, the
     * reference shuffles first, a documented divergence for reproducibility). */
-  def mapQuerySemanticSpace(query: String, variations: Seq[String], dim: Int = 64): State = {
+  def mapQuerySemanticSpace(query: String, variations: Seq[String],
+                            embedder: Embedder = Embedder.default): State = {
     val nVal = math.max(2, (variations.length * 0.2).toInt)
     val (train, valQ) = variations.splitAt(math.max(variations.length - nVal, 0))
     new State(
-      queryEmb = (query +: train).map(Embed.stub(_, dim)).toVector,
-      valEmb = valQ.map(Embed.stub(_, dim)).toVector)
+      queryEmb = (query +: train).map(embedder.embed).toVector,
+      valEmb = valQ.map(embedder.embed).toVector)
   }
 
   /** Per-query-point (embedding, min cosine distance to KB); 1.0 on empty KB. */
@@ -87,7 +91,7 @@ object AdaptiveEmbedding {
     candidates.flatMap { case (href, text) =>
       if (text.trim.isEmpty) None
       else {
-        val e = Embed.stub(text, cfg.dim)
+        val e = cfg.embedder.embed(text)
         val score =
           if (gaps.isEmpty) 0.0
           else {
@@ -158,7 +162,7 @@ object AdaptiveEmbedding {
              cfg: Config = Config(),
              batchSize: Int = 3, maxIters: Int = 100): State = {
     val vars = if (variations.nonEmpty) variations else expandQuery(query)
-    val state = mapQuerySemanticSpace(query, vars, cfg.dim)
+    val state = mapQuerySemanticSpace(query, vars, cfg.embedder)
     var pending = Map(startUrl -> startUrl) // url → anchor/context text
     var iters = 0
     var stopped = false
@@ -188,7 +192,7 @@ object AdaptiveEmbedding {
     var added = 0
     newDocs.foreach { case (url, text) =>
       if (text.nonEmpty) {
-        val e = Embed.stub(text.take(5000), cfg.dim)
+        val e = cfg.embedder.embed(text.take(5000))
         val dup = state.kb.nonEmpty && state.kb.map(Embed.cosine(_, e)).max >= cfg.kbSimThreshold
         if (!dup) {
           state.kb = state.kb :+ e

@@ -120,20 +120,28 @@ object Dedup {
     require(bands * rowsPerBand == k, "bands must divide k")
     val sigUdf = udf((text: String) => minHashSignatureFast(text, k, shingleLen))
     val sigs = df.select(col(idCol).as("id"), sigUdf(col(textCol)).as("sig"))
-    // band rows: (band, band_hash, id, sig)
-    val banded = sigs.select(col("id"), col("sig"),
+    // band rows carry ONLY (band, band_hash, id): the k-element signature
+    // arrays must not ride through the band exchange (bands× the rows, each
+    // k×8 bytes — the dominant shuffle at corpus scale). Signatures re-join
+    // by id AFTER the candidate pairs are deduped, when the row count is the
+    // (much smaller) surviving-pair set; the signature kernel recompute on
+    // the sig side is one cheap compiled pass, traded for a bands×k-fold
+    // smaller band exchange.
+    val banded = sigs.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, concat_ws(",",
             slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
           .as(Seq("band", "band_hash")))
-    val a = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    val pairs = a.join(b, Seq("band", "band_hash"))
+      .select(col("band"), col("band_hash"), col("id"))
+    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
+    val pairIds = a.join(b, Seq("band", "band_hash"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val pairs = pairIds
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
     pairs
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"),
@@ -279,4 +287,17 @@ object Dedup {
       .where(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** Text-input form of [[embeddingNearDup]]: vectors derived in-plan through
+    * the [[Embedder]] seam (one embed per row, computed inside the scan
+    * projection), then the same LSH-blocked near-dup join. Swapping in a real
+    * model changes only the `embedder` argument.
+    */
+  def embeddingNearDupText(df: DataFrame, idCol: String, textCol: String,
+                           embedder: Embedder = Embedder.default,
+                           planes: Int = 8, minCosine: Double = 0.95,
+                           bands: Int = 1, targetBucketSize: Int = 0): DataFrame =
+    embeddingNearDup(
+      df.withColumn("__emb", Embedder.embedCol(embedder)(col(textCol))),
+      idCol, "__emb", planes, minCosine, bands, targetBucketSize)
 }

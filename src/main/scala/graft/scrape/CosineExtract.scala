@@ -1,6 +1,6 @@
 package graft.scrape
 
-import graft.ops.Embed
+import graft.ops.{Embed, Embedder}
 
 /** Semantic-cluster extraction — the re-expression of the reference's
   * CosineStrategy (/root/reference/crawl4ai/extraction_strategy.py:121-461):
@@ -16,8 +16,9 @@ import graft.ops.Embed
   *
   * The reference's final multilabel classifier tags come from an external
   * model; here tags are the cluster's topKTags most frequent non-stopword
-  * tokens (clearly-marked stand-in, same output shape). Embeddings are the
-  * deterministic stub kernel (ops/Embed.scala).
+  * tokens (clearly-marked stand-in, same output shape). Embeddings come from
+  * the [[graft.ops.Embedder]] seam (deterministic hashed-BoW stub by
+  * default; a real model drops in via `Config.embedder`).
   *
   * Per-document chunk counts are bounded (page sections), so the O(n³)
   * driver-free clustering runs inside a typed map — one row in, one cluster
@@ -34,19 +35,20 @@ object CosineExtract {
       linkage: String = "ward",
       simThreshold: Double = 0.3,
       topKTags: Int = 3,
-      dim: Int = 64,
-      embed: String => Array[Float] = Embed.stub(_, 64))
+      /** The embedding kernel ([[graft.ops.Embedder]] seam); a real model
+        * drops in here without touching the strategy. */
+      embedder: Embedder = Embedder.default)
 
   // ---- semantic pre-filter (filter_documents_embeddings) --------------------
 
   def filterBySimilarity(chunks: Seq[String], query: String, cfg: Config): Seq[String] =
-    filterBySimilarityEmb(chunks, query, cfg, cfg.embed)
+    filterBySimilarityEmb(chunks, query, cfg, cfg.embedder.embed)
 
   private def filterBySimilarityEmb(chunks: Seq[String], query: String,
       cfg: Config, emb: String => Array[Float]): Seq[String] = {
     if (chunks.isEmpty) return chunks
     val atLeastK = if (chunks.length < 20) chunks.length / 2 else 20
-    val q = cfg.embed(query)
+    val q = cfg.embedder.embed(query)
     val sims = chunks.map(c => Embed.cosine(q, emb(c)))
     val zipped = chunks.zip(sims)
     val kept = zipped.filter(_._2 >= cfg.simThreshold)
@@ -132,9 +134,9 @@ object CosineExtract {
 
   def extract(sections: Seq[String], cfg: Config = Config()): Seq[Cluster] = {
     // one embedding per distinct chunk for BOTH the pre-filter and the
-    // clustering pass (cfg.embed may be a real model — the dominant cost)
+    // clustering pass (the embedder may be a real model — the dominant cost)
     val embCache = scala.collection.mutable.HashMap.empty[String, Array[Float]]
-    def emb(c: String): Array[Float] = embCache.getOrElseUpdate(c, cfg.embed(c))
+    def emb(c: String): Array[Float] = embCache.getOrElseUpdate(c, cfg.embedder.embed(c))
     val chunks = cfg.semanticFilter match {
       case Some(q) => filterBySimilarityEmb(sections, q, cfg, emb)
       case None => sections

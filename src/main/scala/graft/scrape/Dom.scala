@@ -32,14 +32,20 @@ object Dom {
     def ownText: String =
       HtmlTok.normSpace(children.filter(_.isText).map(_.text).mkString(" "))
 
-    /** Re-serialized HTML of this subtree. */
+    /** Re-serialized HTML of this subtree. Text nodes and attribute values
+      * were entity-decoded at parse time ([[HtmlTok.decodeEntities]]), so both
+      * are re-escaped here — otherwise decoded `<`/`>` in content would parse
+      * as real markup on the re-tokenize, and a `>` or `"` inside an attribute
+      * would truncate/corrupt the tag (the tokenizer's tag scan is a naive
+      * `indexOf('>')`).
+      */
     def outerHtml: String = {
       val sb = new StringBuilder
       def walk(n: Node): Unit = {
-        if (n.isText) sb ++= n.text
+        if (n.isText) sb ++= Dom.escapeText(n.text)
         else {
           sb += '<'; sb ++= n.tag
-          n.attrs.foreach { case (k, v) => sb ++= s""" $k="$v"""" }
+          n.attrs.foreach { case (k, v) => sb ++= s""" $k="${Dom.escapeAttr(v)}"""" }
           sb += '>'
           n.children.foreach(walk)
           sb ++= s"</${n.tag}>"
@@ -58,6 +64,18 @@ object Dom {
 
     def elementChildren: Vector[Node] = children.filterNot(_.isText)
   }
+
+  /** Escape a decoded text node for re-serialization (inverse of the
+    * tokenizer's entity decode for the characters that affect parsing). */
+  def escapeText(s: String): String =
+    if (s.indexOf('&') < 0 && s.indexOf('<') < 0 && s.indexOf('>') < 0) s
+    else s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** Escape a decoded attribute value for double-quoted re-serialization. */
+  def escapeAttr(s: String): String =
+    if (s.indexOf('&') < 0 && s.indexOf('"') < 0 && s.indexOf('<') < 0 && s.indexOf('>') < 0) s
+    else s.replace("&", "&amp;").replace("\"", "&quot;")
+      .replace("<", "&lt;").replace(">", "&gt;")
 
   /** Parse HTML to a synthetic root node (tag "#root"). */
   def parse(html: String): Node = {

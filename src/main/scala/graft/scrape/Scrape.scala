@@ -147,7 +147,7 @@ object Scrape {
       n.children.foreach(prune)
     }
     prune(root)
-    root.children.map(c => if (c.isText) c.text else c.outerHtml).mkString
+    root.children.map(c => if (c.isText) Dom.escapeText(c.text) else c.outerHtml).mkString
   }
 
   def scrape(url: String, html: String, cfg: Config = Config()): ScrapedDoc = {

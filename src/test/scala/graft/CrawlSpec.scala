@@ -197,6 +197,61 @@ class CrawlSpec extends AnyFunSuite {
       Crawl.visits(spark, runDir, asOf = epochsBefore).count() + expectVisit.size)
   }
 
+  test("cuckoo seen-filter: crawl + TTL recrawl identical to bloom; expiry evicts from the filter") {
+    import graft.frontier.{CuckooSeen, SeenStore, ShardedCuckoo}
+    val bloomCfg = CrawlConfig(strategy = "bfs", hostBudget = 3, maxEpochs = 40)
+    val cuckooCfg = bloomCfg.copy(seenFilter = "cuckoo", cuckooShards = 4)
+    val bDir = freshDir("seen-bloom"); val cDir = freshDir("seen-cuckoo")
+    Crawl.run(spark, seedsDF, pagesDF, robotsDF, bDir, bloomCfg)
+    Crawl.run(spark, seedsDF, pagesDF, robotsDF, cDir, cuckooCfg)
+    // the filter family must be invisible to results: identical visit order,
+    // seen set, and docs between bloom and cuckoo runs
+    def vs(d: String) = Crawl.visits(spark, d).select("epoch", "visit_rank", "url")
+      .orderBy("epoch", "visit_rank").collect().map(r => (r.getInt(0), r.getString(2))).toSeq
+    assert(vs(bDir) == vs(cDir))
+    assert(Crawl.seenSet(spark, bDir).as[Long].collect().toSet ==
+      Crawl.seenSet(spark, cDir).as[Long].collect().toSet)
+    assert(Crawl.docs(spark, bDir).count() == Crawl.docs(spark, cDir).count())
+    // cuckoo filter files committed per epoch, bloom files absent
+    val last = Crawl.lastCommittedEpoch(cDir)
+    val store = SeenStore.detect(cDir, last)
+    assert(store.name == "cuckoo")
+    assert(!Files.exists(java.nio.file.Paths.get(f"$cDir/bloom_$last%04d.bin")))
+
+    // ---- TTL recrawl under cuckoo: same e2e contract as the bloom test ----
+    val seenBefore = Crawl.seenSet(spark, cDir).as[Long].collect().toSet
+    val epochsBefore = last
+    val expiredHashes = spark.read.parquet(f"$cDir/seen/epoch=${1}%04d")
+      .as[Long].collect().toSet
+    assert(expiredHashes.nonEmpty)
+    // before expiry the epoch-1 delta filter contains all its hashes
+    val preFilter = store.load(store.path(cDir, 1)).asInstanceOf[ShardedCuckoo]
+    assert(expiredHashes.forall(preFilter.contains))
+
+    val n = Crawl.expireEpoch(spark, cDir, 1)
+    assert(n > 0)
+    // expiry EVICTED the delta's hashes from the persisted filter (the
+    // deletable-seen capability exercised through the TTL path, not test-only)
+    val postFilter = store.load(store.path(cDir, 1)).asInstanceOf[ShardedCuckoo]
+    val stillIn = expiredHashes.count(postFilter.contains)
+    assert(stillIn <= math.max(1, (expiredHashes.size * 1.2e-3).toInt),
+      s"$stillIn of ${expiredHashes.size} expired hashes survived eviction")
+
+    Crawl.run(spark, seedsDF, pagesDF, robotsDF, cDir, cuckooCfg)
+    // recrawl through the filter: seen-set identity, refetch docs emitted
+    assert(Crawl.seenSet(spark, cDir).as[Long].collect().toSet == seenBefore)
+    val revisited = Crawl.visits(spark, cDir)
+      .where(col("epoch") > epochsBefore).select("url").as[String].collect().toSet
+    assert(revisited.nonEmpty)
+    val freshDocs = Crawl.docs(spark, cDir)
+      .where(col("epoch") > epochsBefore).select("doc_id").as[String].collect().toSet
+    assert(freshDocs.nonEmpty && freshDocs.subsetOf(revisited))
+    // and the recrawl matches the bloom-path recrawl exactly
+    Crawl.expireEpoch(spark, bDir, 1)
+    Crawl.run(spark, seedsDF, pagesDF, robotsDF, bDir, bloomCfg)
+    assert(vs(bDir) == vs(cDir))
+  }
+
   test("dynamic politeness: a throttling host shrinks to its backoff budget and aborts") {
     // site1 serves 503 on every page → its domain state fails repeatedly;
     // after MaxRetries throttled epochs the host is aborted (budget 0)

@@ -445,9 +445,41 @@ class OpsSpec extends AnyFunSuite {
       fit.markdown_with_citations == base.markdown_with_citations)
   }
 
+  test("Embedder seam: a custom kernel changes results end-to-end through every consumer") {
+    import graft.ops.{Embedder, Dedup, AdaptiveEmbedding => AE}
+    import graft.scrape.CosineExtract
+    // a deliberately-degenerate kernel: every text embeds to the same vector
+    case class Const(dim: Int = 4) extends Embedder {
+      override def embed(text: String): Array[Float] =
+        Array.tabulate(dim)(i => if (i == 0) 1f else 0f)
+    }
+    val twoTopics = Seq(
+      "spark shuffle partition executor tuning guide words here",
+      "spark stage partition skew salting notes more words",
+      "pasta tomato basil sauce recipe kitchen words here",
+      "pasta garlic olive oil recipe cooking more words")
+    // CosineExtract: default kernel separates the topics; Const collapses
+    // everything into ONE cluster (cosine 1 between all chunks)
+    val defClusters = CosineExtract.extract(twoTopics,
+      CosineExtract.Config(wordCountThreshold = 1, maxDist = 0.4))
+    val constClusters = CosineExtract.extract(twoTopics,
+      CosineExtract.Config(wordCountThreshold = 1, maxDist = 0.4, embedder = Const()))
+    assert(defClusters.length > 1 && constClusters.length == 1)
+    // Dedup near-dup: Const makes EVERY pair a near-duplicate
+    val df = spark.createDataFrame(twoTopics.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+      .toDF("id", "text")
+    assert(Dedup.embeddingNearDupText(df, "id", "text", Const()).count() == 6)
+    assert(Dedup.embeddingNearDupText(df, "id", "text").count() < 6)
+    // AdaptiveEmbedding: under Const the KB dedups everything after doc 1
+    // (all cosines 1 ≥ kbSimThreshold) and confidence saturates at 1.0
+    val constState = AE.mapQuerySemanticSpace("spark shuffle", Seq("a b", "c d", "e f"), Const())
+    AE.updateState(constState, Seq(("u1", "anything"), ("u2", "else")), AE.Config(embedder = Const()))
+    assert(constState.kb.length == 1 && AE.confidence(constState) == 1.0)
+  }
+
   test("adaptive embedding: gaps, gap-filling link selection, KB dedup") {
     import graft.ops.{AdaptiveEmbedding => AE, Embed}
-    val cfg = AE.Config(dim = 64)
+    val cfg = AE.Config()
     val state = AE.mapQuerySemanticSpace("spark shuffle partition",
       AE.expandQuery("spark shuffle partition", Seq("executor", "stage")))
     // empty KB: every query point is a max-distance gap

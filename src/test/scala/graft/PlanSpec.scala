@@ -103,6 +103,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("minhash LSH: band exchange carries ids only, signatures join back post-dedup") {
+    // force the shuffled form (at sf0.01 the band join broadcasts; at corpus
+    // scale it shuffles — THAT exchange's payload is what matters)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+      val p = plan(graft.ops.Dedup.minHashLsh(df, "doc_id", "text", k = 32, bands = 8))
+      // the band join's exchanges partition on (band, band_hash) and their
+      // payload is just the id — no `sig` array may ride through them (sig
+      // columns exist only in the post-dedup id-keyed joins)
+      val nodes = p.split("\\n\\(\\d+\\) ").toSeq
+      val bandExchanges = nodes.filter(n =>
+        n.startsWith("Exchange") && n.contains("hashpartitioning(band"))
+      assert(bandExchanges.nonEmpty, p)
+      assert(bandExchanges.forall(!_.contains("sig")), bandExchanges.mkString("\n---\n"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("cosine pre-filter: one shuffle-free typed-map stage over a pruned scan") {
     val p = plan(SparkEntry.queries("q_cosine_filter")(spark, sf))
     assert(!p.contains("Exchange"), p)

@@ -134,37 +134,45 @@ class PropertySpec extends AnyFunSuite {
     assert(rt.size == cf.size && rt.numBuckets == cf.numBuckets)
 
     // ---- seen-set protocol: antiJoin equivalence + TTL eviction ----------
+    // deltas are built DISTRIBUTED (per-shard mapGroups tasks; only compact
+    // filters reach the driver) — there is no row-collecting build anymore
+    import graft.frontier.{SeenDelta, SeenFilters}
     val d1 = (0L until 1200L).map(key).toDF("url_hash")   // epoch-1 delta
     val d2 = (1200L until 2000L).map(key).toDF("url_hash") // epoch-2 delta
     val seen = d1.unionByName(d2)
-    val filters = Seq(CuckooSeen.build(d1, "url_hash", 1200),
-      CuckooSeen.build(d2, "url_hash", 800))
+    val f1 = CuckooSeen.buildSharded(d1, "url_hash", 1200, shards = 4)
+    val f2 = CuckooSeen.buildSharded(d2, "url_hash", 800, shards = 4)
+    val filters: Seq[SeenDelta] = Seq(f1, f2)
     val candidates = (1500L until 2500L).map(key).toDF("url_hash")
-    val viaCuckoo = CuckooSeen.antiJoin(spark, candidates, seen, "url_hash", filters)
-      .as[Long].collect().toSet
+    val viaCuckoo = SeenFilters.antiJoinTracked(spark, candidates, seen, "url_hash", filters)
+      ._1.as[Long].collect().toSet
     val exact = candidates.join(seen, Seq("url_hash"), "left_anti")
       .as[Long].collect().toSet
     assert(viaCuckoo == exact)
-    // TTL expiry of epoch-1: evict its delta from its filter; with the
-    // expired delta also dropped from the exact seen set, all its URLs
-    // become crawlable again — no rebuild of epoch-2 state
-    // sharded distributed build: no driver row collect, same answers
+    // sharded distributed build over the union: no FN, FP-bounded, roundtrips
     val sharded = CuckooSeen.buildSharded(seen, "url_hash", 2000, shards = 8)
     (0L until 2000L).foreach(i => assert(sharded.contains(key(i)), s"sharded FN at $i"))
     val shardedFps = (5000L until 15000L).count(i => sharded.contains(key(i)))
     assert(shardedFps <= 10000 * 1.2e-4 * 10, s"sharded fp count $shardedFps")
     assert(sharded.size == 2000)
-    assert(sharded.delete(key(7L)) && !(0L until 2000L).forall(i => sharded.contains(key(i))))
+    val shardedRt = graft.frontier.ShardedCuckoo.deserialize(sharded.serialize())
+    (0L until 2000L).foreach(i => assert(shardedRt.contains(key(i))))
+    assert(shardedRt.delete(key(7L)) && !(0L until 2000L).forall(i => shardedRt.contains(key(i))))
 
-    val removed = CuckooSeen.evictDelta(filters.head, d1, "url_hash")
+    // TTL expiry of epoch-1: evict its delta from its filter EXECUTOR-SIDE;
+    // with the expired delta also dropped from the exact seen set, all its
+    // URLs become crawlable again — no rebuild of epoch-2 state
+    val (f1Evicted, removed) = CuckooSeen.evictSharded(f1, d1, "url_hash")
     assert(removed == 1200)
     val cand2 = (0L until 1500L).map(key).toDF("url_hash")
-    val afterExpiry = CuckooSeen.antiJoin(spark, cand2, d2, "url_hash", filters)
-      .as[Long].collect().toSet
+    val afterExpiry = SeenFilters.antiJoinTracked(spark, cand2, d2, "url_hash",
+        Seq(f1Evicted, f2))._1.as[Long].collect().toSet
     val exactAfter = cand2.join(d2, Seq("url_hash"), "left_anti")
       .as[Long].collect().toSet
     assert(afterExpiry == exactAfter)
     assert((0L until 1200L).map(key).toSet.subsetOf(afterExpiry)) // refetchable
+    // the pre-eviction filter object is untouched (evict returns a new one)
+    assert((0L until 1200L).forall(i => f1.contains(key(i))))
   }
 
   test("path-encoded discovery order sorts parents before children (DFS preorder)") {

@@ -207,6 +207,33 @@ class ScrapeSpec extends AnyFunSuite {
     assert(keep.spans.exists(_.text.contains("form text")))
   }
 
+  test("selector paths round-trip decoded entities without re-parsing them as markup") {
+    // text contains what LOOKS like markup once decoded, plus an attribute
+    // holding a double quote and a '>' — the reparse on the selector path
+    // must not corrupt either (Dom.outerHtml re-escapes on serialize)
+    val page =
+      """<html><body>
+        |<div class="main" title="say &quot;hi&quot; &gt;now">
+        |<p>use &lt;b&gt;code&lt;/b&gt; tags &amp; enjoy</p>
+        |<a href="/q?a=1&amp;b=2">link text</a>
+        |</div>
+        |<div class="ads"><p>buy stuff now</p></div>
+        |</body></html>""".stripMargin
+    val direct = Scrape.scrape("http://x.com/a", page)
+    val sliced = Scrape.scrape("http://x.com/a", page,
+      Scrape.Config(cssSelector = Some(".main")))
+    assert(sliced.spans.map(s => (s.kind, s.text)) == Seq(
+      ("text", "use <b>code</b> tags & enjoy"), ("text", "link text")))
+    // the href's decoded '&' survives canonicalization identically on both paths
+    assert(sliced.links.map(_.href) == direct.links.map(_.href).filter(_.contains("/q")))
+    val excluded = Scrape.scrape("http://x.com/a", page,
+      Scrape.Config(excludedSelector = Some(".ads")))
+    assert(excluded.spans.exists(_.text == "use <b>code</b> tags & enjoy"), excluded.spans)
+    val targeted = Scrape.scrape("http://x.com/a", page,
+      Scrape.Config(targetElements = Seq(".main")))
+    assert(targeted.spans.exists(_.text == "use <b>code</b> tags & enjoy"), targeted.spans)
+  }
+
   test("targetElements restrict content spans; links still global") {
     val doc = Scrape.scrape("http://x.com/a", selectorPage,
       Scrape.Config(targetElements = Seq(".main")))
