@@ -294,6 +294,16 @@ object SparkEntry {
       val q = e.where(col("vec_id") === 0).select("embedding").as[Seq[Float]].head()
       Similarity.lshTopK(e, "vec_id", "embedding", q, 10, planes = 6)
     }),
+    // trained coarse quantizer: distributed Lloyd's on a hash-sample, then a
+    // partition-prunable nProbe-cell probe — the at-scale IVF shape
+    "q_ann_ivf_trained" -> ((s, dir) => {
+      import s.implicits._
+      val e = table(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 0).select("embedding").as[Seq[Float]].head()
+      val centroids = Similarity.trainIvf(e, "vec_id", "embedding",
+        cells = 8, iters = 3, trainFraction = 0.5)
+      Similarity.ivfTopKTrained(e, "vec_id", "embedding", q, 10, centroids, nProbe = 4)
+    }),
     "q_embedding_neardup" -> ((s, dir) => {
       val e = table(s, dir, "embeddings").where(col("vec_id") < 100)
         .select(col("vec_id"), col("embedding"))
@@ -527,6 +537,7 @@ object SparkEntry {
     "q_simhash_pairs" -> graft.oracle.Fixtures.sql("q_simhash_pairs"),
     "q_embedding_neardup" -> graft.oracle.Fixtures.sql("q_embedding_neardup"),
     "q_ann_lsh_topk" -> graft.oracle.Fixtures.sql("q_ann_lsh_topk"),
+    "q_ann_ivf_trained" -> graft.oracle.Fixtures.sql("q_ann_ivf_trained"),
     "q_media_features" -> graft.oracle.Fixtures.sql("q_media_features"),
     "q_cosine_extract" -> graft.oracle.Fixtures.sql("q_cosine_extract"),
     "q_admission_window" ->

@@ -138,6 +138,10 @@ object Fixtures {
     write("q_ann_lsh_topk",
       SeqOracle.lshTopK(embAll, q0, k = 10, planes = 6).toDF("vec_id", "sim"))
 
+    write("q_ann_ivf_trained",
+      SeqOracle.ivfTrainedTopK(embAll, q0, k = 10, cells = 8, iters = 3,
+        trainFraction = 0.5, nProbe = 4).toDF("vec_id", "sim"))
+
     // ---- shared-kernel distribution twins ----------------------------------
     // (the kernel itself is deterministic shared code; the fixture checks the
     // distributed map/partitioning reproduces the sequential pass)

@@ -227,4 +227,67 @@ object SeqOracle {
       .sortBy { case (id, sim) => (-sim, id) }
       .take(k)
   }
+
+  /** Sequential twin of Similarity.trainIvf + ivfTopKTrained: Lloyd's with
+    * first-C-vectors-by-id init, deterministic hash-sample (floorMod of
+    * xxh64(id, seed 42) — Spark's `pmod(xxhash64(id), mod) === 0`),
+    * first-min argmin assignment, per-cell mean update with empty cells
+    * keeping their centroid; then probe the query's nProbe nearest trained
+    * cells and exact-cosine top-k. Float→double promotion and accumulation
+    * orders mirror the Column expressions ([[cosineF]] pattern); the one
+    * order-sensitive float sum (the per-cell mean) runs in id order here vs
+    * Spark's partition order — last-ulp noise that cannot flip an argmin on
+    * this data (asserted stable by the driver compare itself).
+    */
+  def ivfTrainedTopK(vecs: Seq[(Long, Seq[Float])], query: Seq[Float], k: Int,
+                     cells: Int, iters: Int, trainFraction: Double,
+                     nProbe: Int): Seq[(Long, Double)] = {
+    def distSq(v: Seq[Float], c: Seq[Double]): Double = {
+      var acc = 0.0; var j = 0
+      val n = math.min(v.length, c.length)
+      while (j < n) { val d = v(j).toDouble - c(j); acc += d * d; j += 1 }
+      acc
+    }
+    def argmin(v: Seq[Float], cs: Seq[Seq[Double]]): Int = {
+      var best = Double.MaxValue; var bi = 0; var i = 0
+      while (i < cs.length) {
+        val d = distSq(v, cs(i))
+        if (d < best) { best = d; bi = i }
+        i += 1
+      }
+      bi
+    }
+    val mod = math.max(1L, (1.0 / trainFraction).toLong)
+    val sample =
+      if (trainFraction >= 1.0) vecs
+      else vecs.filter { case (id, _) =>
+        Math.floorMod(graft.core.Xxh64.hashLong(id, 42L), mod) == 0L }
+    var centroids: Seq[Seq[Double]] =
+      sample.sortBy(_._1).take(cells).map(_._2.map(_.toDouble).toIndexedSeq)
+    var it = 0
+    while (it < iters) {
+      val byCell = sample.groupBy { case (_, v) => argmin(v, centroids) }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        byCell.get(c) match {
+          case Some(ms) =>
+            val dim = old.length
+            val sums = new Array[Double](dim)
+            ms.foreach { case (_, v) =>
+              var j = 0; while (j < dim) { sums(j) += v(j).toDouble; j += 1 } }
+            sums.map(_ / ms.length).toIndexedSeq
+          case None => old
+        }
+      }
+      it += 1
+    }
+    val qCells = centroids.zipWithIndex
+      .map { case (c, i) =>
+        val d = c.zip(query).map { case (m, x) => (x - m) * (x - m) }.sum
+        (d, i)
+      }.sortBy(_._1).take(nProbe).map(_._2).toSet
+    vecs.filter { case (_, v) => qCells.contains(argmin(v, centroids)) }
+      .map { case (id, v) => (id, cosineF(v, query)) }
+      .sortBy { case (id, sim) => (-sim, id) }
+      .take(k)
+  }
 }
