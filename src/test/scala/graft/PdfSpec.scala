@@ -96,6 +96,93 @@ class PdfSpec extends AnyFunSuite {
     assert(pages.head.links == Seq("http://ref.example.com/linked"))
   }
 
+  private def deflate(content: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(content); d.finish()
+    val buf = new Array[Byte](content.length * 2 + 64)
+    val len = d.deflate(buf); d.end()
+    java.util.Arrays.copyOf(buf, len)
+  }
+
+  test("object-stream PDF (PDF 1.5 layout: ObjStm + xref stream) parses fully") {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.5\n")
+    // obj 4: top-level content stream (ObjStm objects never hold streams)
+    val content = "BT /F1 12 Tf 72 720 Td (packed object stream text) Tj ET"
+    val off4 = out.size()
+    w(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+    // obj 5: /ObjStm packing catalog, pages, and the page dict
+    val o1 = "<< /Type /Catalog /Pages 2 0 R >>"
+    val o2 = "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>"
+    val o3 = "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"
+    val header = s"1 0 2 ${o1.length + 1} 3 ${o1.length + o2.length + 2} "
+    val payload = (header + o1 + " " + o2 + " " + o3).getBytes("ISO-8859-1")
+    val stm = deflate(payload)
+    val off5 = out.size()
+    w(s"5 0 obj\n<< /Type /ObjStm /N 3 /First ${header.length} /Length ${stm.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(stm)
+    w("\nendstream\nendobj\n")
+    // obj 6: cross-reference STREAM, /W [1 2 1] binary rows for objects 0-6
+    val off6 = out.size()
+    def row(t: Int, f2: Int, f3: Int): Array[Byte] =
+      Array(t.toByte, ((f2 >> 8) & 0xff).toByte, (f2 & 0xff).toByte, f3.toByte)
+    val rows = Array(
+      row(0, 0, 0),          // 0: free head
+      row(2, 5, 0),          // 1 → ObjStm 5, index 0
+      row(2, 5, 1),          // 2 → ObjStm 5, index 1
+      row(2, 5, 2),          // 3 → ObjStm 5, index 2
+      row(1, off4, 0),       // 4: top-level offset
+      row(1, off5, 0),       // 5
+      row(1, off6, 0)).flatten // 6 (self)
+    val xr = deflate(rows)
+    w(s"6 0 obj\n<< /Type /XRef /Size 7 /W [ 1 2 1 ] /Index [ 0 7 ] /Root 1 0 R /Length ${xr.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(xr)
+    w("\nendstream\nendobj\n")
+    w(s"startxref\n$off6\n%%EOF\n")
+    val pdf = out.toByteArray
+
+    // the xref stream resolves: type-2 placements + type-1 offsets
+    val xref = PdfParse.readXref(pdf).get
+    assert(xref.inStreams == Map(1 -> (5, 0), 2 -> (5, 1), 3 -> (5, 2)))
+    assert(xref.offsets.get(4).contains(off4.toLong))
+    assert(xref.trailer.contains("/Root 1 0 R"))
+    // the packed page tree is recovered and drives extraction
+    val pages = PdfParse.parse(pdf).get
+    assert(pages.length == 1)
+    assert(pages.head.text == "packed object stream text")
+  }
+
+  test("classic xref table with /Prev incremental update resolves newest-first") {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    def pad10(n: Int): String = f"$n%010d"
+    w("%PDF-1.4\n")
+    val offs = new Array[Int](6)
+    offs(1) = out.size(); w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    offs(2) = out.size(); w("2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n")
+    offs(3) = out.size(); w("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n")
+    val c0 = "BT (original revision) Tj ET"
+    offs(4) = out.size(); w(s"4 0 obj\n<< /Length ${c0.length} >>\nstream\n$c0\nendstream\nendobj\n")
+    val xref0 = out.size()
+    w("xref\n0 5\n" + pad10(0) + " 65535 f \n" +
+      (1 to 4).map(i => pad10(offs(i)) + " 00000 n \n").mkString)
+    w(s"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n$xref0\n%%EOF\n")
+    // incremental update: replace the content stream, chain via /Prev
+    val c1 = "BT (updated revision) Tj ET"
+    val off4b = out.size()
+    w(s"4 0 obj\n<< /Length ${c1.length} >>\nstream\n$c1\nendstream\nendobj\n")
+    val xref1 = out.size()
+    w("xref\n4 1\n" + pad10(off4b) + " 00000 n \n")
+    w(s"trailer\n<< /Size 5 /Root 1 0 R /Prev $xref0 >>\nstartxref\n$xref1\n%%EOF\n")
+    val pdf = out.toByteArray
+
+    val xref = PdfParse.readXref(pdf).get
+    assert(xref.offsets(4) == off4b.toLong)      // newest revision wins
+    assert(xref.offsets(1) == offs(1).toLong)    // older entries still resolve
+    assert(PdfParse.parse(pdf).get.head.text == "updated revision")
+  }
+
   test("non-PDF bytes fall back to the deterministic stub kernel") {
     val junk = Pdf.PdfBinary("f.bin", 64, Array.tabulate(64)(_.toByte))
     assert(PdfParse.parse(junk.content).isEmpty)
