@@ -73,7 +73,14 @@ final case class CrawlConfig(
     seenFilter: String = "bloom",
     /** Shards per cuckoo delta filter (each built inside one executor task;
       * auto-scaled up for large deltas). */
-    cuckooShards: Int = 32)
+    cuckooShards: Int = 32,
+    /** Optional custom frontier-candidate scorer over (url, anchorText) —
+      * e.g. [[graft.ops.AdaptiveEmbedding.linkScorerFor]]'s gap-reduction
+      * kernel. Overrides keyword scoring; runs inside the expansion plan as
+      * one compiled UDF over the exploded links (driver-held state such as a
+      * knowledge base must ride inside the closure, which Spark broadcasts
+      * with the task). */
+    linkScorer: Option[(String, String) => Double] = None)
 
 final case class CrawlSummary(
     epochs: Int, fetched: Long, failed: Long, skippedRobots: Long, seen: Long)
@@ -380,7 +387,8 @@ object Crawl {
           .where(col("link").isNotNull)
           .select(col("parent"), col("parent_path"), col("depth"),
             col("link.href").as("url"), col("link.internal").as("internal"),
-            col("link.linkIndex").as("link_index"))
+            col("link.linkIndex").as("link_index"),
+            col("link.text").as("anchor_text"))
         val validU = udf((u: String) => u != null && Urls.isValidCrawlUrl(u) && !Urls.isNonsense(u))
         val hostU = udf((u: String) => Urls.host(u))
         val candidates = linkRows
@@ -399,10 +407,15 @@ object Crawl {
               .orderBy(col("parent_path"), col("link_index"))))
           .where(col("rk") === 1).drop("rk")
 
-        // scoring: keyword relevance when configured, neutral 0.5 otherwise
-        val scoreCol =
-          if (cfg.keywords.nonEmpty) Scorers.keywordRelevance(col("url"), cfg.keywords)
-          else lit(0.5)
+        // scoring: custom scorer > keyword relevance > neutral 0.5
+        val scoreCol = cfg.linkScorer match {
+          case Some(f) =>
+            val scoreU = udf((u: String, t: String) => f(u, t))
+            scoreU(col("url"), col("anchor_text"))
+          case None if cfg.keywords.nonEmpty =>
+            Scorers.keywordRelevance(col("url"), cfg.keywords)
+          case None => lit(0.5)
+        }
         val newEntries = firstWins
           .withColumn("score", scoreCol)
           .where(col("score") >= cfg.scoreThreshold)

@@ -84,36 +84,76 @@ object AdaptiveEmbedding {
       else (q, kb.map(d => 1.0 - Embed.cosine(q, d)).min)
     }
 
+  /** Per-candidate gap-reduction score — the scalar kernel shared by the
+    * sequential [[selectLinks]] loop and the in-plan [[scoreLinksPlan]] form
+    * (one spec, two execution shapes; OpsSpec asserts their equality). */
+  def scoreCandidate(text: String, gaps: Vector[(Array[Float], Double)],
+                     kb: Vector[Array[Float]], cfg: Config): Double = {
+    val e = cfg.embedder.embed(text)
+    if (gaps.isEmpty) 0.0
+    else {
+      val needingHelp = gaps.count(_._2 > cfg.coverageRadius)
+      var total = 0.0
+      gaps.foreach { case (g, gd) =>
+        if (gd > cfg.coverageRadius) {
+          val nd = 1.0 - Embed.cosine(e, g)
+          if (nd < gd) total += (gd - nd) * 2
+        }
+      }
+      val gapReduction = if (needingHelp > 0) total / needingHelp else 0.0
+      val overlapPenalty =
+        if (kb.nonEmpty) {
+          val maxSim = kb.map(Embed.cosine(_, e)).max
+          if (maxSim > cfg.overlapThreshold) (maxSim - cfg.overlapThreshold) * 2 else 0.0
+        } else 0.0
+      gapReduction * (1 - overlapPenalty)
+    }
+  }
+
   /** Gap-reduction link scoring, sorted score-desc (stable for ties). */
   def selectLinks(candidates: Seq[(String, String)], gaps: Vector[(Array[Float], Double)],
-                  kb: Vector[Array[Float]], cfg: Config): Seq[(String, Double)] = {
-    val needingHelp = gaps.count(_._2 > cfg.coverageRadius)
+                  kb: Vector[Array[Float]], cfg: Config): Seq[(String, Double)] =
     candidates.flatMap { case (href, text) =>
       if (text.trim.isEmpty) None
-      else {
-        val e = cfg.embedder.embed(text)
-        val score =
-          if (gaps.isEmpty) 0.0
-          else {
-            var total = 0.0
-            gaps.foreach { case (g, gd) =>
-              if (gd > cfg.coverageRadius) {
-                val nd = 1.0 - Embed.cosine(e, g)
-                if (nd < gd) total += (gd - nd) * 2
-              }
-            }
-            val gapReduction = if (needingHelp > 0) total / needingHelp else 0.0
-            val overlapPenalty =
-              if (kb.nonEmpty) {
-                val maxSim = kb.map(Embed.cosine(_, e)).max
-                if (maxSim > cfg.overlapThreshold) (maxSim - cfg.overlapThreshold) * 2 else 0.0
-              } else 0.0
-            gapReduction * (1 - overlapPenalty)
-          }
-        Some((href, score))
-      }
+      else Some((href, scoreCandidate(text, gaps, kb, cfg)))
     }.sortBy { case (h, s) => (-s, h) }
+
+  /** The IN-PLAN form of [[selectLinks]]: score an exploded-frontier
+    * candidates DataFrame inside one Spark stage — gaps + KB ride to
+    * executors as a single broadcast (bounded: |queryEmb| + |kb| vectors),
+    * the kernel is the same [[scoreCandidate]] scalar, empty-anchor rows are
+    * dropped exactly like the loop. This is how `digest` runs epoch-batched
+    * through `Crawl.run`: pass the closure as `CrawlConfig.linkScorer` (the
+    * engine then orders admission by this score under best_first), run ONE
+    * epoch per digest iteration via resume (maxEpochs = current + 1), update
+    * the KB from that epoch's docs, and repeat with a fresh broadcast —
+    * per-epoch state, per-epoch plan, no sequential per-link driver loop.
+    */
+  def scoreLinksPlan(links: org.apache.spark.sql.DataFrame, hrefCol: String,
+                     textCol: String, gaps: Vector[(Array[Float], Double)],
+                     kb: Vector[Array[Float]], cfg: Config): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, udf}
+    val bc = links.sparkSession.sparkContext.broadcast((gaps, kb, cfg))
+    val scoreU = udf { (text: String) =>
+      if (text == null || text.trim.isEmpty) null.asInstanceOf[java.lang.Double]
+      else {
+        val (g, k, c) = bc.value
+        java.lang.Double.valueOf(scoreCandidate(text, g, k, c))
+      }
+    }
+    links.withColumn("gap_score", scoreU(col(textCol)))
+      .where(col("gap_score").isNotNull)
+      .select(col(hrefCol).as("href"), col("gap_score"))
   }
+
+  /** [[scoreCandidate]] as a crawl-loop hook: returns the (url, anchorText)
+    * ⇒ score closure `CrawlConfig.linkScorer` expects, capturing the current
+    * gaps/KB snapshot. */
+  def linkScorerFor(gaps: Vector[(Array[Float], Double)],
+                    kb: Vector[Array[Float]], cfg: Config): (String, String) => Double =
+    (_, text) =>
+      if (text == null || text.trim.isEmpty) 0.0
+      else scoreCandidate(text, gaps, kb, cfg)
 
   /** Learning score: mean best cosine per train query (0 on empty KB). */
   def confidence(state: State): Double =

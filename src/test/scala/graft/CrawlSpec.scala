@@ -197,6 +197,24 @@ class CrawlSpec extends AnyFunSuite {
       Crawl.visits(spark, runDir, asOf = epochsBefore).count() + expectVisit.size)
   }
 
+  test("custom linkScorer drives frontier scores inside the expansion plan") {
+    // e.g. the adaptive-embedding gap-reduction kernel rides here; this test
+    // uses a transparent url-shaped scorer so the expected value is exact
+    val scorer: (String, String) => Double =
+      (u, _) => if (u.contains("prod")) 0.9 else 0.1
+    val cfg = CrawlConfig(strategy = "best_first", hostBudget = 4,
+      maxEpochs = 40, linkScorer = Some(scorer))
+    val runDir = freshDir("scorer")
+    Crawl.run(spark, seedsDF, pagesDF, robotsDF, runDir, cfg)
+    val visits = Crawl.visits(spark, runDir)
+      .where(col("epoch") > 0).select("url", "score").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(visits.nonEmpty)
+    visits.foreach { case (u, s) =>
+      assert(s == (if (u.contains("prod")) 0.9 else 0.1), s"$u scored $s")
+    }
+  }
+
   test("cuckoo seen-filter: crawl + TTL recrawl identical to bloom; expiry evicts from the filter") {
     import graft.frontier.{CuckooSeen, SeenStore, ShardedCuckoo}
     val bloomCfg = CrawlConfig(strategy = "bfs", hostBudget = 3, maxEpochs = 40)

@@ -477,6 +477,37 @@ class OpsSpec extends AnyFunSuite {
     assert(constState.kb.length == 1 && AE.confidence(constState) == 1.0)
   }
 
+  test("adaptive embedding: in-plan candidate scoring equals the driver loop exactly") {
+    import graft.ops.{AdaptiveEmbedding => AE}
+    import spark.implicits._
+    val cfg = AE.Config()
+    val state = AE.mapQuerySemanticSpace("spark shuffle partition",
+      AE.expandQuery("spark shuffle partition", Seq("executor", "stage")))
+    AE.updateState(state, Seq(
+      ("u1", "spark shuffle partition tuning guide"),
+      ("u2", "pasta tomato basil sauce recipe")), cfg)
+    val gaps = AE.coverageGaps(state.kb, state.queryEmb)
+    val candidates = Seq(
+      ("http://a/rel", "spark shuffle partition executor tuning"),
+      ("http://a/skew", "partition skew salting executor"),
+      ("http://a/noise", "pasta tomato basil recipe"),
+      ("http://a/more", "spark stage retry scheduling"),
+      ("http://a/empty", "   "))
+    // sequential loop vs one Spark stage over the same broadcast state: the
+    // shared scalar kernel must make them EXACTLY equal (incl. the
+    // empty-anchor drop and the (-score, href) order)
+    val seqRanked = AE.selectLinks(candidates, gaps, state.kb, cfg)
+    val planRanked = AE.scoreLinksPlan(candidates.toDF("href", "text"),
+        "href", "text", gaps, state.kb, cfg)
+      .orderBy(col("gap_score").desc, col("href"))
+      .as[(String, Double)].collect().toSeq
+    assert(planRanked == seqRanked)
+    // the crawl-loop hook scores identically
+    val hook = AE.linkScorerFor(gaps, state.kb, cfg)
+    assert(candidates.filterNot(_._2.trim.isEmpty)
+      .map { case (h, t) => (h, hook(h, t)) }.toMap == seqRanked.toMap)
+  }
+
   test("adaptive embedding: gaps, gap-filling link selection, KB dedup") {
     import graft.ops.{AdaptiveEmbedding => AE, Embed}
     val cfg = AE.Config()
