@@ -82,23 +82,30 @@ object Adaptive {
       .groupBy("term")
       .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
 
+  /** ONE action, one plan: the per-term score
+    * (df/N)·(1 + 0.5·ln(1+tf)/ln(1+max_tf)) summed over query terms splits
+    * algebraically into Σq df and Σq df·ln(1+tf) (the ln(1+max_tf) divisor
+    * is a constant), so a single aggregate over the term stats yields
+    * (max_tf, both sums) and a cross-joined 1-row doc count completes the
+    * scalar — no cached intermediate, no serialized job chain.
+    */
   def coverage(df: DataFrame, idCol: String, textCol: String,
                query: Seq[String]): Double = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val qTerms = query.map(_.toLowerCase).filter(_.nonEmpty).distinct
     if (qTerms.isEmpty) return 0.0
-    val n = df.count()
-    if (n == 0) return 0.0
-    val stats = termStats(df, idCol, textCol).cache()
-    val maxTf = stats.agg(max("tf")).head().getLong(0).toDouble
-    val perTerm = stats.join(broadcast(qTerms.toDF("term")), Seq("term"))
-      .withColumn("term_score",
-        (col("df").cast("double") / n) *
-          (lit(1.0) + lit(0.5) * log(lit(1.0) + col("tf")) / math.log(1.0 + maxTf)))
-      .agg(sum("term_score")).head()
-    stats.unpersist()
-    val total = if (perTerm.isNullAt(0)) 0.0 else perTerm.getDouble(0)
+    val isQ = col("term").isin(qTerms: _*)
+    val row = termStats(df, idCol, textCol)
+      .agg(
+        max(col("tf")).cast("double").as("max_tf"),
+        sum(when(isQ, col("df"))).cast("double").as("s1"),
+        sum(when(isQ, col("df").cast("double") * log(lit(1.0) + col("tf")))).as("s2"))
+      .crossJoin(df.agg(count(lit(1)).cast("double").as("n_docs")))
+      .head()
+    val n = row.getDouble(3)
+    if (n == 0.0 || row.isNullAt(1)) return 0.0
+    val maxTf = row.getDouble(0)
+    val total = row.getDouble(1) / n +
+      0.5 * (row.getDouble(2) / n) / math.log(1.0 + maxTf)
     math.min(1.0, math.sqrt(total / qTerms.size))
   }
 
