@@ -294,6 +294,15 @@ object SparkEntry {
       val q = e.where(col("vec_id") === 0).select("embedding").as[Seq[Float]].head()
       Similarity.lshTopK(e, "vec_id", "embedding", q, 10, planes = 6)
     }),
+    // corpus-trained embedding, step 1 (the exact-integer surface): windowed
+    // token co-occurrence — per-row pair generation, NO self-join, one
+    // aggregation shuffle (ops/CorpusEmbed trains PPMI + random-projection
+    // vectors from this table)
+    "q_cooccurrence" -> ((s, dir) => {
+      graft.ops.CorpusEmbed.cooccurrence(
+        table(s, dir, "documents").where(col("doc_id") < 200),
+        "doc_id", "text", window = 3, minCount = 5)
+    }),
     // trained coarse quantizer: distributed Lloyd's on a hash-sample, then a
     // partition-prunable nProbe-cell probe — the at-scale IVF shape
     "q_ann_ivf_trained" -> ((s, dir) => {
@@ -538,6 +547,21 @@ object SparkEntry {
     "q_embedding_neardup" -> graft.oracle.Fixtures.sql("q_embedding_neardup"),
     "q_ann_lsh_topk" -> graft.oracle.Fixtures.sql("q_ann_lsh_topk"),
     "q_ann_ivf_trained" -> graft.oracle.Fixtures.sql("q_ann_ivf_trained"),
+    "q_cooccurrence" ->
+      """WITH arrs AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS arr
+        |  FROM documents WHERE doc_id < 200
+        |),
+        |toks AS (
+        |  SELECT doc_id, arr[i] AS tok, i AS ord
+        |  FROM arrs, LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i)
+        |)
+        |SELECT a.tok AS term_a, b.tok AS term_b, CAST(count(*) AS BIGINT) AS n
+        |FROM toks a JOIN toks b
+        |  ON a.doc_id = b.doc_id AND b.ord > a.ord AND b.ord <= a.ord + 3
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 5""".stripMargin,
     "q_media_features" -> graft.oracle.Fixtures.sql("q_media_features"),
     "q_cosine_extract" -> graft.oracle.Fixtures.sql("q_cosine_extract"),
     "q_admission_window" ->

@@ -445,6 +445,50 @@ class OpsSpec extends AnyFunSuite {
       fit.markdown_with_citations == base.markdown_with_citations)
   }
 
+  test("corpus-trained embeddings: co-occurrence PPMI + projection separate topics") {
+    import graft.ops.{CorpusEmbed, Embed, Embedder}
+    // two-topic corpus with deterministic sentence recombinations
+    val aWords = Vector("spark", "shuffle", "executor", "partition", "stage", "task")
+    val bWords = Vector("pasta", "tomato", "basil", "garlic", "oven", "sauce")
+    val docs = (0 until 40).map { i =>
+      val w = if (i % 2 == 0) aWords else bWords
+      val s = (0 until 12).map(k => w((i * 7 + k * 3) % w.length)).mkString(" ")
+      (i.toLong, s)
+    }
+    val df = docs.toDF("doc_id", "text")
+    // exact-count surface: engine pairs equal a brute-force sequential count
+    val seqPairs = docs.flatMap { case (_, text) =>
+      val t = Embed.tokens(text)
+      for (i <- t.indices; k <- 1 to 3 if i + k < t.length) yield (t(i), t(i + k))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val enginePairs = CorpusEmbed.cooccurrence(df, "doc_id", "text", window = 3)
+      .as[(String, String, Long)].collect()
+      .map { case (a, b, n) => ((a, b), n) }.toMap
+    assert(enginePairs == seqPairs)
+
+    val emb = CorpusEmbed.train(df, "doc_id", "text",
+      dim = 32, window = 3, vocabSize = 64, minCount = 1)
+    // term geometry: same-topic terms closer than cross-topic
+    def tv(t: String) = emb.vectors(t)
+    assert(Embed.cosine(tv("spark"), tv("shuffle")) >
+      Embed.cosine(tv("spark"), tv("tomato")))
+    assert(Embed.cosine(tv("pasta"), tv("basil")) >
+      Embed.cosine(tv("pasta"), tv("executor")))
+    // document geometry through the Embedder seam
+    val a1 = emb.embed("spark executor tuning")
+    val a2 = emb.embed("shuffle partition stage work")
+    val b1 = emb.embed("pasta tomato basil dish")
+    assert(Embed.cosine(a1, a2) > Embed.cosine(a1, b1))
+    // out-of-vocabulary text falls back to the configured kernel
+    assert(emb.embed("zzz qqq www").toSeq == Embedder.default.embed("zzz qqq www").toSeq)
+    // and the trained kernel drops into CosineExtract like any Embedder
+    val clusters = graft.scrape.CosineExtract.extract(
+      docs.take(8).map(_._2),
+      graft.scrape.CosineExtract.Config(wordCountThreshold = 1, maxDist = 0.5,
+        embedder = emb))
+    assert(clusters.length >= 2)
+  }
+
   test("Embedder seam: a custom kernel changes results end-to-end through every consumer") {
     import graft.ops.{Embedder, Dedup, AdaptiveEmbedding => AE}
     import graft.scrape.CosineExtract
