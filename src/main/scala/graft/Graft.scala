@@ -72,4 +72,23 @@ final class Graft(val spark: SparkSession) {
                query: Seq[String] = Nil,
                maxUrls: Int = Int.MaxValue): DataFrame =
     graft.sources.Seeder.seedPipeline(spark, sources, headText, query, maxUrls = maxUrls)
+
+  /** TTL-expire a committed crawl epoch: its URLs re-queue for refetch on
+    * the next `crawl` over the same runDir (cuckoo-filter runs also evict
+    * the expired hashes from the persisted seen filter, executor-side). */
+  def expireEpoch(runDir: String, epoch: Int): Long =
+    Crawl.expireEpoch(spark, runDir, epoch)
+
+  /** PDF binaries → page rows (real parser incl. xref tables/streams and
+    * /ObjStm; deterministic stub fallback for unparseable bytes). */
+  def pdfPages(docs: org.apache.spark.sql.Dataset[graft.sources.Pdf.PdfBinary])
+      : org.apache.spark.sql.Dataset[graft.sources.Pdf.PdfPage] =
+    graft.sources.Pdf.pages(docs)
+
+  /** Train corpus embeddings (windowed co-occurrence → PPMI → signed random
+    * projection) and get back an [[graft.ops.Embedder]] usable by every
+    * semantic operator (`extractClusters`, adaptive crawling, near-dup). */
+  def trainEmbedder(df: DataFrame, idCol: String, textCol: String,
+                    dim: Int = 64): graft.ops.CorpusEmbed.TrainedEmbedder =
+    graft.ops.CorpusEmbed.train(df, idCol, textCol, dim)
 }

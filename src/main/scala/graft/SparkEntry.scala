@@ -294,6 +294,20 @@ object SparkEntry {
       val q = e.where(col("vec_id") === 0).select("embedding").as[Seq[Float]].head()
       Similarity.lshTopK(e, "vec_id", "embedding", q, 10, planes = 6)
     }),
+    // PDF source end-to-end: deterministic synthetic PDFs (classic layout +
+    // every-7th in the ObjStm/xref-stream layout) built per row and REAL-
+    // parsed distributed; oracle = generator intent (what the builder put in)
+    "q_pdf_pages" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "documents").where(col("doc_id") < 60)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          graft.sources.Pdf.extractPages(graft.sources.Pdf.PdfBinary(
+              s"doc$id.pdf", 0L, graft.sources.Pdf.syntheticPdf(id, text)))
+            .map(p => (id, p.page_no, p.text, p.n_images, p.links.mkString(",")))
+        }
+        .toDF("doc_id", "page_no", "text", "n_images", "links")
+    }),
     // corpus-trained embedding, step 1 (the exact-integer surface): windowed
     // token co-occurrence — per-row pair generation, NO self-join, one
     // aggregation shuffle (ops/CorpusEmbed trains PPMI + random-projection
@@ -547,6 +561,7 @@ object SparkEntry {
     "q_embedding_neardup" -> graft.oracle.Fixtures.sql("q_embedding_neardup"),
     "q_ann_lsh_topk" -> graft.oracle.Fixtures.sql("q_ann_lsh_topk"),
     "q_ann_ivf_trained" -> graft.oracle.Fixtures.sql("q_ann_ivf_trained"),
+    "q_pdf_pages" -> graft.oracle.Fixtures.sql("q_pdf_pages"),
     "q_cooccurrence" ->
       """WITH arrs AS (
         |  SELECT doc_id,

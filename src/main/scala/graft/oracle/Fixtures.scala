@@ -142,6 +142,18 @@ object Fixtures {
       SeqOracle.ivfTrainedTopK(embAll, q0, k = 10, cells = 8, iters = 3,
         trainFraction = 0.5, nProbe = 4).toDF("vec_id", "sim"))
 
+    // PDF pages: GENERATOR INTENT (what the builder put into each page),
+    // computed without the parser — the distributed query must real-parse
+    // its way back to exactly this
+    val docs60Pdf = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where($"doc_id" < 60).select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    write("q_pdf_pages",
+      docs60Pdf.flatMap { case (id, text) =>
+        graft.sources.Pdf.syntheticPdfIntent(id, text)
+          .map(p => (id, p.page_no, p.text, p.n_images, p.links.mkString(",")))
+      }.toDF("doc_id", "page_no", "text", "n_images", "links"))
+
     // ---- shared-kernel distribution twins ----------------------------------
     // (the kernel itself is deterministic shared code; the fixture checks the
     // distributed map/partitioning reproduces the sequential pass)

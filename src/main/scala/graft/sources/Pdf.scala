@@ -57,6 +57,134 @@ object Pdf {
     }
   }
 
+  // ---- deterministic synthetic PDF generator (bench/driver corpus) --------
+
+  private def pdfTokens(text: String): Array[String] =
+    text.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+
+  private def pageTexts(id: Long, text: String): Seq[String] = {
+    val toks = pdfTokens(text)
+    val nPages = 1 + (math.abs(id) % 3).toInt
+    (0 until nPages).map { p =>
+      if (toks.isEmpty) ""
+      else (0 until 8).map(k => toks(((p * 8 + k) % toks.length).toInt)).mkString(" ")
+    }
+  }
+
+  private def hasImage(id: Long): Boolean = id % 2 == 0
+  private def linksFor(id: Long): Seq[String] =
+    if (id % 5 == 0) Seq(s"http://ref.example.com/pdf/$id") else Nil
+
+  private def deflateBytes(content: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(content); d.finish()
+    val buf = new Array[Byte](content.length * 2 + 64)
+    val len = d.deflate(buf); d.end()
+    java.util.Arrays.copyOf(buf, len)
+  }
+
+  /** GENERATOR-INTENT twin of [[syntheticPdf]]: the page rows the builder
+    * intends, computed WITHOUT the parser — the oracle side of q_pdf_pages.
+    */
+  def syntheticPdfIntent(id: Long, text: String): Seq[PdfPage] =
+    pageTexts(id, text).zipWithIndex.map { case (t, p) =>
+      PdfPage(s"doc$id.pdf", p,
+        t,
+        if (p == 0 && hasImage(id)) 1 else 0,
+        if (p == 0) linksFor(id) else Nil)
+    }
+
+  /** Deterministic synthetic PDF bytes for one (id, text) document:
+    * 1 + id%3 pages of 8-token slices, an image XObject on page 0 for even
+    * ids, a /URI annot for ids divisible by 5 — and ids divisible by 7 emit
+    * the MODERN layout (catalog/pages/page dicts packed in a /ObjStm,
+    * resolved via a PDF-1.5 xref STREAM) so the driver gate exercises both
+    * parser paths. All streams Flate-compressed.
+    */
+  def syntheticPdf(id: Long, text: String): Array[Byte] = {
+    val texts = pageTexts(id, text)
+    val n = texts.length
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    val modern = id % 7 == 0
+    w(if (modern) "%PDF-1.5\n" else "%PDF-1.4\n")
+    // numbering: 1 catalog, 2 pages, 3..2+n page dicts, 3+n..2+2n contents,
+    // then image (imgNum), annot (annotNum), [objstm, xrefstm]
+    val imgNum = 3 + 2 * n
+    val annotNum = imgNum + 1
+    val stmNum = annotNum + 1
+    val xrefNum = stmNum + 1
+    def pageDict(i: Int): String = {
+      val extra = new StringBuilder
+      if (i == 0 && hasImage(id))
+        extra ++= s" /Resources << /XObject << /Im0 $imgNum 0 R >> >>"
+      if (i == 0 && linksFor(id).nonEmpty)
+        extra ++= s" /Annots [ $annotNum 0 R ]"
+      s"<< /Type /Page /Parent 2 0 R /Contents ${3 + n + i} 0 R$extra >>"
+    }
+    val kids = (0 until n).map(i => s"${3 + i} 0 R").mkString(" ")
+    val catalog = "<< /Type /Catalog /Pages 2 0 R >>"
+    val pagesD = s"<< /Type /Pages /Kids [ $kids ] /Count $n >>"
+
+    if (!modern) {
+      w(s"1 0 obj\n$catalog\nendobj\n")
+      w(s"2 0 obj\n$pagesD\nendobj\n")
+      (0 until n).foreach { i =>
+        w(s"${3 + i} 0 obj\n${pageDict(i)}\nendobj\n")
+      }
+    }
+    val contentOffs = new Array[Int](n)
+    (0 until n).foreach { i =>
+      contentOffs(i) = out.size()
+      val content = s"BT /F1 12 Tf 72 720 Td (${texts(i)}) Tj ET".getBytes("ISO-8859-1")
+      val data = deflateBytes(content)
+      w(s"${3 + n + i} 0 obj\n<< /Length ${data.length} /Filter /FlateDecode >>\nstream\n")
+      out.write(data)
+      w("\nendstream\nendobj\n")
+    }
+    val imgOff = out.size()
+    if (hasImage(id))
+      w(s"$imgNum 0 obj\n<< /Subtype /Image /Width 8 /Height 8 /Length 0 >>\nstream\n\nendstream\nendobj\n")
+    val annotOff = out.size()
+    linksFor(id).foreach { uri =>
+      w(s"$annotNum 0 obj\n<< /Type /Annot /Subtype /Link /A << /S /URI /URI ($uri) >> >>\nendobj\n")
+    }
+    if (modern) {
+      // pack the page tree into an ObjStm + xref stream
+      val dicts = Seq(catalog, pagesD) ++ (0 until n).map(pageDict)
+      val offs = dicts.scanLeft(0)((acc, d) => acc + d.length + 1)
+      val header = dicts.indices.map(i => s"${i + 1} ${offs(i)}").mkString(" ") + " "
+      val payload = (header + dicts.mkString(" ")).getBytes("ISO-8859-1")
+      val stm = deflateBytes(payload)
+      val stmOff = out.size()
+      w(s"$stmNum 0 obj\n<< /Type /ObjStm /N ${dicts.length} /First ${header.length} /Length ${stm.length} /Filter /FlateDecode >>\nstream\n")
+      out.write(stm)
+      w("\nendstream\nendobj\n")
+      val xrefOff = out.size()
+      def row(t: Int, f2: Int, f3: Int): Array[Byte] =
+        Array(t.toByte, ((f2 >> 16) & 0xff).toByte, ((f2 >> 8) & 0xff).toByte,
+          (f2 & 0xff).toByte, f3.toByte)
+      val size = xrefNum + 1
+      val rows = (0 until size).flatMap {
+        case 0 => row(0, 0, 0)
+        case i if i <= 2 + n => row(2, stmNum, i - 1)       // packed dicts
+        case i if i == stmNum => row(1, stmOff, 0)
+        case i if i == xrefNum => row(1, xrefOff, 0)
+        case i if i == imgNum => row(if (hasImage(id)) 1 else 0, imgOff, 0)
+        case i if i == annotNum => row(if (linksFor(id).nonEmpty) 1 else 0, annotOff, 0)
+        case i => row(1, contentOffs(i - 3 - n), 0)          // content streams
+      }.toArray
+      val xr = deflateBytes(rows)
+      w(s"$xrefNum 0 obj\n<< /Type /XRef /Size $size /W [ 1 3 1 ] /Index [ 0 $size ] /Root 1 0 R /Length ${xr.length} /Filter /FlateDecode >>\nstream\n")
+      out.write(xr)
+      w("\nendstream\nendobj\n")
+      w(s"startxref\n$xrefOff\n%%EOF\n")
+    } else {
+      w("%%EOF\n")
+    }
+    out.toByteArray
+  }
+
   /** Real parse with stub fallback: one binary in, its page rows out. */
   def extractPages(doc: PdfBinary): Seq[PdfPage] =
     PdfParse.parse(doc.content) match {

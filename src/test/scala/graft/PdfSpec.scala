@@ -183,6 +183,22 @@ class PdfSpec extends AnyFunSuite {
     assert(PdfParse.parse(pdf).get.head.text == "updated revision")
   }
 
+  test("synthetic PDF generator: real parse round-trips the generator intent (both layouts)") {
+    val text = "Alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    // ids cover: modern ObjStm layout (0, 7, 14, 35), image (even), link (0, 5, 35)
+    Seq(0L, 1L, 2L, 5L, 7L, 14L, 35L).foreach { id =>
+      val parsed = PdfParse.parse(Pdf.syntheticPdf(id, text)).get
+      val intent = Pdf.syntheticPdfIntent(id, text)
+      assert(parsed.length == intent.length, s"id=$id page count")
+      parsed.zip(intent).foreach { case (p, want) =>
+        assert(p.text == want.text, s"id=$id page=${want.page_no} text")
+        assert(p.nImages == want.n_images, s"id=$id page=${want.page_no} images")
+        assert(p.links == want.links, s"id=$id page=${want.page_no} links")
+      }
+    }
+  }
+
   test("non-PDF bytes fall back to the deterministic stub kernel") {
     val junk = Pdf.PdfBinary("f.bin", 64, Array.tabulate(64)(_.toByte))
     assert(PdfParse.parse(junk.content).isEmpty)
