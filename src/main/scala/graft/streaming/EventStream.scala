@@ -78,6 +78,32 @@ object EventStream {
     docs.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(hashCol)
 
+  final case class UrlArrival(url_hash: Long, url: String)
+
+  /** Streaming URL-seen: the streaming twin of the crawl's seen ledger —
+    * each url_hash's FIRST arrival is emitted exactly once; every later
+    * occurrence (same micro-batch or any later one) is dropped against
+    * per-key state (`flatMapGroupsWithState`, no timeout: a seen ledger
+    * never expires within a crawl). Within a micro-batch the deterministic
+    * first is the lexicographically-smallest url (mirrors the batch loop's
+    * first-wins tiebreak on a stable key). At 10^10 scale the state store
+    * is RocksDB-backed and hash-partitioned by key — the same key sharding
+    * as the batch seen set, so the two deployments shard identically.
+    */
+  def streamingUrlSeen(urls: Dataset[UrlArrival]): Dataset[UrlArrival] = {
+    import urls.sparkSession.implicits._
+    urls.groupByKey(_.url_hash)
+      .flatMapGroupsWithState[Boolean, UrlArrival](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[UrlArrival], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(rows.minBy(_.url))
+          }
+      }
+  }
+
   /** Batch twin of [[sessionize]] via lag-window gap detection — the
     * relational sessionization used in queries (and its DuckDB oracle).
     */

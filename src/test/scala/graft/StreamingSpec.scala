@@ -72,6 +72,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming URL-seen: first arrival per hash emitted once, exact across batches") {
+    import graft.streaming.EventStream.UrlArrival
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[UrlArrival]
+    val q = EventStream.streamingUrlSeen(mem.toDS())
+      .writeStream.format("memory").queryName("url_seen")
+      .outputMode("append").start()
+    try {
+      // batch 1: hash 1 arrives twice in ONE batch — lexicographic first wins
+      mem.addData(
+        UrlArrival(1L, "http://a.com/z"), UrlArrival(1L, "http://a.com/a"),
+        UrlArrival(2L, "http://b.com/x"))
+      q.processAllAvailable()
+      // batch 2: both hashes recur (state dedup), one genuinely new
+      mem.addData(
+        UrlArrival(1L, "http://a.com/again"), UrlArrival(2L, "http://b.com/x"),
+        UrlArrival(3L, "http://c.com/new"))
+      q.processAllAvailable()
+      val rows = spark.table("url_seen").as[UrlArrival].collect()
+        .map(u => (u.url_hash, u.url)).toSet
+      assert(rows == Set(
+        (1L, "http://a.com/a"), (2L, "http://b.com/x"), (3L, "http://c.com/new")))
+    } finally q.stop()
+  }
+
   test("text-analysis operators run unchanged on a stream (batch parity)") {
     // the pipeline operators are pure Column expressions, so the SAME code
     // path serves batch backfill and streaming ingest — parity asserted
