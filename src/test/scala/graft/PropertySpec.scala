@@ -175,6 +175,40 @@ class PropertySpec extends AnyFunSuite {
     assert((0L until 1200L).forall(i => f1.contains(key(i))))
   }
 
+  test("Dom re-serialization round-trips: scrape(outerHtml(parse(h))) == scrape(h)") {
+    import graft.scrape.{Dom, Scrape}
+    // generated pages mix entity-bearing text ('&lt;b&gt;', '&amp;'),
+    // attribute values with quotes/'>'/'&', nesting, and void elements —
+    // the selector-path reparse must be a semantic no-op on all of them
+    val word: Gen[String] = Gen.oneOf(
+      "alpha", "a&amp;b", "&lt;b&gt;bold&lt;/b&gt;", "x&gt;y", "q&quot;q",
+      "plain", "fish", "&#65;num")
+    val attrVal: Gen[String] = Gen.oneOf(
+      "v1", "say &quot;hi&quot;", "a&amp;b", "x&gt;y", "path/z")
+    val elem: Gen[String] = for {
+      tag <- Gen.oneOf("p", "div", "span", "li", "h2")
+      words <- Gen.listOfN(4, word)
+      av <- attrVal
+      withAttr <- Gen.oneOf(true, false)
+    } yield {
+      val attr = if (withAttr) s""" title="$av" class="c1"""" else ""
+      s"<$tag$attr>${words.mkString(" ")}</$tag>"
+    }
+    val pageGen: Gen[String] = for {
+      es <- Gen.listOfN(5, elem)
+      img <- Gen.oneOf(true, false)
+    } yield {
+      val media = if (img) """<img src="/i.jpg" width="300" alt="pic">""" else ""
+      s"<html><body>${es.mkString("\n")}$media</body></html>"
+    }
+    forAll(pageGen, trials = 120) { html =>
+      val direct = Scrape.scrape("http://x.com/a", html)
+      val rt = Scrape.scrape("http://x.com/a", Dom.parse(html).outerHtml)
+      assert(rt.spans == direct.spans, s"spans diverge after reparse on:\n$html")
+      assert(rt.links == direct.links)
+    }
+  }
+
   test("path-encoded discovery order sorts parents before children (DFS preorder)") {
     forAll(Gen.listOfN(6, Gen.choose(0, 0xffff))) { idxs =>
       whenever(idxs.nonEmpty) {
