@@ -39,7 +39,9 @@ object CrawlBench {
       .toDF("host", "rules", "fetch_time", "rules_md5")
     val runDir = java.nio.file.Files.createTempDirectory("crawlbench").toString
 
-    val cfg = CrawlConfig(strategy = "bfs", hostBudget = budget, maxEpochs = 40)
+    val seenFilter = args.lift(3).getOrElse("bloom")
+    val cfg = CrawlConfig(strategy = "bfs", hostBudget = budget, maxEpochs = 40,
+      seenFilter = seenFilter)
     val t0 = System.nanoTime()
     val summary = Crawl.run(spark, seeds, pages, robots, runDir, cfg)
     val sec = (System.nanoTime() - t0) / 1e9
@@ -47,7 +49,7 @@ object CrawlBench {
     val walls = Crawl.metrics(spark, runDir)
       .select("epoch", "fetched", "new_frontier", "wall_ms")
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    println(f"""{"pages":$nPages,"hosts":$hosts,"host_budget":$budget,"cores":$cores,""" +
+    println(f"""{"pages":$nPages,"hosts":$hosts,"host_budget":$budget,"cores":$cores,"seen_filter":"$seenFilter",""" +
       f""""fetched":${summary.fetched},"seen":${summary.seen},"epochs":${summary.epochs},""" +
       f""""wall_sec":$sec%.2f,"pages_per_sec":${summary.fetched / sec}%.1f,""" +
       s""""epoch_walls_ms":[${walls.map(_._4).mkString(",")}]}""")
