@@ -155,10 +155,40 @@ object Similarity {
     aggregate(zip_with(v.cast("array<double>"), typedLit(c),
       (x, m) => (x - m) * (x - m)), lit(0.0d), (acc, x) => acc + x)
 
-  /** argmin cell over literal centroids (a broadcast-free column expr). */
+  /** argmin cell over literal centroids (a broadcast-free column expr) —
+    * the executable SPEC form; fine for small quantizers but its expression
+    * tree is O(cells·dim) nodes. The hot path uses [[nearestCellKernel]],
+    * equality-asserted against this form in OpsSpec. */
   def nearestCell(v: Column, centroids: Seq[Seq[Double]]): Column = {
     val dists = array(centroids.map(c => distSqTo(v, c)): _*)
     array_position(dists, array_min(dists)).cast("int") - 1
+  }
+
+  /** Compiled kernel twin of [[nearestCell]]: the centroid matrix rides as
+    * ONE broadcast per job instead of plan literals — at real quantizer
+    * sizes (thousands of cells × hundreds of dims) the literal form's
+    * expression tree explodes Catalyst planning, the kernel does not.
+    * First-min argmin, per-element (x − m)² accumulation in index order —
+    * bit-identical to the Column form. Input column must be array<double>
+    * (cast upstream, exactly like the spec form's internal cast).
+    */
+  def nearestCellKernel(spark: org.apache.spark.sql.SparkSession,
+                        centroids: Seq[Seq[Double]]): Column => Column = {
+    val bc = spark.sparkContext.broadcast(centroids.map(_.toArray).toArray)
+    val cellU = udf { (v: Seq[Double]) =>
+      val cs = bc.value
+      var best = Double.MaxValue; var bi = 0; var i = 0
+      while (i < cs.length) {
+        val c = cs(i)
+        var acc = 0.0; var j = 0
+        val n = math.min(v.length, c.length)
+        while (j < n) { val d = v(j) - c(j); acc += d * d; j += 1 }
+        if (acc < best) { best = acc; bi = i }
+        i += 1
+      }
+      bi
+    }
+    v => cellU(v)
   }
 
   /** Train an IVF coarse quantizer with Lloyd's iterations, each one Spark
@@ -184,7 +214,7 @@ object Similarity {
     var it = 0
     while (it < iters) {
       val sums = train
-        .withColumn("cell", nearestCell(col("v"), centroids))
+        .withColumn("cell", nearestCellKernel(df.sparkSession, centroids)(col("v")))
         .select(col("cell"), posexplode(col("v")).as(Seq("j", "x")))
         .groupBy("cell", "j").agg(sum("x").as("sx"), count(lit(1)).as("n"))
         .collect()
@@ -225,7 +255,8 @@ object Similarity {
         (d, i)
       }.sortBy(_._1).take(nProbe).map(_._2)
     df.select(col(idCol), col(vecCol).as("v"))
-      .withColumn("cell", nearestCell(col("v"), centroids))
+      .withColumn("cell",
+        nearestCellKernel(df.sparkSession, centroids)(col("v").cast("array<double>")))
       .where(col("cell").isin(qCells: _*))
       .select(col(idCol), cosine(col("v"), q).as("sim"))
       .orderBy(col("sim").desc, col(idCol))

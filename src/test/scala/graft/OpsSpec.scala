@@ -253,6 +253,14 @@ class OpsSpec extends AnyFunSuite {
     val sampled = Similarity.trainIvf(embs, "vec_id", "embedding", cells = 8,
       iters = 3, trainFraction = 0.5)
     assert(sampled.size == 8 && sampled.forall(_.size == 64))
+    // the broadcast kernel assigns EVERY vector to the same cell as the
+    // literal Column spec form (the hot path must be bit-identical)
+    val both = embs.select(col("vec_id"),
+        Similarity.nearestCell(col("embedding"), trained).as("spec"),
+        Similarity.nearestCellKernel(spark, trained)(
+          col("embedding").cast("array<double>")).as("kernel"))
+      .where(col("spec") =!= col("kernel"))
+    assert(both.count() == 0)
   }
 
   test("embedding near-dup: exact duplicate vectors collide and score 1") {
