@@ -48,60 +48,28 @@ object BloomSeen {
   }
 
   /** Split `candidates` into (definitelyNew, maybeSeen) by a vector of
-    * per-epoch blooms. The vector rides to executors as an explicit broadcast
-    * (one copy per executor, not per task); the predicate is a cheap
-    * deterministic check over the hash column.
+    * per-epoch blooms — one implementation lives in [[SeenFilters]] (the
+    * broadcast/split/anti-join machinery is filter-family-agnostic); these
+    * delegating forms keep the bloom-typed surface for tests.
     */
   def split(spark: SparkSession, candidates: DataFrame, hashCol: String,
             blooms: Seq[BloomFilter]): (DataFrame, DataFrame) = {
-    val (a, b, _) = splitTracked(spark, candidates, hashCol, blooms)
+    val (a, b, _) = SeenFilters.splitTracked(spark, candidates, hashCol,
+      blooms.map(new BloomDelta(_)))
     (a, b)
-  }
-
-  /** As [[split]], but also returns the broadcast handle so the caller can
-    * `destroy()` it once the epoch's jobs are complete — without this, a
-    * long crawl accumulates one bloom-vector broadcast per epoch (including
-    * the full-set compacted bloom, MBs at scale) for the JVM lifetime.
-    */
-  def splitTracked(spark: SparkSession, candidates: DataFrame, hashCol: String,
-                   blooms: Seq[BloomFilter])
-      : (DataFrame, DataFrame, org.apache.spark.broadcast.Broadcast[Array[BloomFilter]]) = {
-    val bc = spark.sparkContext.broadcast(blooms.toArray)
-    val mightContain = udf { (h: Long) =>
-      val bs = bc.value; var i = 0; var hit = false
-      while (i < bs.length && !hit) { hit = bs(i).mightContainLong(h); i += 1 }
-      hit
-    }.asNondeterministic()
-    val flagged = candidates.withColumn("__maybe_seen", mightContain(col(hashCol)))
-    (flagged.where(!col("__maybe_seen")).drop("__maybe_seen"),
-      flagged.where(col("__maybe_seen")).drop("__maybe_seen"),
-      bc)
   }
 
   /** Bloom-accelerated anti-join: rows of `candidates` whose `hashCol` is not
     * present in `seen` — equivalent to a plain left_anti join, but only the
-    * maybe-seen slice shuffles.
+    * maybe-seen slice shuffles. Delegates to [[SeenFilters.antiJoinTracked]].
     */
   def antiJoin(spark: SparkSession, candidates: DataFrame, seen: DataFrame,
                hashCol: String, blooms: Seq[BloomFilter]): DataFrame =
-    antiJoinTracked(spark, candidates, seen, hashCol, blooms)._1
-
-  /** As [[antiJoin]], plus the broadcast handle for end-of-epoch destroy. */
-  def antiJoinTracked(spark: SparkSession, candidates: DataFrame, seen: DataFrame,
-                      hashCol: String, blooms: Seq[BloomFilter])
-      : (DataFrame, org.apache.spark.broadcast.Broadcast[Array[BloomFilter]]) = {
-    val (definitelyNew, maybeSeen, bc) = splitTracked(spark, candidates, hashCol, blooms)
-    val survivors = maybeSeen.join(seen, Seq(hashCol), "left_anti")
-    (definitelyNew.unionByName(survivors), bc)
-  }
+    SeenFilters.antiJoinTracked(spark, candidates, seen, hashCol,
+      blooms.map(new BloomDelta(_)))._1
 
   /** Single-bloom convenience overload (kept for the property suite). */
   def antiJoin(candidates: DataFrame, seen: DataFrame, hashCol: String,
-               bloom: BloomFilter): DataFrame = {
-    val mightContain = udf((h: Long) => bloom.mightContainLong(h)).asNondeterministic()
-    val flagged = candidates.withColumn("__maybe_seen", mightContain(col(hashCol)))
-    val definitelyNew = flagged.where(!col("__maybe_seen")).drop("__maybe_seen")
-    val maybeSeen = flagged.where(col("__maybe_seen")).drop("__maybe_seen")
-    definitelyNew.unionByName(maybeSeen.join(seen, Seq(hashCol), "left_anti"))
-  }
+               bloom: BloomFilter): DataFrame =
+    antiJoin(candidates.sparkSession, candidates, seen, hashCol, Seq(bloom))
 }

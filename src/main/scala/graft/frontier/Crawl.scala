@@ -239,6 +239,24 @@ object Crawl {
         store.build(spark, delta, "url_hash", delta.count())
       }.getOrElse(store.empty())
     }
+    // cuckoo HEAL (soundness): TTL expiry evicts hashes from the persisted
+    // filters while the exact seen ledger stays monotone — a filter false
+    // negative would let a REDISCOVERED requeued URL ride the definitely-new
+    // fast path past the exact anti-join and enter the frontier twice. The
+    // evicted set is exactly the re-queued set, so one extra filter over the
+    // current queued frontier restores the no-false-negative contract for
+    // the whole run (fetched requeues are covered from the next epoch on by
+    // the admitted-inclusive delta filters below).
+    if (store.name == "cuckoo") {
+      val headDir = dir(runDir, epoch, "frontier")
+      if (Files.isDirectory(Paths.get(headDir))) {
+        val queued0 = spark.read.schema(frontierSchema).parquet(headDir)
+          .where(col("status") === CrawlStatus.Queued).select("url_hash")
+        val nQueued = queued0.count()
+        if (nQueued > 0)
+          filters = filters :+ store.build(spark, queued0, "url_hash", nQueued)
+      }
+    }
     while (!done && epoch < cfg.maxEpochs) {
       val t0 = System.currentTimeMillis()
       val frontier = spark.read.schema(frontierSchema).parquet(dir(runDir, epoch, "frontier"))
@@ -468,9 +486,21 @@ object Crawl {
               store.save(compactFilter, store.path(runDir, nextEpoch))
               (nextEpoch, Vector(compactFilter))
             } else {
+              // the PARQUET delta stays exactly the first-seen set (ledger
+              // semantics); the cuckoo FILTER additionally covers this
+              // epoch's admitted hashes so a refetched (previously evicted)
+              // URL is filter-covered from the next epoch on even across a
+              // crash/resume — always sound (admitted ⊆ seen; extra filter
+              // membership only costs exact-join traffic)
+              val filterInput =
+                if (store.name == "cuckoo")
+                  newEntries.select("url_hash")
+                    .unionByName(admitted.select("url_hash"))
+                else newEntries.select("url_hash")
               val deltaFilter =
-                if (nNew == 0) store.empty()
-                else store.build(spark, newEntries, "url_hash", nNew)
+                if (nNew == 0 && store.name != "cuckoo") store.empty()
+                else store.build(spark, filterInput, "url_hash",
+                  nNew + (if (store.name == "cuckoo") math.max(queuedCount, 0L) else 0L))
               store.save(deltaFilter, store.path(runDir, nextEpoch))
               (seenBase, filters :+ deltaFilter)
             }
@@ -534,17 +564,23 @@ object Crawl {
     * earlier snapshots (time travel still sees them); the re-crawl emits
     * fresh docs at the new epochs. O(expired-delta) work.
     *
-    * The EXACT seen parquet is a monotone ledger and never shrinks: that is
-    * what keeps queued ⊆ seen, so a re-queued URL rediscovered via links
-    * during the recrawl cannot enter the frontier twice (the reference keeps
-    * the same split — the per-crawl visited set is monotone, only the TTL'd
-    * result CACHE is deletable). Under `seenFilter = "cuckoo"` the deletable
-    * half is real: the expired delta's hashes are EVICTED from the persisted
-    * sharded filter (executor-side, [[CuckooSeen.evictSharded]] — per-shard
+    * The EXACT seen parquet is a monotone ledger and never shrinks — the
+    * exact anti-join is what keeps a re-queued URL rediscovered via links
+    * from entering the frontier twice (the reference keeps the same split —
+    * the per-crawl visited set is monotone, only the TTL'd result CACHE is
+    * deletable). Under `seenFilter = "cuckoo"` the deletable half is real:
+    * the expired delta's hashes are EVICTED from the persisted sharded
+    * filter (executor-side, [[CuckooSeen.evictSharded]] — per-shard
     * `mapGroups` deletes, only compact filters cross the driver), so the
-    * recrawl's pre-filter stops short-circuiting them and the filter tracks
-    * the still-cached set exactly. Under bloom the filter is append-only and
-    * the stale bits simply age out at the next compaction.
+    * filter tracks the still-cached set. Because eviction deliberately
+    * creates filter false negatives against the monotone ledger,
+    * [[Crawl.run]] HEALS the fast path at load (one extra filter over the
+    * queued frontier — the evicted set is exactly the requeued set) and
+    * covers admitted hashes in each epoch's delta filter; eviction itself is
+    * idempotent via an on-disk marker (repeating a cuckoo delete for an
+    * already-evicted key could strip a colliding live fingerprint). Under
+    * bloom the filter is append-only and the stale bits simply age out at
+    * the next compaction.
     *
     * Returns the number of re-queued URLs; `Crawl.run` on the same runDir
     * then resumes from the new snapshot and refetches them.
@@ -601,11 +637,19 @@ object Crawl {
       case _: CuckooStore =>
         val target = if (expired >= base) expired else base.toInt
         val p = store.path(runDir, target)
-        if (Files.exists(p)) {
+        // idempotency marker: the expired keys are in the target filter by
+        // construction on the FIRST eviction only — a repeat delete of an
+        // absent key can strip a colliding live fingerprint (cuckoo delete
+        // contract), so each (filter, expired-epoch) pair evicts once. A
+        // later compaction writes a fresh filter at a new epoch, moving
+        // `target`, so the new filter is evictable again.
+        val marker = Paths.get(f"$runDir/.evicted_$target%04d_$expired%04d")
+        if (Files.exists(p) && !Files.exists(marker)) {
           val expiredHashes = spark.read.parquet(dir(runDir, expired, "seen"))
           val (evicted, _) = CuckooSeen.evictSharded(
             store.load(p).asInstanceOf[ShardedCuckoo], expiredHashes, "url_hash")
           store.save(evicted, p)
+          Files.createFile(marker)
         }
       case _ => // bloom: append-only; stale bits age out at compaction
     }

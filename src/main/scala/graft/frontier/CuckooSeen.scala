@@ -127,7 +127,10 @@ final class CuckooFilter private (val numBuckets: Int,
   }
 
   def serialize(): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(8 + table.length * 2 + stash.size * 6)
+    val size = 8L + table.length.toLong * 2 + stash.size.toLong * 6
+    require(size <= Int.MaxValue,
+      s"cuckoo filter too large to serialize (${table.length} slots); shard it")
+    val bb = java.nio.ByteBuffer.allocate(size.toInt)
     bb.putInt(numBuckets)
     table.foreach(bb.putShort)
     bb.putInt(stash.size)
@@ -152,11 +155,12 @@ object CuckooFilter {
 
   /** Sized for `expectedItems` at ≤ ~0.95 load, rounded up to a power of two
     * (required by the self-inverse alternate-bucket derivation). The bound is
-    * 2^28 buckets-worth: one step higher and `buckets * SlotsPerBucket`
-    * overflows the Int array size (2^29 × 4 = 2^31). */
+    * 2^27 buckets-worth: that keeps BOTH the table array (2^27 × 4 shorts)
+    * and its serialized form (× 2 bytes, `serialize()`) inside Int range —
+    * one step higher and the serialized byte length overflows. */
   def create(expectedItems: Long): CuckooFilter = {
     val want = math.max(8L, math.ceil(expectedItems / (SlotsPerBucket * 0.95)).toLong)
-    require(want <= (1L << 28),
+    require(want <= (1L << 27),
       s"single cuckoo partition too large ($expectedItems items); shard it")
     val buckets = java.lang.Long.highestOneBit(want * 2 - 1).toInt
     new CuckooFilter(buckets, new Array[Short](buckets * SlotsPerBucket))
@@ -183,8 +187,7 @@ object CuckooFilter {
   * path per shard ([[CuckooSeen.evictSharded]]).
   */
 final class ShardedCuckoo(val shardArr: Array[CuckooFilter]) extends SeenDelta {
-  private def shardOf(key: Long): Int =
-    ((key % shardArr.length).toInt + shardArr.length) % shardArr.length
+  private def shardOf(key: Long): Int = ShardedCuckoo.shardOf(key, shardArr.length)
   def contains(key: Long): Boolean = shardArr(shardOf(key)).contains(key)
   def delete(key: Long): Boolean = shardArr(shardOf(key)).delete(key)
   def size: Int = shardArr.map(_.size).sum
@@ -200,6 +203,11 @@ final class ShardedCuckoo(val shardArr: Array[CuckooFilter]) extends SeenDelta {
 }
 
 object ShardedCuckoo {
+  /** The ONE shard-assignment rule (floorMod of the key) — build, lookup,
+    * and evict must agree on it, so they all call here. */
+  private[frontier] def shardOf(key: Long, n: Int): Int =
+    ((key % n).toInt + n) % n
+
   def deserialize(bytes: Array[Byte]): ShardedCuckoo = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val n = bb.getInt
@@ -233,7 +241,7 @@ object CuckooSeen {
     import spark.implicits._
     val perShard = math.max(64L, expectedItems / shards + expectedItems / (4 * shards))
     val built = df.select(col(colName).cast("long")).distinct().as[Long]
-      .groupByKey(h => ((h % shards).toInt + shards) % shards)
+      .groupByKey(h => ShardedCuckoo.shardOf(h, shards))
       .mapGroups { (shard, keys) =>
         val cf = CuckooFilter.create(perShard)
         var overflow = 0L
@@ -269,7 +277,7 @@ object CuckooSeen {
     val n = sc.shardArr.length
     val bc = spark.sparkContext.broadcast(sc.shardArr.map(_.serialize()))
     val updated = expired.select(col(colName).cast("long")).distinct().as[Long]
-      .groupByKey(h => ((h % n).toInt + n) % n)
+      .groupByKey(h => ShardedCuckoo.shardOf(h, n))
       .mapGroups { (shard, keys) =>
         val cf = CuckooFilter.deserialize(bc.value(shard))
         var removed = 0L

@@ -94,11 +94,13 @@ final class CuckooStore(shards: Int = 32) extends SeenStore {
   override def name = "cuckoo"
   override def path(runDir: String, epoch: Int): Path =
     Paths.get(f"$runDir/cuckoo_$epoch%04d.bin")
-  // a shard is bounded (CuckooFilter.create caps at 2^28 want units); scale
-  // the shard count with the delta so a compacted full set at 10^10 keys
-  // still builds — each shard's filter is assembled inside one executor task
+  // a shard is bounded (CuckooFilter.create caps at 2^27 want units ≈ 5×10^8
+  // keys at 0.95 load); scale the shard count with the delta so a compacted
+  // full set at 10^10 keys still builds — each shard's filter is assembled
+  // inside one executor task. 2.5×10^8 keys/shard keeps the post-headroom
+  // per-shard capacity comfortably inside the create() cap.
   private def shardsFor(expectedItems: Long): Int =
-    math.max(shards, ((expectedItems + 500000000L - 1) / 500000000L).toInt)
+    math.max(shards, ((expectedItems + 250000000L - 1) / 250000000L).toInt)
   override def build(spark: SparkSession, delta: DataFrame, colName: String,
                      expectedItems: Long): SeenDelta =
     CuckooSeen.buildSharded(delta, colName, math.max(expectedItems, 64L),

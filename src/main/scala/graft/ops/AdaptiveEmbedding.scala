@@ -148,11 +148,15 @@ object AdaptiveEmbedding {
 
   /** [[scoreCandidate]] as a crawl-loop hook: returns the (url, anchorText)
     * ⇒ score closure `CrawlConfig.linkScorer` expects, capturing the current
-    * gaps/KB snapshot. */
+    * gaps/KB snapshot. Empty/whitespace anchors score −∞ — the hook cannot
+    * drop rows, so pair it with any finite `CrawlConfig.scoreThreshold`
+    * (e.g. 0.0) to reproduce [[selectLinks]]/[[scoreLinksPlan]]'s
+    * empty-anchor drop exactly; with the default −∞ threshold they are
+    * enqueued last instead of dropped. */
   def linkScorerFor(gaps: Vector[(Array[Float], Double)],
                     kb: Vector[Array[Float]], cfg: Config): (String, String) => Double =
     (_, text) =>
-      if (text == null || text.trim.isEmpty) 0.0
+      if (text == null || text.trim.isEmpty) Double.NegativeInfinity
       else scoreCandidate(text, gaps, kb, cfg)
 
   /** Learning score: mean best cosine per train query (0 on empty KB). */

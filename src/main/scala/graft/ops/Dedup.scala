@@ -122,11 +122,13 @@ object Dedup {
     val sigs = df.select(col(idCol).as("id"), sigUdf(col(textCol)).as("sig"))
     // band rows carry ONLY (band, band_hash, id): the k-element signature
     // arrays must not ride through the band exchange (bands× the rows, each
-    // k×8 bytes — the dominant shuffle at corpus scale). Signatures re-join
-    // by id AFTER the candidate pairs are deduped, when the row count is the
-    // (much smaller) surviving-pair set; the signature kernel recompute on
-    // the sig side is one cheap compiled pass, traded for a bands×k-fold
-    // smaller band exchange.
+    // k×8 bytes — the dominant shuffle at corpus scale). Signatures come
+    // back AFTER the candidate pairs are deduped — and only for the ids that
+    // actually survive: a left_semi against the surviving-pair id set
+    // restricts the second signature pass to those rows, so the signature
+    // kernel runs once over the corpus (banding) plus once over the (much
+    // smaller) survivor slice, instead of full corpus passes on both join
+    // sides.
     val banded = sigs.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, concat_ws(",",
@@ -139,9 +141,15 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val survivorIds = pairIds.select(col("id_a").as("id"))
+      .unionByName(pairIds.select(col("id_b").as("id")))
+      .distinct()
+    val survivorSigs = df.select(col(idCol).as("id"), col(textCol).as("__t"))
+      .join(survivorIds, Seq("id"), "left_semi")
+      .select(col("id"), sigUdf(col("__t")).as("sig"))
     val pairs = pairIds
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .join(survivorSigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(survivorSigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
     pairs
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"),

@@ -173,7 +173,16 @@ object Similarity {
     * (cast upstream, exactly like the spec form's internal cast).
     */
   def nearestCellKernel(spark: org.apache.spark.sql.SparkSession,
-                        centroids: Seq[Seq[Double]]): Column => Column = {
+                        centroids: Seq[Seq[Double]]): Column => Column =
+    nearestCellKernelTracked(spark, centroids)._1
+
+  /** As [[nearestCellKernel]], returning the broadcast handle so callers
+    * whose jobs complete synchronously (the training loop) can `destroy()`
+    * it instead of waiting on the ContextCleaner. */
+  def nearestCellKernelTracked(spark: org.apache.spark.sql.SparkSession,
+                               centroids: Seq[Seq[Double]])
+      : (Column => Column,
+         org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]) = {
     val bc = spark.sparkContext.broadcast(centroids.map(_.toArray).toArray)
     val cellU = udf { (v: Seq[Double]) =>
       val cs = bc.value
@@ -188,7 +197,7 @@ object Similarity {
       }
       bi
     }
-    v => cellU(v)
+    ((v: Column) => cellU(v), bc)
   }
 
   /** Train an IVF coarse quantizer with Lloyd's iterations, each one Spark
@@ -213,11 +222,16 @@ object Similarity {
       .select("v").collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
     var it = 0
     while (it < iters) {
+      // per-iteration centroid broadcast, destroyed after the synchronous
+      // collect — a large quantizer times many iterations must not pile up
+      // broadcasts for the session lifetime
+      val (cellOf, bcHandle) = nearestCellKernelTracked(df.sparkSession, centroids)
       val sums = train
-        .withColumn("cell", nearestCellKernel(df.sparkSession, centroids)(col("v")))
+        .withColumn("cell", cellOf(col("v")))
         .select(col("cell"), posexplode(col("v")).as(Seq("j", "x")))
         .groupBy("cell", "j").agg(sum("x").as("sx"), count(lit(1)).as("n"))
         .collect()
+      bcHandle.destroy()
       val byCell = sums.groupBy(_.getInt(0))
       centroids = centroids.zipWithIndex.map { case (old, c) =>
         byCell.get(c) match {
@@ -254,6 +268,9 @@ object Similarity {
         val d = c.zip(query).map { case (m, x) => (x - m) * (x - m) }.sum
         (d, i)
       }.sortBy(_._1).take(nProbe).map(_._2)
+    // the returned DataFrame is lazy, so this call's one centroid broadcast
+    // cannot be destroyed here; it is freed by the ContextCleaner when the
+    // plan is no longer referenced
     df.select(col(idCol), col(vecCol).as("v"))
       .withColumn("cell",
         nearestCellKernel(df.sparkSession, centroids)(col("v").cast("array<double>")))

@@ -270,6 +270,48 @@ class CrawlSpec extends AnyFunSuite {
     assert(vs(bDir) == vs(cDir))
   }
 
+  test("cuckoo TTL expiry stays sound when expired pages link to each other") {
+    // the dangerous shape: /a and /b are both expired AND link to each
+    // other. Eviction removes their hashes from the filter while the exact
+    // ledger keeps them — without the queued-heal filter, the recrawl's
+    // discovery of /b (from /a's links) would ride the definitely-new fast
+    // path PAST the exact anti-join and fetch /b twice.
+    def page(u: String, links: Seq[String]) = {
+      val hrefs = links.map(l => s"""<a href="$l">go to $l now</a>""").mkString(" ")
+      (u, s"<html><body><p>content words for page $u body text</p>$hrefs</body></html>")
+    }
+    val mini = Seq(
+      // page-store URLs are the CANONICAL forms (deep canonicalizer
+      // rstrips '/' including root)
+      page("http://x.com", Seq("/a", "/b")),
+      page("http://x.com/a", Seq("/b", "/c")),
+      page("http://x.com/b", Seq("/a")),
+      page("http://x.com/c", Nil))
+    val miniPages = mini.map { case (u, h) => PageRec(u, 0L, "x.com", h, 200, 0) }.toDF()
+      .withColumn("url_hash", xxhash64(col("url")))
+    val miniSeeds = Seq(("http://x.com/", "sitemap")).toDF("url", "source")
+    val cfg = CrawlConfig(hostBudget = 10, maxEpochs = 20,
+      seenFilter = "cuckoo", cuckooShards = 2)
+    val runDir = freshDir("cuckoo-sound")
+    Crawl.run(spark, miniSeeds, miniPages, robotsDF.limit(0), runDir, cfg)
+    val seenBefore = Crawl.seenSet(spark, runDir).as[Long].collect().sorted.toSeq
+    assert(seenBefore.distinct == seenBefore) // ledger duplicate-free
+    val epochsBefore = Crawl.lastCommittedEpoch(runDir)
+    // expire epoch 1 (/a, /b) TWICE — the marker must stop the second
+    // eviction (absent-key cuckoo deletes can strip colliding live keys)
+    assert(Crawl.expireEpoch(spark, runDir, 1) == 2)
+    Crawl.expireEpoch(spark, runDir, 1)
+    Crawl.run(spark, miniSeeds, miniPages, robotsDF.limit(0), runDir, cfg)
+    // exactly /a and /b revisited, ONCE each — rediscovery of an evicted URL
+    // must not re-enter the frontier
+    val revisits = Crawl.visits(spark, runDir).where(col("epoch") > epochsBefore)
+      .select("url").as[String].collect().toSeq.sorted
+    assert(revisits == Seq("http://x.com/a", "http://x.com/b"), revisits)
+    // the exact seen ledger is unchanged and still duplicate-free
+    val seenAfter = Crawl.seenSet(spark, runDir).as[Long].collect().sorted.toSeq
+    assert(seenAfter == seenBefore)
+  }
+
   test("dynamic politeness: a throttling host shrinks to its backoff budget and aborts") {
     // site1 serves 503 on every page → its domain state fails repeatedly;
     // after MaxRetries throttled epochs the host is aborted (budget 0)
