@@ -113,22 +113,19 @@ object Dedup {
     * @return pairs (id_a < id_b, est_jaccard) whose signatures collide in at
     *         least one band, with the signature-estimated Jaccard attached
     */
-  def minHashLsh(df: DataFrame, idCol: String, textCol: String,
-                 k: Int = 32, bands: Int = 8, shingleLen: Int = 3,
-                 minEstJaccard: Double = 0.5): DataFrame = {
+  /** Lazy band-collision candidate pairs (id_a < id_b, deduped) for
+    * [[minHashLsh]]. Band rows carry ONLY (band, band_hash, id): the
+    * k-element signature arrays must not ride through the band exchange
+    * (bands× the rows, each k×8 bytes — the dominant shuffle at corpus
+    * scale). Exposed separately so the band-exchange payload stays
+    * plan-inspectable (PlanSpec) after minHashLsh materializes it.
+    */
+  def minHashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                            k: Int, bands: Int, shingleLen: Int): DataFrame = {
     val rowsPerBand = k / bands
     require(bands * rowsPerBand == k, "bands must divide k")
     val sigUdf = udf((text: String) => minHashSignatureFast(text, k, shingleLen))
     val sigs = df.select(col(idCol).as("id"), sigUdf(col(textCol)).as("sig"))
-    // band rows carry ONLY (band, band_hash, id): the k-element signature
-    // arrays must not ride through the band exchange (bands× the rows, each
-    // k×8 bytes — the dominant shuffle at corpus scale). Signatures come
-    // back AFTER the candidate pairs are deduped — and only for the ids that
-    // actually survive: a left_semi against the surviving-pair id set
-    // restricts the second signature pass to those rows, so the signature
-    // kernel runs once over the corpus (banding) plus once over the (much
-    // smaller) survivor slice, instead of full corpus passes on both join
-    // sides.
     val banded = sigs.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, concat_ws(",",
@@ -137,16 +134,40 @@ object Dedup {
       .select(col("band"), col("band_hash"), col("id"))
     val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
-    val pairIds = a.join(b, Seq("band", "band_hash"))
+    a.join(b, Seq("band", "band_hash"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+  }
+
+  def minHashLsh(df: DataFrame, idCol: String, textCol: String,
+                 k: Int = 32, bands: Int = 8, shingleLen: Int = 3,
+                 minEstJaccard: Double = 0.5): DataFrame = {
+    val sigUdf = udf((text: String) => minHashSignatureFast(text, k, shingleLen))
+    // Signatures come back AFTER the candidate pairs are deduped — and only
+    // for the ids that actually survive: a left_semi against the
+    // surviving-pair id set restricts the second signature pass to those
+    // rows, so the signature kernel runs once over the corpus (banding) plus
+    // once over the (much smaller) survivor slice, instead of full corpus
+    // passes on both join sides.
+    val pairIds = minHashCandidatePairs(df, idCol, textCol, k, bands, shingleLen)
+      // materialize ONCE: the pair set feeds three consumers (the final join
+      // plus both survivor-signature branches) and without this the band
+      // self-join — the expensive stage — would recompute per consumer.
+      // localCheckpoint (not persist: the CacheManager would pin it for the
+      // session) truncates lineage into block storage sized to the candidate
+      // pairs, orders smaller than the corpus; freed by the ContextCleaner
+      // when the returned plan is no longer referenced.
+      .localCheckpoint(true)
     val survivorIds = pairIds.select(col("id_a").as("id"))
       .unionByName(pairIds.select(col("id_b").as("id")))
       .distinct()
     val survivorSigs = df.select(col(idCol).as("id"), col(textCol).as("__t"))
       .join(survivorIds, Seq("id"), "left_semi")
       .select(col("id"), sigUdf(col("__t")).as("sig"))
+      // same reasoning: joined as both sig_a and sig_b below — materialize
+      // the (small) survivor slice so the corpus is scanned once, not twice
+      .localCheckpoint(true)
     val pairs = pairIds
       .join(survivorSigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(survivorSigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))

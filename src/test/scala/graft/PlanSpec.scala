@@ -110,7 +110,11 @@ class PlanSpec extends AnyFunSuite {
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val df = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
-      val p = plan(graft.ops.Dedup.minHashLsh(df, "doc_id", "text", k = 32, bands = 8))
+      // inspect the lazy candidate-pair plan: minHashLsh localCheckpoints it
+      // (the pair set feeds three consumers), which truncates lineage in the
+      // final plan — the band exchange is only visible pre-checkpoint
+      val p = plan(graft.ops.Dedup.minHashCandidatePairs(
+        df, "doc_id", "text", k = 32, bands = 8, shingleLen = 3))
       // the band join's exchanges partition on (band, band_hash) and their
       // payload is just the id — no `sig` array may ride through them (sig
       // columns exist only in the post-dedup id-keyed joins)
@@ -119,6 +123,9 @@ class PlanSpec extends AnyFunSuite {
         n.startsWith("Exchange") && n.contains("hashpartitioning(band"))
       assert(bandExchanges.nonEmpty, p)
       assert(bandExchanges.forall(!_.contains("sig")), bandExchanges.mkString("\n---\n"))
+      // and the full pipeline never re-shuffles on band keys post-checkpoint
+      val full = plan(graft.ops.Dedup.minHashLsh(df, "doc_id", "text", k = 32, bands = 8))
+      assert(!full.contains("hashpartitioning(band"), full)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
