@@ -223,6 +223,19 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 2, minJaccard = 0.05)
         .withColumn("jaccard", round(col("jaccard"), 4))
     }),
+    // fuzzy-dedup clustering: exact-Jaccard near-dup pairs → distributed
+    // connected components (large-star/small-star) → every doc labeled with
+    // its component root and a canonical-survivor flag. The edge set is the
+    // SQL-expressible q_ngram_jaccard form, so the whole pipeline — including
+    // the transitive closure — has a true DuckDB oracle (recursive CTE).
+    "q_dedup_clusters" -> ((s, dir) => {
+      val d = table(s, dir, "documents").where(col("doc_id") < 100)
+      // 0.08 yields a mixed population at sf0.01 — ten multi-doc components
+      // (chains included, so convergence needs multiple star rounds) plus
+      // singletons, unlike 0.05 which collapses the slice into one component
+      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 2, minJaccard = 0.08)
+      Dedup.clusterLabels(d, "doc_id", pairs)
+    }),
     // MinHash+LSH near-dup candidates (no SQL twin — hash-defined; verified
     // against true Jaccard in the ScalaTest suite)
     "q_minhash_lsh" -> ((s, dir) => {
@@ -635,6 +648,37 @@ object SparkEntry {
         |           (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |WHERE j >= 0.05""".stripMargin,
+    // transitive closure of the near-dup graph via a recursive CTE: each
+    // doc's component is the minimum doc_id it can reach (= the distributed
+    // large-star/small-star result). Edge set identical to q_ngram_jaccard.
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id < 100),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(t) >= 2
+        |         THEN list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+        |         ELSE [array_to_string(t, ' ')] END) AS s
+        |  FROM tk),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |           len(list_intersect(a.s, b.s)) * 1.0 /
+        |             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |  WHERE j >= 0.08),
+        |edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT doc_id AS src, doc_id AS dst FROM documents WHERE doc_id < 100
+        |  UNION
+        |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u)
+        |SELECT src AS doc_id, min(dst) AS component,
+        |       (min(dst) = src) AS is_canonical
+        |FROM reach GROUP BY src""".stripMargin,
     "q_token_stats" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS INTEGER) AS n_words,

@@ -329,4 +329,107 @@ object Dedup {
     embeddingNearDup(
       df.withColumn("__emb", Embedder.embedCol(embedder)(col(textCol))),
       idCol, "__emb", planes, minCosine, bands, targetBucketSize)
+
+  /** Distributed connected components over an undirected edge list, via
+    * alternating large-star / small-star rounds (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14 — a published algorithm,
+    * O(log² n) rounds on any graph).
+    *
+    * This is the missing last stage of fuzzy dedup at corpus scale: pairwise
+    * near-dup candidates ([[minHashLsh]], [[simHashPairs]],
+    * [[ngramJaccardPairs]], [[embeddingNearDup]]) chain transitively (A≈B,
+    * B≈C), so keeping one document per PAIR over-deletes and keeping one per
+    * edge endpoint under-deletes; the correct unit is the connected
+    * component.
+    *
+    * Shape per round: one aggregation (min neighbor per node — no
+    * collect_list, so a 10^9-member star never materializes a neighbor
+    * array) plus one equi-join, both shuffling on the node id. Hot roots of
+    * giant components skew that join; AQE skew-split handles it (the join
+    * payload is two longs). Each round ends in an eager localCheckpoint:
+    * iterative DataFrame algorithms otherwise stack O(rounds) of lineage and
+    * re-execute the whole history every round.
+    *
+    * @param edges pairs with two id columns (any orientation, dups fine)
+    * @return (id, component) for every node incident to an edge, where
+    *         component = the smallest id in the node's component. Isolated
+    *         nodes never appear — callers label them `component = id`.
+    */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 64): DataFrame = {
+    // orient (u > v), drop self-loops/dups; every intermediate keeps this
+    // invariant so "pointing at the component min" is representable
+    var e = edges
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    // fixpoint detection: the rounds are deterministic set transforms, so an
+    // unchanged (count, hash-xor) signature means an unchanged edge set
+    // (up to a 2^-64 collision) and every later round is identity. XOR, not
+    // sum: ANSI mode makes a 64-bit hash sum overflow-fatal
+    def signature(d: DataFrame): (Long, Long) = {
+      val r = d.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prev = signature(e)
+    var it = 0
+    var converged = prev._1 == 0L
+    while (!converged && it < maxIter) {
+      // large-star: over the symmetric view, link every LARGER neighbor of u
+      // to m(u) = min(Γ(u) ∪ {u}) — output edges all point downward
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val ls = sym.join(m, Seq("u"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: all edges already point downward — re-link every smaller
+      // neighbor (and u itself) to the minimum
+      val m2 = ls.groupBy("u").agg(min("v").as("m"))
+      val ss = ls.join(m2, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(m2.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      val sig = signature(ss)
+      converged = sig == prev
+      prev = sig
+      e = ss
+      it += 1
+    }
+    // at the fixpoint e is a star forest: u → component min
+    e.select(col("u").as("id"), col("v").as("component"))
+      .unionByName(e.select(col("v").as("id"), col("v").as("component")))
+      .distinct()
+  }
+
+  /** End-to-end fuzzy dedup: MinHash+LSH near-dup pairs →
+    * [[connectedComponents]] → one canonical survivor (the smallest id) per
+    * cluster. Returns every input row labeled (id, component, is_canonical);
+    * `where(is_canonical)` is the deduplicated corpus.
+    */
+  def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 32, bands: Int = 8, shingleLen: Int = 3,
+                      minEstJaccard: Double = 0.5): DataFrame = {
+    val pairs = minHashLsh(df, idCol, textCol, k, bands, shingleLen, minEstJaccard)
+    clusterLabels(df, idCol, pairs)
+  }
+
+  /** Label every row of `df` with its near-dup component (singletons get
+    * their own id) and an `is_canonical` survivor flag, from an edge list
+    * produced by any of the pairwise near-dup operators.
+    */
+  def clusterLabels(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val labels = connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", "__cc_id")
+    df.select(col(idCol).cast("long").as(idCol))
+      .join(labels, col(idCol) === col("__cc_id"), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("component"))
+      .withColumn("is_canonical", col(idCol) === col("component"))
+  }
 }

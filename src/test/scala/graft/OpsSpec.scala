@@ -63,6 +63,72 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components: chains, triangles, stars, isolated edges") {
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21} (edge),
+    // {30..34} (star centered off-min)
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L),          // chain 1-2-3-4
+      (10L, 11L), (11L, 12L), (10L, 12L),    // triangle
+      (21L, 20L),                            // single edge
+      (33L, 30L), (33L, 31L), (33L, 32L), (33L, 34L) // star, center 33
+    ).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val want = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L,
+      30L -> 30L, 31L -> 30L, 32L -> 30L, 33L -> 30L, 34L -> 30L)
+    assert(got == want, s"got $got")
+  }
+
+  test("connected components: random graphs agree with sequential union-find") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val n = 60 + trial * 40
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // sequential union-find oracle
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val touched = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val want = touched.map { v =>
+        // component label = min id reachable = root after path-min unions
+        val members = touched.filter(u => find(u.toInt) == find(v.toInt))
+        v -> members.min
+      }.toMap
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"), "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"trial $trial: got $got want $want")
+    }
+  }
+
+  test("near-dup clusters: exact+near copies collapse to one canonical doc") {
+    val labeled = Dedup.nearDupClusters(withDups, "doc_id", "text",
+      k = 32, bands = 8, minEstJaccard = 0.5)
+    val rows = labeled.as[(Long, Long, Boolean)].collect()
+    assert(rows.length == 150) // every input row labeled
+    val byId = rows.map(r => r._1 -> r).toMap
+    // each (i, i+10000, i+20000) family lands in one cluster rooted at i —
+    // unless chance near-dups merged families, the root is still ≤ i
+    for (i <- 0L until 50L if byId(i + 10000)._2 == i && byId(i + 20000)._2 == i) {
+      assert(byId(i)._2 == i && byId(i)._3, s"family $i root not canonical")
+      assert(!byId(i + 10000)._3 && !byId(i + 20000)._3)
+    }
+    // exactly one canonical row per component, and it is the component min
+    val comps = rows.groupBy(_._2)
+    comps.foreach { case (c, members) =>
+      val canon = members.filter(_._3)
+      assert(canon.length == 1 && canon.head._1 == c,
+        s"component $c canonical rows: ${canon.mkString(",")}")
+      assert(members.map(_._1).min == c)
+    }
+  }
+
   test("fast signature kernels are bit-identical to the Column spec forms") {
     val sample = docs.select(col("doc_id"), col("text")).where(col("doc_id") < 10)
     // minhash: compiled kernel vs the HOF aggregate over Spark's xxhash64
