@@ -364,11 +364,17 @@ object Dedup {
       .where(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // fixpoint detection: the rounds are deterministic set transforms, so an
     // unchanged (count, hash-xor) signature means an unchanged edge set
     // (up to a 2^-64 collision) and every later round is identity. XOR, not
-    // sum: ANSI mode makes a 64-bit hash sum overflow-fatal
+    // sum: ANSI mode makes a 64-bit hash sum overflow-fatal. Checkpoints are
+    // LAZY: the signature action doubles as the job that materializes and
+    // locally checkpoints each round, so a round costs ONE cluster-wide
+    // barrier, not a checkpoint job plus a probe job — while lineage still
+    // truncates to a leaf every round (an eager-persist variant without
+    // truncation goes exponential: each round's plan embeds ~8 copies of the
+    // previous round's tree, and the analyzer re-walks all of them).
     def signature(d: DataFrame): (Long, Long) = {
       val r = d.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
@@ -394,7 +400,7 @@ object Dedup {
         .unionByName(m2.select(col("u"), col("m").as("v")))
         .where(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val sig = signature(ss)
       converged = sig == prev
       prev = sig
