@@ -262,7 +262,20 @@ object SparkEntry {
       Dedup.simHashPairs(dups, "doc_id", "text", maxDist = 3)
     }),
 
+    "q_span_dedup" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      Dedup.spanDedup(d, "doc_id", "text", k = 8)
+    }),
+
     // ---- training-data pipeline: text analysis ----------------------------
+    "q_repetition" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val sig = TextAnalysis.repetitionSignals(d, "doc_id", "text",
+        topNs = Seq(2, 3), dupNs = Seq(5, 10))
+      val fracs = Seq("dup_line_frac", "top2_gram_frac", "top3_gram_frac",
+        "dup5_gram_frac", "dup10_gram_frac")
+      fracs.foldLeft(sig)((df, c) => df.withColumn(c, round(col(c), 4)))
+    }),
     "q_token_stats" -> ((s, dir) => {
       val d = table(s, dir, "documents")
       d.select(col("doc_id"),
@@ -679,6 +692,83 @@ object SparkEntry {
         |SELECT src AS doc_id, min(dst) AS component,
         |       (min(dst) = src) AS is_canonical
         |FROM reach GROUP BY src""".stripMargin,
+    // single-pass corpus span dedup: globally-first k-gram occurrence wins
+    // (row_number twin of the min(struct) reduction), covered positions of
+    // later occurrences removed, docs reassembled from surviving tokens
+    "q_span_dedup" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, i AS pos, array_to_string(toks[i:i+7], ' ') AS g
+        |  FROM docs, LATERAL (SELECT unnest(generate_series(1, len(toks) - 7)) AS i)
+        |  WHERE len(toks) >= 8),
+        |ranked AS (
+        |  SELECT doc_id, pos,
+        |         row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        |  FROM occ),
+        |removedpos AS (
+        |  SELECT DISTINCT doc_id, pos + off AS pos
+        |  FROM (SELECT doc_id, pos FROM ranked WHERE rn > 1) r,
+        |       LATERAL (SELECT unnest(generate_series(0, 7)) AS off)),
+        |tokrows AS (
+        |  SELECT doc_id, i AS pos, toks[i] AS tok
+        |  FROM docs, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)),
+        |surv AS (
+        |  SELECT t.doc_id, t.pos, t.tok FROM tokrows t
+        |  ANTI JOIN removedpos r ON t.doc_id = r.doc_id AND t.pos = r.pos),
+        |re AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        |  FROM surv GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(len(d.toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(d.toks) - coalesce(re.n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(re.clean_text, '') AS clean_text
+        |FROM docs d LEFT JOIN re USING (doc_id)""".stripMargin,
+    // Gopher-family repetition signals: duplicate-line char fraction plus
+    // top-{2,3}-gram and duplicated-{5,10}-gram char fractions
+    "q_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS lines,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |ls AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(len(lines) AS INTEGER) AS n_lines,
+        |    CAST(coalesce(list_sum(list_transform(lines, x -> length(x))), 0) AS BIGINT) AS line_chars,
+        |    CAST(coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
+        |       - coalesce(list_sum(list_transform(list_distinct(lines), x -> length(x))), 0) AS BIGINT) AS dup_line_chars,
+        |    toks
+        |  FROM base),
+        |grams AS (
+        |  SELECT doc_id, n,
+        |    unnest(list_transform(generate_series(1, len(toks) - (n - 1)),
+        |                          i -> array_to_string(toks[i:i+n-1], ' '))) AS g
+        |  FROM ls, (SELECT unnest([2,3,5,10]) AS n) ns
+        |  WHERE len(toks) >= n),
+        |counts AS (SELECT doc_id, n, g, count(*) AS cnt FROM grams GROUP BY doc_id, n, g),
+        |ga AS (
+        |  SELECT doc_id,
+        |    CAST(coalesce(max(CASE WHEN n=2 THEN cnt*length(g) END), 0) AS BIGINT) AS top2_gram_chars,
+        |    CAST(coalesce(max(CASE WHEN n=3 THEN cnt*length(g) END), 0) AS BIGINT) AS top3_gram_chars,
+        |    CAST(coalesce(sum(CASE WHEN n=5 AND cnt>1 THEN (cnt-1)*length(g) ELSE 0 END), 0) AS BIGINT) AS dup5_gram_chars,
+        |    CAST(coalesce(sum(CASE WHEN n=10 AND cnt>1 THEN (cnt-1)*length(g) ELSE 0 END), 0) AS BIGINT) AS dup10_gram_chars
+        |  FROM counts GROUP BY doc_id)
+        |SELECT l.doc_id, l.n_chars, l.n_lines, l.dup_line_chars, l.line_chars,
+        |  coalesce(g.top2_gram_chars, 0) AS top2_gram_chars,
+        |  coalesce(g.top3_gram_chars, 0) AS top3_gram_chars,
+        |  coalesce(g.dup5_gram_chars, 0) AS dup5_gram_chars,
+        |  coalesce(g.dup10_gram_chars, 0) AS dup10_gram_chars,
+        |  round(l.dup_line_chars * 1.0 / greatest(l.line_chars, 1), 4) AS dup_line_frac,
+        |  round(coalesce(g.top2_gram_chars, 0) * 1.0 / greatest(l.n_chars, 1), 4) AS top2_gram_frac,
+        |  round(coalesce(g.top3_gram_chars, 0) * 1.0 / greatest(l.n_chars, 1), 4) AS top3_gram_frac,
+        |  round(coalesce(g.dup5_gram_chars, 0) * 1.0 / greatest(l.n_chars, 1), 4) AS dup5_gram_frac,
+        |  round(coalesce(g.dup10_gram_chars, 0) * 1.0 / greatest(l.n_chars, 1), 4) AS dup10_gram_frac
+        |FROM ls l LEFT JOIN ga g USING (doc_id)""".stripMargin,
     "q_token_stats" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS INTEGER) AS n_words,

@@ -425,6 +425,71 @@ object Dedup {
     clusterLabels(df, idCol, pairs)
   }
 
+  /** Corpus-wide exact duplicate-SPAN removal (the substring-dedup stage of
+    * Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better", and the span pass of C4's build): any word k-gram occurring
+    * more than once in the whole corpus keeps only its globally-first
+    * occurrence — ordered by (id, position) — and every token position
+    * covered by a later occurrence is deleted; documents are reassembled
+    * from their surviving tokens.
+    *
+    * Tokens are the standard pipeline tokens (lowercased, non-letter split),
+    * so `clean_text` is normalized text, not original bytes. Removal is
+    * computed in ONE pass over the original corpus: deletions do not cascade
+    * into new adjacencies (single-pass semantics, as in the reference
+    * implementations).
+    *
+    * Scale shape: span → first-occurrence reduction is min(struct(id,pos))
+    * per span key — partial-aggregated, so a boilerplate span repeated 10^9
+    * times never gathers its occurrences anywhere; later occurrences mark
+    * covered positions via one explode + distinct; reassembly is a
+    * left-anti join on (id, pos) + per-doc ordered concat. Hot span keys
+    * skew only the occurrence⋈first equi-join (two-long payload, AQE
+    * skew-split). Per-doc collect for reassembly bounds doc size to executor
+    * memory — documents, not the corpus.
+    *
+    * @return one row per input doc: (id, n_tokens, n_removed, clean_text)
+    */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+                k: Int = 10): DataFrame = {
+    require(k >= 1, "span length must be >= 1")
+    val toksOf = filter(split(lower(col(textCol)), "[^a-z]+"), t => t =!= "")
+    val docs = df.select(col(idCol).cast("long").as("id"), toksOf.as("toks"))
+
+    // one row per span occurrence: (id, pos of first covered token, gram)
+    val nSpans = size(col("toks")) - lit(k - 1)
+    val occ = docs
+      .where(nSpans >= 1)
+      .select(col("id"), explode(
+        transform(sequence(lit(1), nSpans),
+          i => struct(i.as("pos"), concat_ws(" ", slice(col("toks"), i, lit(k))).as("g"))))
+        .as("sp"))
+      .select(col("id"), col("sp.pos").as("pos"), col("sp.g").as("g"))
+    // globally-first occurrence per span key: a min-reduction, never a window
+    val firsts = occ.groupBy("g")
+      .agg(min(struct(col("id"), col("pos"))).as("first"))
+    // token positions covered by any NON-first occurrence
+    val removedPos = occ.join(firsts, Seq("g"))
+      .where(!(col("id") === col("first.id") && col("pos") === col("first.pos")))
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"))
+      .distinct()
+    // reassemble: surviving tokens in order
+    val tokenRows = docs.select(col("id"),
+      posexplode(col("toks")).as(Seq("pos0", "tok")))
+      .select(col("id"), (col("pos0") + lit(1)).as("pos"), col("tok"))
+    val surviving = tokenRows.join(removedPos, Seq("id", "pos"), "left_anti")
+    val reassembled = surviving.groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("clean_text"))
+    docs.select(col("id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(reassembled, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Label every row of `df` with its near-dup component (singletons get
     * their own id) and an `is_canonical` survivor flag, from an edge list
     * produced by any of the pairwise near-dup operators.

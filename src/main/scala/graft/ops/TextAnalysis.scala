@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the training-data pipeline: token counting,
@@ -148,5 +148,87 @@ object TextAnalysis {
     val t = text.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
     if (t.isEmpty) Seq("")
     else t.grouped(words).map(_.mkString(" ")).toSeq
+  }
+
+  // ---- repetition signals (Gopher-family quality filters) ------------------
+
+  /** STRICT word n-grams: empty when the doc has fewer than n tokens (no
+    * catch-all shingle — a 3-word doc contributes no 5-grams, unlike
+    * [[shingles]] whose catch-all serves the Jaccard estimators).
+    */
+  private def strictGrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val end = size(toks) - lit(n - 1)
+    when(end >= 1,
+      transform(sequence(lit(1), end), i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(slice(array(lit("")), 1, 0))
+  }
+
+  /** Per-document repetition signals in the Gopher / MassiveText family
+    * (Rae et al. 2021 §A1.1; same measurements as the public NeMo-Curator /
+    * DataTrove repetition filters): duplicate-line character fraction and
+    * top-/duplicated-n-gram character fractions, used to drop
+    * boilerplate-heavy and loop-generated pages before training.
+    *
+    * Exact counting semantics (integer numerators are returned alongside the
+    * fractions so results hash-compare exactly):
+    *  - lines = newline-split, trimmed, empties dropped. A line occurring c
+    *    times contributes (c-1)·len duplicate characters (occurrences after
+    *    the first), over total line characters.
+    *  - top-n-gram chars = max over distinct word n-grams of count·len(gram),
+    *    over len(text) — the characters covered by the single most repeated
+    *    n-gram (count·len is deterministic without a tie-break because only
+    *    the max is reported).
+    *  - dup-n-gram chars = Σ over grams with count>1 of (count-1)·len(gram),
+    *    over len(text) — the repeated-occurrence mass.
+    *
+    * Scale shape: line stats are one codegen'd projection over the scan; all
+    * requested n sizes share ONE explode → two keyed aggregations
+    * (partial-agg map-side combine on (id, n, gram), then per-id conditional
+    * pivot) → one id-keyed join back to the projection. No window over an
+    * unbounded key, no skew risk (the count key includes the doc id).
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
+                        topNs: Seq[Int] = Seq(2, 3, 4),
+                        dupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10)): DataFrame = {
+    require(topNs.nonEmpty || dupNs.nonEmpty, "need at least one n-gram size")
+    val text = col(textCol)
+    val lines = filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "")
+    val lineChars = aggregate(lines, lit(0L), (a, l) => a + length(l))
+    val dupLineChars =
+      lineChars - aggregate(array_distinct(lines), lit(0L), (a, l) => a + length(l))
+    val base = df.select(
+      col(idCol),
+      length(text).cast("long").as("n_chars"),
+      size(lines).as("n_lines"),
+      dupLineChars.as("dup_line_chars"),
+      lineChars.as("line_chars"))
+
+    val ns = (topNs ++ dupNs).distinct.sorted
+    val gramStream = ns.map(n =>
+      transform(strictGrams(text, n), g => struct(lit(n).as("n"), g.as("g"))))
+      .reduce((a, b) => concat(a, b))
+    val counts = df
+      .select(col(idCol), explode(gramStream).as("ng"))
+      .groupBy(col(idCol), col("ng.n").as("n"), col("ng.g").as("g"))
+      .agg(count(lit(1)).as("cnt"))
+    val topCols = topNs.map(n =>
+      max(when(col("n") === n, col("cnt") * length(col("g")))).as(s"top${n}_gram_chars"))
+    val dupCols = dupNs.map(n =>
+      sum(when(col("n") === n && col("cnt") > 1, (col("cnt") - lit(1)) * length(col("g")))
+        .otherwise(lit(0L))).as(s"dup${n}_gram_chars"))
+    val gramAggs = counts.groupBy(col(idCol))
+      .agg((topCols ++ dupCols).head, (topCols ++ dupCols).tail: _*)
+
+    val intCols = topNs.map(n => s"top${n}_gram_chars") ++ dupNs.map(n => s"dup${n}_gram_chars")
+    val joined = base.join(gramAggs, Seq(idCol), "left")
+      .na.fill(0L, intCols)
+    val denom = greatest(col("n_chars"), lit(1L)).cast("double")
+    intCols.foldLeft(
+      joined.withColumn("dup_line_frac",
+        col("dup_line_chars").cast("double") /
+          greatest(col("line_chars"), lit(1L)).cast("double"))) { (d, c) =>
+      d.withColumn(c.stripSuffix("_chars") + "_frac", col(c).cast("double") / denom)
+    }
   }
 }

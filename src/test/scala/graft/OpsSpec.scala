@@ -356,6 +356,123 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- span dedup (Lee et al. single-pass substring dedup) -----------------
+
+  /** Sequential twin of Dedup.spanDedup: same tokenization, first occurrence
+    * by (id, pos), single-pass covered-position removal. 0-based internally.
+    */
+  private def naiveSpanDedup(rows: Seq[(Long, String)], k: Int)
+      : Map[Long, (Long, Long, String)] = {
+    val toks = rows.map { case (id, t) =>
+      id -> t.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).toVector
+    }.toMap
+    val occ = for {
+      (id, _) <- rows; ts = toks(id); if ts.length >= k
+      i <- 0 to ts.length - k
+    } yield (id, i, ts.slice(i, i + k).mkString(" "))
+    val firsts = occ.groupBy(_._3).map { case (g, os) => g -> os.minBy(o => (o._1, o._2)) }
+    val removed = occ.filter(o => firsts(o._3) != o)
+      .flatMap(o => (o._2 until o._2 + k).map(p => (o._1, p))).toSet
+    rows.map { case (id, _) =>
+      val ts = toks(id)
+      val kept = ts.zipWithIndex.collect { case (t, i) if !removed((id, i)) => t }
+      id -> ((ts.length.toLong, (ts.length - kept.length).toLong, kept.mkString(" ")))
+    }.toMap
+  }
+
+  test("span dedup: hand-computed removals, overlap within and across docs") {
+    val df = Seq(
+      (1L, "a b c a b"),   // "a b" repeats inside one doc
+      (2L, "x a b y"),     // and across docs
+      (3L, "q r")          // untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(df, "doc_id", "text", k = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((5L, 2L, "a b c")))
+    assert(out(2L) == ((4L, 2L, "x y")))
+    assert(out(3L) == ((2L, 0L, "q r")))
+    // self-overlapping run: only the first k tokens' worth survives the chain
+    val run = Seq((9L, Seq.fill(12)("a").mkString(" "))).toDF("doc_id", "text")
+    val r = Dedup.spanDedup(run, "doc_id", "text", k = 10).collect().head
+    assert(r.getLong(2) == 11L && r.getString(3) == "a")
+  }
+
+  test("span dedup: distributed result equals the sequential twin on dup corpus") {
+    val rows = withDups.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val expected = naiveSpanDedup(rows, k = 8)
+    val got = Dedup.spanDedup(withDups, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, v) => assert(v == expected(id), s"doc $id") }
+    // exact copies (id+10000, >= k tokens) must be fully deleted
+    got.collect { case (id, (n, rem, text)) if id >= 10000 && id < 20000 && n >= 8 =>
+      assert(rem == n && text.isEmpty, s"copy $id not fully removed")
+    }
+    // a corpus with no repeated 8-gram passes through unchanged
+    val uniq = Seq((1L, "one two three four five six seven eight nine"),
+                   (2L, "ten eleven twelve thirteen fourteen fifteen sixteen seventeen")).toDF("doc_id", "text")
+    Dedup.spanDedup(uniq, "doc_id", "text", k = 8).collect().foreach(r =>
+      assert(r.getLong(2) == 0L))
+  }
+
+  // ---- repetition signals (Gopher-family filters) ---------------------------
+
+  test("repetition signals: hand-computed line and n-gram fractions") {
+    val df = Seq(
+      (1L, "foo bar\nfoo bar\nbaz"),
+      (2L, "tiny"),                    // fewer tokens than every n: all zeros
+      (3L, "spam spam spam spam spam") // one token repeated
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(df, "doc_id", "text",
+        topNs = Seq(2), dupNs = Seq(2))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("dup_line_chars") == 7L)      // one repeated 7-char line
+    assert(r1.getAs[Long]("line_chars") == 17L)
+    assert(math.abs(r1.getAs[Double]("dup_line_frac") - 7.0 / 17.0) < 1e-12)
+    assert(r1.getAs[Long]("top2_gram_chars") == 14L)    // "foo bar" ×2 ×len 7
+    assert(r1.getAs[Long]("dup2_gram_chars") == 7L)     // (2-1)×7
+    assert(math.abs(r1.getAs[Double]("top2_gram_frac") - 14.0 / 19.0) < 1e-12)
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("top2_gram_chars") == 0L && r2.getAs[Long]("dup2_gram_chars") == 0L)
+    assert(r2.getAs[Long]("dup_line_chars") == 0L)
+    val r3 = out(3L) // grams "spam spam" ×4 → top = 4×9 = 36, dup = 3×9 = 27
+    assert(r3.getAs[Long]("top2_gram_chars") == 36L)
+    assert(r3.getAs[Long]("dup2_gram_chars") == 27L)
+  }
+
+  test("repetition signals: distributed result equals the sequential twin") {
+    val topNs = Seq(2, 3); val dupNs = Seq(5, 10)
+    val rows = withDups.select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    def spaceTrim(s: String) = s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+    val expected = rows.map { case (id, text) =>
+      val lines = text.split("\n", -1).map(spaceTrim).filter(_.nonEmpty)
+      val lineChars = lines.map(_.length.toLong).sum
+      val dupLineChars = lineChars - lines.distinct.map(_.length.toLong).sum
+      val toks = text.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+      def counts(n: Int): Map[String, Long] =
+        if (toks.length < n) Map.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSeq.groupBy(identity)
+          .map { case (g, o) => g -> o.size.toLong }
+      val tops = topNs.map(n => counts(n).map { case (g, c) => c * g.length }
+        .foldLeft(0L)(math.max))
+      val dups = dupNs.map(n => counts(n).collect { case (g, c) if c > 1 => (c - 1) * g.length }.sum)
+      id -> ((lineChars, dupLineChars, tops, dups))
+    }.toMap
+    val got = TextAnalysis.repetitionSignals(withDups, "doc_id", "text", topNs, dupNs)
+    got.collect().foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (lc, dlc, tops, dups) = expected(id)
+      assert(r.getAs[Long]("line_chars") == lc, s"doc $id line_chars")
+      assert(r.getAs[Long]("dup_line_chars") == dlc, s"doc $id dup_line_chars")
+      topNs.zip(tops).foreach { case (n, v) =>
+        assert(r.getAs[Long](s"top${n}_gram_chars") == v, s"doc $id top$n") }
+      dupNs.zip(dups).foreach { case (n, v) =>
+        assert(r.getAs[Long](s"dup${n}_gram_chars") == v, s"doc $id dup$n") }
+    }
+  }
+
   test("fingerprint: stable under whitespace, changed by content edits") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon"),
