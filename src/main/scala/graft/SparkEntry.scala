@@ -2,7 +2,7 @@ package graft
 
 import graft.core.{PageRec, Synth, Urls}
 import graft.frontier.{Crawl, CrawlConfig}
-import graft.ops.{Bm25, Dedup, Multimodal, RegexExtract, Similarity, TextAnalysis}
+import graft.ops.{Bm25, Dedup, Multimodal, RegexExtract, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -265,6 +265,22 @@ object SparkEntry {
     "q_span_dedup" -> ((s, dir) => {
       val d = table(s, dir, "documents")
       Dedup.spanDedup(d, "doc_id", "text", k = 8)
+    }),
+    "q_decontaminate" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val bench = d.where(col("doc_id") % 97 === 0)
+      Dedup.contamination(d, "doc_id", "text", bench, "text", k = 13)
+    }),
+    "q_stratified_sample" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      Sampling.stratifiedQuota(o, "o_orderpriority", "o_orderkey",
+          quota = 100, salt = "r3")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("sample_rank"))
+    }),
+    "q_hash_sample" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      Sampling.hashFraction(d, "doc_id", 0.2, salt = "r3")
+        .select("doc_id", "source")
     }),
 
     // ---- training-data pipeline: text analysis ----------------------------
@@ -727,6 +743,43 @@ object SparkEntry {
         |  CAST(len(d.toks) - coalesce(re.n_kept, 0) AS BIGINT) AS n_removed,
         |  coalesce(re.clean_text, '') AS clean_text
         |FROM docs d LEFT JOIN re USING (doc_id)""".stripMargin,
+    // 13-gram benchmark decontamination: distinct doc grams ∩ bench grams
+    "q_decontaminate" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |dg AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, len(toks) - 12),
+        |             i -> array_to_string(toks[i:i+12], ' '))) AS gram
+        |    FROM g WHERE len(toks) >= 13)),
+        |bg AS (
+        |  SELECT DISTINCT gram FROM dg
+        |  WHERE doc_id % 97 = 0),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS n_hit_grams
+        |  FROM dg JOIN bg USING (gram) GROUP BY doc_id)
+        |SELECT g.doc_id,
+        |  CAST(greatest(len(g.toks) - 12, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(h.n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
+        |  coalesce(h.n_hit_grams, 0) > 0 AS is_contaminated
+        |FROM g LEFT JOIN hits h USING (doc_id)""".stripMargin,
+    // deterministic per-stratum quota sample: top-100 by md5(salt|key)
+    "q_stratified_sample" ->
+      """SELECT o_orderpriority, o_orderkey, CAST(sample_rank AS INTEGER) AS sample_rank
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY md5('r3|' || CAST(o_orderkey AS VARCHAR)),
+        |               CAST(o_orderkey AS VARCHAR)) AS sample_rank
+        |  FROM orders)
+        |WHERE sample_rank <= 100""".stripMargin,
+    // deterministic hash-threshold Bernoulli sample at fraction 0.2
+    "q_hash_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE md5('r3|' || CAST(doc_id AS VARCHAR)) < '33333333333334000000000000000000'""".stripMargin,
     // Gopher-family repetition signals: duplicate-line char fraction plus
     // top-{2,3}-gram and duplicated-{5,10}-gram char fractions
     "q_repetition" ->

@@ -425,6 +425,49 @@ object Dedup {
     clusterLabels(df, idCol, pairs)
   }
 
+  /** Benchmark decontamination flags: for every training document, count the
+    * distinct word k-grams it shares with an evaluation/benchmark corpus and
+    * flag overlapping docs — the standard "13-gram decontamination" pass
+    * (GPT-3 appendix C; PaLM; Llama) run before training.
+    *
+    * Scale shape: both sides reduce to DISTINCT (id, gram) / (gram) sets
+    * before the join (map-side partial aggregation caps a gram repeated 10^6
+    * times within one doc at one row), then one equi-join on the gram string.
+    * At 100 TB the bench side is the small one by construction — millions of
+    * eval grams vs trillions of corpus grams — so AQE broadcasts it and the
+    * corpus side never shuffles; the final count is a partial-agg groupBy on
+    * the doc id. A doc shorter than k tokens has no k-gram and is clean.
+    *
+    * @return one row per `docs` row: (id, n_grams, n_hit_grams,
+    *         is_contaminated = n_hit_grams > 0)
+    */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, benchTextCol: String,
+                    k: Int = 13): DataFrame = {
+    require(k >= 1, "gram length must be >= 1")
+    def gramsOf(text: Column): Column = {
+      val toks = filter(split(lower(text), "[^a-z]+"), t => t =!= "")
+      val end = size(toks) - lit(k - 1)
+      when(end >= 1,
+        transform(sequence(lit(1), end), i => concat_ws(" ", slice(toks, i, lit(k)))))
+        .otherwise(slice(array(lit("")), 1, 0))
+    }
+    val docGrams = docs
+      .select(col(idCol).as("id"), explode(gramsOf(col(textCol))).as("g"))
+      .distinct()
+    val benchGrams = bench
+      .select(explode(gramsOf(col(benchTextCol))).as("g")).distinct()
+    val hits = docGrams.join(benchGrams, Seq("g"))
+      .groupBy("id").agg(count(lit(1)).as("n_hit_grams"))
+    docs.select(col(idCol).as("id"),
+        greatest(size(filter(split(lower(col(textCol)), "[^a-z]+"), t => t =!= ""))
+          - lit(k - 1), lit(0)).cast("long").as("n_grams"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_grams"),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
+        (coalesce(col("n_hit_grams"), lit(0L)) > 0).as("is_contaminated"))
+  }
+
   /** Corpus-wide exact duplicate-SPAN removal (the substring-dedup stage of
     * Lee et al. 2021, "Deduplicating Training Data Makes Language Models
     * Better", and the span pass of C4's build): any word k-gram occurring

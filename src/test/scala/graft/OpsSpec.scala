@@ -416,6 +416,98 @@ class OpsSpec extends AnyFunSuite {
       assert(r.getLong(2) == 0L))
   }
 
+  // ---- benchmark decontamination --------------------------------------------
+
+  test("contamination: shared k-grams flagged, sub-k docs clean, counts exact") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a completely different sentence with no overlap at all"),
+      (3L, "short one"),                             // < k tokens: clean
+      (4L, "quick brown fox and then quick brown fox again") // 2 distinct hits? see below
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "watch the quick brown fox run"),       // shares "quick brown fox"
+      (101L, "irrelevant benchmark prompt")
+    ).toDF("bid", "btext")
+    val out = Dedup.contamination(train, "doc_id", "text", bench, "btext", k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((7L, 2L, true)))  // "the quick brown" + "quick brown fox"
+    assert(out(2L) == ((7L, 0L, false)))
+    assert(out(3L) == ((0L, 0L, false)))
+    // doc 4: distinct grams counted once even when repeated in the doc
+    assert(out(4L)._2 == 1L && out(4L)._3)
+  }
+
+  test("contamination: sequential twin over the dup corpus") {
+    val bench = docs.where(col("doc_id") % 7 === 0).select(col("text"))
+    val k = 13
+    def grams(t: String): Set[String] = {
+      val toks = t.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+      if (toks.length < k) Set.empty
+      else toks.sliding(k).map(_.mkString(" ")).toSet
+    }
+    val benchSet = bench.as[String].collect().flatMap(grams).toSet
+    val expected = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().map { case (id, t) =>
+        val g = grams(t)
+        id -> ((g.size.toLong max (0L), g.count(benchSet).toLong))
+      }.toMap
+    val got = Dedup.contamination(docs, "doc_id", "text", bench, "text", k)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, (hits, flag)) =>
+      assert(hits == expected(id)._2, s"doc $id")
+      assert(flag == (hits > 0))
+    }
+    // the bench docs themselves must all be flagged (they share all grams)
+    expected.foreach { case (id, (n, hits)) =>
+      if (id % 7 == 0 && n > 0) assert(got(id)._1 > 0, s"bench doc $id unflagged")
+    }
+  }
+
+  // ---- deterministic sampling ------------------------------------------------
+
+  private def md5hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  test("stratified quota: exact quota, deterministic, matches driver-side ranking") {
+    val df = docs.select(col("doc_id"), (col("doc_id") % 5).as("stratum"))
+    val out = Sampling.stratifiedQuota(df, "stratum", "doc_id", quota = 10, salt = "s1")
+    val rows = out.select("stratum", "doc_id", "sample_rank")
+      .as[(Long, Long, Int)].collect()
+    // exact quota per stratum (every stratum has >= 10 members at sf0.001)
+    rows.groupBy(_._1).foreach { case (s, g) => assert(g.length == 10, s"stratum $s") }
+    // membership equals the top-10 by md5("s1|" + id) computed sequentially
+    val all = df.as[(Long, Long)].collect()
+    val expect = all.groupBy(_._2).toSeq.flatMap { case (s, g) =>
+      g.map(_._1).sortBy(id => (md5hex(s"s1|$id"), id.toString)).take(10).map(s -> _)
+    }.toSet
+    assert(rows.map(r => (r._1, r._2)).toSet == expect)
+    // repartitioning the input does not change the sample
+    val out2 = Sampling.stratifiedQuota(df.repartition(7, col("doc_id")),
+      "stratum", "doc_id", quota = 10, salt = "s1")
+      .select("stratum", "doc_id").as[(Long, Long)].collect().toSet
+    assert(out2 == expect)
+  }
+
+  test("hash-fraction sample: membership is the md5-threshold set, join-consistent") {
+    val out = Sampling.hashFraction(docs.select("doc_id"), "doc_id", 0.2, salt = "s2")
+      .as[Long].collect().toSet
+    val ids = docs.select("doc_id").as[Long].collect()
+    val expect = ids.filter(id => md5hex(s"s2|$id") < "33333333333334000000000000000000").toSet
+    assert(out == expect)
+    assert(out.nonEmpty && out.size < ids.length)
+    // consistent across a different dataset sharing the key space
+    val other = docs.select(col("doc_id"), col("source"))
+    val out2 = Sampling.hashFraction(other, "doc_id", 0.2, salt = "s2")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out2 == expect)
+    // fraction 1.0 keeps everything
+    assert(Sampling.hashFraction(docs, "doc_id", 1.0, "s2").count() == docs.count())
+  }
+
   // ---- repetition signals (Gopher-family filters) ---------------------------
 
   test("repetition signals: hand-computed line and n-gram fractions") {
