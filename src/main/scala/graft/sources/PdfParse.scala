@@ -14,7 +14,10 @@ package graft.sources
   *    (objnum, offset) pairs is parsed out of the inflated payload and every
   *    packed object joins the object table — the layout modern generators
   *    emit by default;
-  *  - streams raw or /FlateDecode (java.util.zip.Inflater — in the JDK);
+  *  - stream filter chains (/Filter name or array, in order): FlateDecode
+  *    (java.util.zip.Inflater), LZWDecode (from the spec, §7.4.4),
+  *    ASCIIHexDecode, ASCII85Decode, RunLengthDecode, plus PNG/TIFF
+  *    /DecodeParms predictors on Flate/LZW stages (xref streams included);
   *  - page tree via /Root → /Pages → /Kids (document order fallback);
   *  - text from BT…ET blocks: `(…) Tj`, quote, `[…] TJ` with literal-string
   *    escapes (backslash, parens, n/r/t, octal) and hex strings; the Td, TD,
@@ -23,8 +26,8 @@ package graft.sources
   *  - links via /Annots → /URI.
   *
   * Out of scope (returns what it can, never throws): CID/Type0 composite
-  * fonts, encrypted files, non-Flate filters — those fall back to the
-  * deterministic stub kernel in [[Pdf]].
+  * fonts, encrypted files, image codecs (DCT/JBIG2/JPX) — those fall back
+  * to the deterministic stub kernel in [[Pdf]].
   */
 object PdfParse {
 
@@ -273,10 +276,246 @@ object PdfParse {
     } catch { case _: Exception => None }
   }
 
+  // ---- stream filter chain --------------------------------------------------
+
+  /** ASCIIHexDecode (PDF 32000-1 §7.4.2): hex pairs, whitespace ignored,
+    * `>` is EOD, a trailing odd digit is padded with 0. */
+  def asciiHexDecode(data: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 1)
+    var hi = -1; var i = 0; var done = false
+    while (i < data.length && !done) {
+      val c = data(i).toChar
+      if (c == '>') done = true
+      else if (!c.isWhitespace) {
+        val v = Character.digit(c, 16)
+        if (v < 0) return None
+        if (hi < 0) hi = v else { out.write(hi * 16 + v); hi = -1 }
+      }
+      i += 1
+    }
+    if (hi >= 0) out.write(hi * 16)
+    Some(out.toByteArray)
+  }
+
+  /** ASCII85Decode (§7.4.3): base-85 groups of 5 chars → 4 bytes, `z` for a
+    * zero group, `~>` EOD, partial final group of n chars yields n-1 bytes. */
+  def ascii85Decode(data: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 4 / 5 + 4)
+    val grp = new Array[Int](5)
+    var gn = 0; var i = 0
+    // optional <~ leader (Adobe convention)
+    if (data.length >= 2 && data(0) == '<' && data(1) == '~') i = 2
+    def flush(n: Int): Unit = { // n group chars present (2..5)
+      var v = 0L
+      var j = 0
+      while (j < 5) { v = v * 85 + (if (j < n) grp(j) else 84); j += 1 }
+      val bs = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+                     ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      out.write(bs, 0, n - 1)
+    }
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i).toChar
+      if (c == '~') done = true
+      else if (c == 'z' && gn == 0) out.write(Array[Byte](0, 0, 0, 0), 0, 4)
+      else if (!c.isWhitespace) {
+        val v = c - '!'
+        if (v < 0 || v > 84) return None
+        grp(gn) = v; gn += 1
+        if (gn == 5) { flush(5); gn = 0 }
+      }
+      i += 1
+    }
+    if (gn == 1) return None // a 1-char final group is invalid
+    if (gn > 1) flush(gn)
+    Some(out.toByteArray)
+  }
+
+  /** RunLengthDecode (§7.4.5): length byte L — 0..127 copies the next L+1
+    * bytes, 129..255 repeats the next byte 257−L times, 128 is EOD. */
+  def runLengthDecode(data: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 2)
+    var i = 0
+    while (i < data.length) {
+      val l = data(i) & 0xff
+      if (l == 128) return Some(out.toByteArray)
+      else if (l < 128) {
+        if (i + 1 + l + 1 > data.length) return None
+        out.write(data, i + 1, l + 1); i += l + 2
+      } else {
+        if (i + 1 >= data.length) return None
+        var r = 257 - l
+        while (r > 0) { out.write(data(i + 1)); r -= 1 }
+        i += 2
+      }
+    }
+    Some(out.toByteArray) // EOD marker is optional in practice
+  }
+
+  /** LZWDecode (§7.4.4): MSB-first variable-width codes 9→12 bits, 256 =
+    * clear table, 257 = EOD; code width grows when the NEXT entry index
+    * reaches 2^width − earlyChange (earlyChange defaults to 1). */
+  def lzwDecode(data: Array[Byte], earlyChange: Int = 1): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 3)
+    val table = new scala.collection.mutable.ArrayBuffer[Array[Byte]](4096)
+    def reset(): Unit = {
+      table.clear()
+      var b = 0
+      while (b < 256) { table += Array(b.toByte); b += 1 }
+      table += Array.emptyByteArray // 256: clear
+      table += Array.emptyByteArray // 257: EOD
+    }
+    reset()
+    var width = 9
+    var bitBuf = 0L; var bitCnt = 0; var i = 0
+    var prev: Array[Byte] = null
+    while (true) {
+      while (bitCnt < width && i < data.length) {
+        bitBuf = (bitBuf << 8) | (data(i) & 0xff); bitCnt += 8; i += 1
+      }
+      if (bitCnt < width) return Some(out.toByteArray) // ran off the end
+      val code = ((bitBuf >> (bitCnt - width)) & ((1 << width) - 1)).toInt
+      bitCnt -= width
+      if (code == 257) return Some(out.toByteArray)
+      else if (code == 256) { reset(); width = 9; prev = null }
+      else {
+        val entry: Array[Byte] =
+          if (code < table.length) table(code)
+          else if (code == table.length && prev != null) prev :+ prev(0)
+          else return None
+        out.write(entry, 0, entry.length)
+        if (prev != null) table += (prev :+ entry(0))
+        prev = entry
+        if (table.length + earlyChange >= (1 << width) && width < 12) width += 1
+      }
+    }
+    None // unreachable
+  }
+
+  /** PNG (predictor ≥ 10) and TIFF (predictor 2, 8-bit) unprediction of a
+    * Flate/LZW payload per /DecodeParms (§7.4.4.4). Identity for ≤ 1. */
+  def unpredict(data: Array[Byte], predictor: Int, columns: Int,
+                colors: Int = 1, bpc: Int = 8): Option[Array[Byte]] = {
+    if (predictor <= 1) return Some(data)
+    val bpp = math.max(1, colors * bpc / 8)
+    val rowLen = (columns * colors * bpc + 7) / 8
+    if (predictor == 2) { // TIFF horizontal differencing, 8-bit components
+      if (bpc != 8 || rowLen == 0 || data.length % rowLen != 0) return None
+      val out = data.clone()
+      var r = 0
+      while (r < out.length) {
+        var j = bpp
+        while (j < rowLen && r + j < out.length) {
+          out(r + j) = ((out(r + j) + out(r + j - bpp)) & 0xff).toByte; j += 1
+        }
+        r += rowLen
+      }
+      return Some(out)
+    }
+    // PNG predictors: each row prefixed by a filter-type byte
+    if (rowLen == 0 || data.length % (rowLen + 1) != 0) return None
+    val rows = data.length / (rowLen + 1)
+    val out = new Array[Byte](rows * rowLen)
+    val prior = new Array[Byte](rowLen)
+    var r = 0
+    while (r < rows) {
+      val ft = data(r * (rowLen + 1)) & 0xff
+      val src = r * (rowLen + 1) + 1
+      val dst = r * rowLen
+      var j = 0
+      while (j < rowLen) {
+        val raw = data(src + j) & 0xff
+        val left = if (j >= bpp) out(dst + j - bpp) & 0xff else 0
+        val up = prior(j) & 0xff
+        val ul = if (j >= bpp) prior(j - bpp) & 0xff else 0
+        val v = ft match {
+          case 0 => raw
+          case 1 => raw + left
+          case 2 => raw + up
+          case 3 => raw + (left + up) / 2
+          case 4 => // Paeth
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            raw + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+          case _ => return None
+        }
+        out(dst + j) = (v & 0xff).toByte
+        j += 1
+      }
+      System.arraycopy(out, dst, prior, 0, rowLen)
+      r += 1
+    }
+    Some(out)
+  }
+
+  private val nameRe = """/([A-Za-z0-9]+)""".r
+  private val intRe = """-?\d+""".r
+
+  private def parmInt(parms: String, key: String, dflt: Int): Int =
+    dictValue(parms, key).flatMap(v => intRe.findFirstIn(v)).map(_.toInt).getOrElse(dflt)
+
+  /** Split an array-of-dicts /DecodeParms value into one dict string per
+    * element (`null` elements become empty strings). */
+  private def splitParms(v: String): Seq[String] = {
+    val inner = v.trim.stripPrefix("[").stripSuffix("]")
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < inner.length) {
+      val c = inner.charAt(i)
+      if (c == '<' && i + 1 < inner.length && inner.charAt(i + 1) == '<') {
+        var depth = 0; val start = i
+        var j = i
+        var end = -1
+        while (j < inner.length - 1 && end < 0) {
+          if (inner.charAt(j) == '<' && inner.charAt(j + 1) == '<') { depth += 1; j += 2 }
+          else if (inner.charAt(j) == '>' && inner.charAt(j + 1) == '>') {
+            depth -= 1; j += 2; if (depth == 0) end = j
+          } else j += 1
+        }
+        out += inner.substring(start, if (end < 0) inner.length else end)
+        i = if (end < 0) inner.length else end
+      } else {
+        if (inner.regionMatches(i, "null", 0, 4)) { out += ""; i += 4 }
+        else i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Decode a stream through its full /Filter chain (name or array), applying
+    * /DecodeParms predictors to Flate/LZW stages. Unknown filters (DCT, JBIG2,
+    * JPX, Crypt) return None → the caller's stub fallback. */
   private def decodedStream(o: Obj): Option[Array[Byte]] = o.stream.flatMap { raw =>
-    if (o.dict.contains("FlateDecode")) inflate(raw)
-    else if (o.dict.contains("/Filter")) None // unsupported filter
-    else Some(raw)
+    val filterVal = dictValue(o.dict, "/Filter")
+    val filters = filterVal.toSeq.flatMap(v => nameRe.findAllMatchIn(v).map(_.group(1)))
+    if (filters.isEmpty) {
+      if (o.dict.contains("/Filter")) None else Some(raw)
+    } else {
+      val parmsVal = dictValue(o.dict, "/DecodeParms")
+        .orElse(dictValue(o.dict, "/DP")).getOrElse("")
+      val parmsSeq: Seq[String] =
+        if (parmsVal.trim.startsWith("[")) splitParms(parmsVal)
+        else if (parmsVal.nonEmpty) Seq(parmsVal)
+        else Seq.empty
+      filters.zipWithIndex.foldLeft(Option(raw)) { case (acc, (f, idx)) =>
+        acc.flatMap { d =>
+          val parms = parmsSeq.lift(idx).getOrElse("")
+          def predicted(dec: Option[Array[Byte]]): Option[Array[Byte]] =
+            dec.flatMap(b => unpredict(b, parmInt(parms, "/Predictor", 1),
+              parmInt(parms, "/Columns", 1), parmInt(parms, "/Colors", 1),
+              parmInt(parms, "/BitsPerComponent", 8)))
+          f match {
+            case "FlateDecode" | "Fl"     => predicted(inflate(d))
+            case "LZWDecode" | "LZW"      =>
+              predicted(lzwDecode(d, parmInt(parms, "/EarlyChange", 1)))
+            case "ASCIIHexDecode" | "AHx" => asciiHexDecode(d)
+            case "ASCII85Decode" | "A85"  => ascii85Decode(d)
+            case "RunLengthDecode" | "RL" => runLengthDecode(d)
+            case _                        => None // DCT/JBIG2/JPX/Crypt: stub fallback
+          }
+        }
+      }
+    }
   }
 
   private val refRe = """(\d+)\s+\d+\s+R""".r

@@ -199,6 +199,168 @@ class PdfSpec extends AnyFunSuite {
     }
   }
 
+  // ---- stream filter chain ---------------------------------------------------
+
+  private def hexEncode(b: Array[Byte]): Array[Byte] =
+    (b.map("%02x".format(_)).mkString + ">").getBytes("ISO-8859-1")
+
+  private def a85Encode(b: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < b.length) {
+      val n = math.min(4, b.length - i)
+      var v = 0L
+      (0 until 4).foreach(j => v = (v << 8) | (if (i + j < b.length) b(i + j) & 0xff else 0))
+      if (n == 4 && v == 0) sb += 'z'
+      else {
+        val cs = new Array[Char](5)
+        var x = v
+        (4 to 0 by -1).foreach { j => cs(j) = ('!' + (x % 85).toInt).toChar; x /= 85 }
+        sb ++= new String(cs, 0, n + 1)
+      }
+      i += 4
+    }
+    (sb.toString + "~>").getBytes("ISO-8859-1")
+  }
+
+  private def rlEncode(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < b.length) {
+      var run = 1
+      while (i + run < b.length && b(i + run) == b(i) && run < 128) run += 1
+      if (run >= 2) { out.write(257 - run); out.write(b(i)); i += run }
+      else {
+        var lit = 1
+        while (i + lit < b.length && lit < 128 &&
+               (i + lit + 1 >= b.length || b(i + lit) != b(i + lit + 1))) lit += 1
+        out.write(lit - 1); out.write(b, i, lit); i += lit
+      }
+    }
+    out.write(128)
+    out.toByteArray
+  }
+
+  test("filter primitives: spec LZW vector, A85/AHx/RL round-trips, predictors") {
+    // the worked example from the PDF spec §7.4.4.2: "-----A---B"
+    val lzwBytes = Array(0x80, 0x0B, 0x60, 0x50, 0x22, 0x0C, 0x0C, 0x85, 0x01).map(_.toByte)
+    assert(PdfParse.lzwDecode(lzwBytes).map(new String(_, "ISO-8859-1")) ==
+      Some("-----A---B"))
+    val payloads = Seq(
+      "hello pdf filters".getBytes("ISO-8859-1"),
+      Array.fill(300)(7.toByte),
+      (0 until 256).map(_.toByte).toArray,
+      Array.empty[Byte])
+    payloads.foreach { p =>
+      assert(PdfParse.asciiHexDecode(hexEncode(p)).map(_.toSeq) == Some(p.toSeq), "AHx")
+      assert(PdfParse.ascii85Decode(a85Encode(p)).map(_.toSeq) == Some(p.toSeq), "A85")
+      assert(PdfParse.runLengthDecode(rlEncode(p)).map(_.toSeq) == Some(p.toSeq), "RL")
+    }
+    // odd trailing hex digit pads with 0
+    assert(PdfParse.asciiHexDecode("414 >".getBytes("ISO-8859-1")).map(_.toSeq) ==
+      Some(Seq[Byte](0x41, 0x40)))
+    // PNG predictors: filter rows manually (sub/up/paeth/none), unpredict recovers
+    val rowLen = 6; val rows = 4
+    val plain = Array.tabulate(rows * rowLen)(i => ((i * 37 + 11) % 251).toByte)
+    val filtered = new java.io.ByteArrayOutputStream()
+    val fts = Seq(1, 2, 4, 0)
+    (0 until rows).foreach { r =>
+      val ft = fts(r); filtered.write(ft)
+      (0 until rowLen).foreach { j =>
+        val cur = plain(r * rowLen + j) & 0xff
+        val left = if (j >= 1) plain(r * rowLen + j - 1) & 0xff else 0
+        val up = if (r >= 1) plain((r - 1) * rowLen + j) & 0xff else 0
+        val ul = if (r >= 1 && j >= 1) plain((r - 1) * rowLen + j - 1) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+        }
+        filtered.write((cur - pred) & 0xff)
+      }
+    }
+    assert(PdfParse.unpredict(filtered.toByteArray, 12, columns = rowLen).map(_.toSeq) ==
+      Some(plain.toSeq))
+    // TIFF predictor 2
+    val tiffRow = Array[Byte](10, 5, 3, 2) // deltas
+    assert(PdfParse.unpredict(tiffRow, 2, columns = 4).map(_.toSeq) ==
+      Some(Seq[Byte](10, 15, 18, 20)))
+  }
+
+  test("filtered content streams parse through every filter and chained filters") {
+    val text = "Filter chain page"
+    val content = bt(text).getBytes("ISO-8859-1")
+    def pdfWith(filter: String, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+      w("%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+      w("2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n")
+      w("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n")
+      w(s"4 0 obj\n<< /Length ${data.length} /Filter $filter >>\nstream\n")
+      out.write(data); w("\nendstream\nendobj\n%%EOF\n")
+      out.toByteArray
+    }
+    val cases = Seq(
+      "/ASCIIHexDecode" -> hexEncode(content),
+      "/ASCII85Decode" -> a85Encode(content),
+      "/RunLengthDecode" -> rlEncode(content),
+      "[ /ASCII85Decode /FlateDecode ]" -> a85Encode(deflate(content)),
+      "[ /AHx /RL ]" -> hexEncode(rlEncode(content)))
+    cases.foreach { case (f, data) =>
+      val pages = PdfParse.parse(pdfWith(f, data)).get
+      assert(pages.nonEmpty && pages.head.text.contains(text), s"filter $f")
+    }
+    // unknown filter in the chain → parse yields no text (stub fallback path)
+    val bad = PdfParse.parse(pdfWith("/DCTDecode", content)).toSeq.flatten
+    assert(bad.isEmpty || bad.head.text.isEmpty)
+  }
+
+  test("xref stream with PNG up-predictor (the layout pdflatex emits) resolves") {
+    // same ObjStm layout as the PDF-1.5 test but the xref stream rows are
+    // PNG predictor-12 filtered before deflate
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.5\n")
+    val off4 = out.size()
+    w("4 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>\nendobj\n")
+    val off5 = out.size()
+    val content = bt("Predicted xref page").getBytes("ISO-8859-1")
+    val flate = deflate(content)
+    w(s"5 0 obj\n<< /Length ${flate.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(flate); w("\nendstream\nendobj\n")
+    val off1 = out.size()
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    val off2 = out.size()
+    w("2 0 obj\n<< /Type /Pages /Kids [ 4 0 R ] /Count 1 >>\nendobj\n")
+    val xrefOff = out.size()
+    // W [1 4 1]; rows for objects 0..5, type-1 offsets
+    def row(t: Int, f2: Int, f3: Int): Array[Byte] =
+      Array(t.toByte, (f2 >> 24).toByte, (f2 >> 16).toByte, (f2 >> 8).toByte, f2.toByte, f3.toByte)
+    val rows = Seq(row(0, 0, 255), row(1, off1, 0), row(1, off2, 0),
+      row(1, xrefOff, 0), row(1, off4, 0), row(1, off5, 0))
+    val rowLen = 6
+    // PNG predictor 2 (up) per row, type byte 2
+    val filtered = new java.io.ByteArrayOutputStream()
+    var prior = new Array[Byte](rowLen)
+    rows.foreach { r =>
+      filtered.write(2)
+      (0 until rowLen).foreach(j => filtered.write((r(j) - prior(j)) & 0xff))
+      prior = r
+    }
+    val xrefData = deflate(filtered.toByteArray)
+    w(s"3 0 obj\n<< /Type /XRef /Size 6 /W [ 1 4 1 ] /Root 1 0 R " +
+      s"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 6 >> " +
+      s"/Length ${xrefData.length} >>\nstream\n")
+    out.write(xrefData)
+    w(s"\nendstream\nendobj\nstartxref\n$xrefOff\n%%EOF\n")
+    val pages = PdfParse.parse(out.toByteArray).get
+    assert(pages.length == 1 && pages.head.text.contains("Predicted xref page"))
+  }
+
   test("non-PDF bytes fall back to the deterministic stub kernel") {
     val junk = Pdf.PdfBinary("f.bin", 64, Array.tabulate(64)(_.toByte))
     assert(PdfParse.parse(junk.content).isEmpty)
