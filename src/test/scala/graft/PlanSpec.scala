@@ -145,4 +145,24 @@ class PlanSpec extends AnyFunSuite {
     // untouched wide columns must not be read
     assert(!readSchema.contains("c_address") && !readSchema.contains("c_comment"), readSchema)
   }
+
+  test("stratified quota sample: rank-limit below one exchange on the stratum") {
+    val p = plan(SparkEntry.queries("q_stratified_sample")(spark, sf))
+    assert(p.contains("WindowGroupLimit"), p) // per-partition top-k heap, never a full sort
+    assert(p.contains("hashpartitioning(o_orderpriority"), p)
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("o_totalprice"), readSchema) // untouched columns pruned
+  }
+
+  test("hash-fraction sample is a pure filter: no exchange, no aggregation") {
+    val p = plan(SparkEntry.queries("q_hash_sample")(spark, sf))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Aggregate"), p)
+  }
+
+  test("decontamination: no cartesian product, partial aggregation on hit counts") {
+    val p = plan(SparkEntry.queries("q_decontaminate")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("partial_count"), p) // map-side combine before the id shuffle
+  }
 }
