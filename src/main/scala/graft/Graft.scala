@@ -91,4 +91,15 @@ final class Graft(val spark: SparkSession) {
   def trainEmbedder(df: DataFrame, idCol: String, textCol: String,
                     dim: Int = 64): graft.ops.CorpusEmbed.TrainedEmbedder =
     graft.ops.CorpusEmbed.train(df, idCol, textCol, dim)
+
+  /** End-to-end training-corpus curation: quality + repetition gates →
+    * exact dedup → fuzzy dedup → optional span dedup → optional benchmark
+    * decontamination → deterministic sample. One lazy plan; every stage is
+    * an individually-oracled operator (see [[graft.ops.Curate]]). */
+  def curateCorpus(docs: DataFrame, idCol: String, textCol: String,
+                   bench: Option[DataFrame] = None,
+                   benchTextCol: String = "text",
+                   cfg: graft.ops.CurateConfig = graft.ops.CurateConfig())
+      : DataFrame =
+    graft.ops.Curate.curateCorpus(docs, idCol, textCol, bench, benchTextCol, cfg)
 }

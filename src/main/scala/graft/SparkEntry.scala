@@ -2,7 +2,7 @@ package graft
 
 import graft.core.{PageRec, Synth, Urls}
 import graft.frontier.{Crawl, CrawlConfig}
-import graft.ops.{Bm25, Dedup, Multimodal, RegexExtract, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Bm25, Curate, CurateConfig, Dedup, Multimodal, RegexExtract, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -281,6 +281,27 @@ object SparkEntry {
       val d = table(s, dir, "documents")
       Sampling.hashFraction(d, "doc_id", 0.2, salt = "r3")
         .select("doc_id", "source")
+    }),
+    // the full curation pipeline end-to-end over a corpus with constructed
+    // exact copies and light edits: quality+repetition gates → exact dedup →
+    // jaccard fuzzy dedup (the SQL-expressible path) → 13-gram
+    // decontamination → deterministic 0.5 sample
+    "q_curate" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .where(col("doc_id") < 200).select(col("doc_id"), col("text"))
+      val corpus = d
+        .unionByName(d.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .unionByName(d.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" graft curated trailing marker")).as("text")))
+      val bench = d.where(col("doc_id") % 97 === 0)
+      Curate.curateCorpus(corpus, "doc_id", "text", Some(bench), "text",
+          CurateConfig(minQuality = 0.3, maxDupLineFrac = 0.9,
+            maxTopGramFrac = 0.9, maxDupGramFrac = 0.9,
+            fuzzy = "jaccard", fuzzyThreshold = 0.5, fuzzyN = 2,
+            spanK = 0, benchK = 13, sampleFraction = 0.5, salt = "r3"))
+        .select(col("doc_id"), round(col("quality"), 4).as("quality"))
     }),
 
     // ---- training-data pipeline: text analysis ----------------------------
@@ -780,6 +801,125 @@ object SparkEntry {
     "q_hash_sample" ->
       """SELECT doc_id, source FROM documents
         |WHERE md5('r3|' || CAST(doc_id AS VARCHAR)) < '33333333333334000000000000000000'""".stripMargin,
+    // the whole curation pipeline as ONE oracle: every stage is the
+    // already-green SQL fragment of its standalone query, chained
+    "q_curate" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 200 AND doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text || ' graft curated trailing marker'
+        |  FROM documents WHERE doc_id < 200 AND doc_id % 7 = 0),
+        |t AS (
+        |  SELECT doc_id, text, length(text) AS n_chars,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS wtoks,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS atoks
+        |  FROM corpus),
+        |m AS (
+        |  SELECT doc_id, text, n_chars, len(wtoks) AS n_words,
+        |    CASE WHEN len(wtoks) = 0 THEN 0.0
+        |         ELSE list_sum(list_transform(wtoks, x -> length(x))) * 1.0 / len(wtoks) END AS mwl,
+        |    length(regexp_replace(text, '[^!?.,;:]', '', 'g')) * 1.0 / greatest(length(text), 1) AS punct,
+        |    len(list_filter(atoks, x -> list_contains(['the','a','and','of','to','in','is','it','that','was'], x))) * 1.0
+        |      / greatest(len(atoks), 1) AS stopr
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id, text,
+        |    (CASE WHEN n_chars BETWEEN 200 AND 20000 THEN 1.0
+        |          WHEN n_chars BETWEEN 50 AND 199 THEN 0.5 ELSE 0.0 END) * 0.25
+        |  + (CASE WHEN n_words >= 30 THEN 1.0 WHEN n_words >= 10 THEN 0.5 ELSE 0.0 END) * 0.25
+        |  + (CASE WHEN stopr > 0.02 THEN 1.0 ELSE 0.0 END) * 0.2
+        |  + (CASE WHEN punct <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.15
+        |  + (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) * 0.15 AS quality
+        |  FROM m),
+        |rls AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(coalesce(list_sum(list_transform(lines, x -> length(x))), 0) AS BIGINT) AS line_chars,
+        |    CAST(coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
+        |       - coalesce(list_sum(list_transform(list_distinct(lines), x -> length(x))), 0) AS BIGINT) AS dup_line_chars,
+        |    toks
+        |  FROM (SELECT doc_id, text,
+        |          list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS lines,
+        |          list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+        |        FROM corpus)),
+        |rg AS (
+        |  SELECT doc_id, n,
+        |    unnest(list_transform(generate_series(1, len(toks) - (n - 1)),
+        |                          i -> array_to_string(toks[i:i+n-1], ' '))) AS g
+        |  FROM rls, (SELECT unnest([2,10]) AS n) ns
+        |  WHERE len(toks) >= n),
+        |rcnt AS (SELECT doc_id, n, g, count(*) AS cnt FROM rg GROUP BY doc_id, n, g),
+        |rga AS (
+        |  SELECT doc_id,
+        |    CAST(coalesce(max(CASE WHEN n=2 THEN cnt*length(g) END), 0) AS BIGINT) AS top2,
+        |    CAST(coalesce(sum(CASE WHEN n=10 AND cnt>1 THEN (cnt-1)*length(g) ELSE 0 END), 0) AS BIGINT) AS dup10
+        |  FROM rcnt GROUP BY doc_id),
+        |rfrac AS (
+        |  SELECT l.doc_id,
+        |    l.dup_line_chars * 1.0 / greatest(l.line_chars, 1) AS dup_line_frac,
+        |    coalesce(g2.top2, 0) * 1.0 / greatest(l.n_chars, 1) AS top2_frac,
+        |    coalesce(g2.dup10, 0) * 1.0 / greatest(l.n_chars, 1) AS dup10_frac
+        |  FROM rls l LEFT JOIN rga g2 USING (doc_id)),
+        |gated AS (
+        |  SELECT q.doc_id, q.text, q.quality
+        |  FROM q JOIN rfrac r USING (doc_id)
+        |  WHERE q.quality >= 0.3 AND r.dup_line_frac <= 0.9
+        |    AND r.top2_frac <= 0.9 AND r.dup10_frac <= 0.9),
+        |exact AS (
+        |  SELECT g.doc_id, g.text, g.quality FROM gated g
+        |  JOIN (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text) s USING (doc_id)),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(tk) >= 2
+        |         THEN list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' '))
+        |         ELSE [array_to_string(tk, ' ')] END) AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS tk
+        |        FROM exact)),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |           len(list_intersect(a.s, b.s)) * 1.0 /
+        |             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |  WHERE j >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT doc_id AS src, doc_id AS dst FROM exact
+        |  UNION
+        |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+        |comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src),
+        |fuzzy AS (
+        |  SELECT e.doc_id, e.text, e.quality FROM exact e JOIN comp c USING (doc_id)
+        |  WHERE c.component = e.doc_id),
+        |ftoks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+        |  FROM fuzzy),
+        |dg AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, len(toks) - 12),
+        |             i -> array_to_string(toks[i:i+12], ' '))) AS gram
+        |    FROM ftoks WHERE len(toks) >= 13)),
+        |bg AS (
+        |  SELECT DISTINCT gram FROM (
+        |    SELECT unnest(list_transform(generate_series(1, len(btk) - 12),
+        |           i -> array_to_string(btk[i:i+12], ' '))) AS gram
+        |    FROM (SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS btk
+        |          FROM documents WHERE doc_id < 200 AND doc_id % 97 = 0)
+        |    WHERE len(btk) >= 13)),
+        |contaminated AS (SELECT DISTINCT doc_id FROM dg JOIN bg USING (gram)),
+        |clean AS (
+        |  SELECT f.doc_id, f.quality FROM fuzzy f
+        |  ANTI JOIN contaminated c USING (doc_id))
+        |SELECT doc_id, round(quality, 4) AS quality
+        |FROM clean
+        |WHERE md5('r3|' || CAST(doc_id AS VARCHAR)) < '80000000000000000000000000000000'""".stripMargin,
     // Gopher-family repetition signals: duplicate-line char fraction plus
     // top-{2,3}-gram and duplicated-{5,10}-gram char fractions
     "q_repetition" ->

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Knobs for [[Curate.curateCorpus]]. Defaults are the common
+  * Gopher/C4-family settings; every gate can be disabled by setting it
+  * past its domain (fraction gates to 1.0, `fuzzy = "none"`, `spanK = 0`,
+  * `sampleFraction = 1.0`).
+  *
+  * @param fuzzy near-dup stage: "minhash" (MinHash+LSH banding — the scale
+  *              path), "jaccard" (exact n-gram Jaccard over an inverted
+  *              index — fully SQL-oracle-able), or "none"
+  * @param spanK corpus-level substring dedup gram size (Lee et al. 2021);
+  *              when > 0 the text column is REPLACED by the normalized
+  *              reassembled `clean_text` (lowercased, letter tokens)
+  */
+final case class CurateConfig(
+    minQuality: Double = 0.5,
+    maxDupLineFrac: Double = 0.5,
+    maxTopGramFrac: Double = 0.3,
+    maxDupGramFrac: Double = 0.3,
+    fuzzy: String = "minhash",
+    fuzzyThreshold: Double = 0.8,
+    fuzzyN: Int = 3,
+    spanK: Int = 0,
+    benchK: Int = 13,
+    sampleFraction: Double = 1.0,
+    salt: String = "graft")
+
+/** The end-to-end training-corpus curation pipeline, composed from the
+  * individually-oracled operators in declared order:
+  *
+  *   1. scan gates — quality score + Gopher repetition signals
+  *      (dup-line / top-2-gram / dup-10-gram char fractions)
+  *   2. exact dedup — smallest id per identical content survives
+  *   3. fuzzy dedup — near-dup clustering, canonical (min-id) doc survives
+  *   4. optional corpus span dedup — repeated k-gram spans removed
+  *   5. optional benchmark decontamination — any doc sharing a benchK-gram
+  *      with the eval corpus is dropped
+  *   6. deterministic hash-fraction sample
+  *
+  * Everything stays one lazy plan: gates are scan-stage projections, the
+  * dedups are the same shuffle shapes as their standalone operators, and
+  * the sample is a pure filter — so Catalyst sees the whole pipeline and
+  * the cheap filters run before the expensive joins.
+  */
+object Curate {
+
+  def curateCorpus(docs: DataFrame, idCol: String, textCol: String,
+                   bench: Option[DataFrame] = None,
+                   benchTextCol: String = "text",
+                   cfg: CurateConfig = CurateConfig()): DataFrame = {
+    // 1. scan-stage gates
+    val rep = TextAnalysis.repetitionSignals(docs, idCol, textCol,
+        topNs = Seq(2), dupNs = Seq(10))
+      .select(col(idCol), col("dup_line_frac"), col("top2_gram_frac"),
+        col("dup10_gram_frac"))
+    val gated = docs
+      .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
+      .join(rep, Seq(idCol))
+      .where(col("quality") >= cfg.minQuality &&
+             col("dup_line_frac") <= cfg.maxDupLineFrac &&
+             col("top2_gram_frac") <= cfg.maxTopGramFrac &&
+             col("dup10_gram_frac") <= cfg.maxDupGramFrac)
+
+    // 2. exact dedup
+    val exactKept = gated.join(
+      Dedup.exact(gated, idCol, textCol).select(idCol), Seq(idCol), "left_semi")
+
+    // 3. fuzzy dedup — canonical survivor per near-dup component
+    val fuzzyKept = cfg.fuzzy match {
+      case "none" => exactKept
+      case kind =>
+        val pairs = kind match {
+          case "jaccard" => Dedup.ngramJaccardPairs(exactKept, idCol, textCol,
+            n = cfg.fuzzyN, minJaccard = cfg.fuzzyThreshold)
+          case "minhash" => Dedup.minHashLsh(exactKept, idCol, textCol,
+            shingleLen = cfg.fuzzyN, minEstJaccard = cfg.fuzzyThreshold)
+          case other => throw new IllegalArgumentException(
+            s"unknown fuzzy stage '$other' (minhash | jaccard | none)")
+        }
+        val canonical = Dedup.clusterLabels(exactKept, idCol, pairs)
+          .where(col("is_canonical")).select(col(idCol))
+        exactKept.join(canonical, Seq(idCol), "left_semi")
+    }
+
+    // 4. corpus span dedup (optional): text becomes the cleaned normalized form
+    val spanned =
+      if (cfg.spanK > 0) {
+        val sd = Dedup.spanDedup(fuzzyKept, idCol, textCol, cfg.spanK)
+          .select(col(idCol), col("n_removed"), col("clean_text"))
+        fuzzyKept.drop(textCol).join(sd, Seq(idCol))
+          .withColumnRenamed("clean_text", textCol)
+      } else fuzzyKept.withColumn("n_removed", lit(0L))
+
+    // 5. benchmark decontamination (optional)
+    val cleaned = bench match {
+      case Some(b) =>
+        val clean = Dedup.contamination(spanned, idCol, textCol, b,
+            benchTextCol, cfg.benchK)
+          .where(!col("is_contaminated")).select(col(idCol))
+        spanned.join(clean, Seq(idCol), "left_semi")
+      case None => spanned
+    }
+
+    // 6. deterministic sample
+    Sampling.hashFraction(cleaned, idCol, cfg.sampleFraction, cfg.salt)
+  }
+}

@@ -50,6 +50,56 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(seeds.count() == 1)
   }
 
+  test("curateCorpus: each stage drops exactly what it should") {
+    import graft.ops.CurateConfig
+    val good1 = "the quick brown fox jumps over the lazy dog and it was a " +
+      "good day in the forest for everyone involved"
+    val docs = Seq(
+      (1L, good1),                               // survives (canonical)
+      (2L, good1),                               // exact copy → exact dedup
+      (3L, good1 + " extra trailing marker"),    // light edit → fuzzy dedup
+      (4L, "x"),                                 // → quality gate
+      (5L, Seq.fill(40)("spam spam").mkString(" ")), // → repetition gate
+      (6L, "we found the unique marker phrase hidden inside a long and " +
+           "mostly ordinary paragraph about nothing in particular that " +
+           "was still quite readable"),          // → decontamination
+      (7L, "a completely separate article describing gardens with flowers " +
+           "and trees that bloom in the spring when the weather is warm")
+    ).toDF("doc_id", "text")
+    val bench = Seq("this benchmark contains the unique marker phrase within it")
+      .toDF("text")
+    val cfg = CurateConfig(minQuality = 0.3, maxDupLineFrac = 0.5,
+      maxTopGramFrac = 0.5, maxDupGramFrac = 0.5,
+      fuzzy = "jaccard", fuzzyThreshold = 0.5, fuzzyN = 2,
+      benchK = 3, sampleFraction = 1.0)
+    val out = g.curateCorpus(docs, "doc_id", "text", Some(bench), "text", cfg)
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 7L))
+    // minhash path agrees on this corpus
+    val mh = g.curateCorpus(docs, "doc_id", "text", Some(bench), "text",
+      cfg.copy(fuzzy = "minhash"))
+    assert(mh.select("doc_id").as[Long].collect().toSet == Set(1L, 7L))
+    // deterministic sample subsets the survivors identically across runs
+    val s1 = g.curateCorpus(docs, "doc_id", "text", Some(bench), "text",
+      cfg.copy(sampleFraction = 0.5)).select("doc_id").as[Long].collect().toSet
+    val s2 = g.curateCorpus(docs, "doc_id", "text", Some(bench), "text",
+      cfg.copy(sampleFraction = 0.5)).select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2 && s1.subsetOf(Set(1L, 7L)))
+  }
+
+  test("curateCorpus: span dedup stage rewrites text and counts removals") {
+    import graft.ops.CurateConfig
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "x alpha beta y"))
+      .toDF("doc_id", "text")
+    val cfg = CurateConfig(minQuality = 0.0, maxDupLineFrac = 1.0,
+      maxTopGramFrac = 1.0, maxDupGramFrac = 1.0, fuzzy = "none",
+      spanK = 2, sampleFraction = 1.0)
+    val byId = g.curateCorpus(docs, "doc_id", "text", None, "text", cfg)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text"), r.getAs[Long]("n_removed")))).toMap
+    assert(byId(1L) == (("alpha beta gamma delta", 0L)))
+    assert(byId(2L) == (("x y", 2L)))
+  }
+
   test("chunking strategies") {
     import graft.ops.TextAnalysis
     val df = Seq("para one here\n\npara two there", "w1 w2 w3 w4 w5 w6 w7").toDF("text")
