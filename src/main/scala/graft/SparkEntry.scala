@@ -2,7 +2,7 @@ package graft
 
 import graft.core.{PageRec, Synth, Urls}
 import graft.frontier.{Crawl, CrawlConfig}
-import graft.ops.{Bm25, Curate, CurateConfig, Dedup, Multimodal, RegexExtract, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Bm25, Curate, CurateConfig, Dedup, Multimodal, NgramLm, RegexExtract, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -305,6 +305,12 @@ object SparkEntry {
     }),
 
     // ---- training-data pipeline: text analysis ----------------------------
+    "q_ngram_lm" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val counts = NgramLm.train(d, "text")
+      NgramLm.scoreStupidBackoff(
+        d.where(col("doc_id") < 200), "doc_id", "text", counts)
+    }),
     "q_repetition" -> ((s, dir) => {
       val d = table(s, dir, "documents")
       val sig = TextAnalysis.repetitionSignals(d, "doc_id", "text",
@@ -920,6 +926,70 @@ object SparkEntry {
         |SELECT doc_id, round(quality, 4) AS quality
         |FROM clean
         |WHERE md5('r3|' || CAST(doc_id AS VARCHAR)) < '80000000000000000000000000000000'""".stripMargin,
+    // stupid-backoff trigram LM scoring: per-token S quantized to integer
+    // billionths (floor(S*1e9)) and summed as BIGINT — bit-exact across
+    // engines, no float-sum nondeterminism (IEEE division + 0.4 literal only)
+    "q_ngram_lm" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |n_total AS (SELECT CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS n FROM tk),
+        |u AS (SELECT g AS gram, count(*) AS cnt FROM (
+        |  SELECT unnest(toks) AS g FROM tk) GROUP BY g),
+        |b AS (SELECT g AS gram, count(*) AS cnt FROM (
+        |  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+        |         i -> array_to_string(toks[i:i+1], ' '))) AS g
+        |  FROM tk WHERE len(toks) >= 2) GROUP BY g),
+        |tr AS (SELECT g AS gram, count(*) AS cnt FROM (
+        |  SELECT unnest(list_transform(generate_series(1, len(toks) - 2),
+        |         i -> array_to_string(toks[i:i+2], ' '))) AS g
+        |  FROM tk WHERE len(toks) >= 3) GROUP BY g),
+        |pos AS (
+        |  SELECT doc_id,
+        |    toks[i] AS w,
+        |    CASE WHEN i >= 2 THEN toks[i-1] END AS prev,
+        |    CASE WHEN i >= 2 THEN array_to_string(toks[i-1:i], ' ') END AS g2,
+        |    CASE WHEN i >= 3 THEN array_to_string(toks[i-2:i-1], ' ') END AS ctx3,
+        |    CASE WHEN i >= 3 THEN array_to_string(toks[i-2:i], ' ') END AS g3
+        |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)
+        |  WHERE doc_id < 200),
+        |sc0 AS (
+        |  SELECT p.doc_id, p.g2, p.g3,
+        |    t3.cnt AS c3, x3.cnt AS cctx3, b2.cnt AS c2, pv.cnt AS cprev,
+        |    u1.cnt AS c1, nt.n
+        |  FROM pos p
+        |  LEFT JOIN u u1 ON p.w = u1.gram
+        |  LEFT JOIN u pv ON p.prev = pv.gram
+        |  LEFT JOIN b b2 ON p.g2 = b2.gram
+        |  LEFT JOIN b x3 ON p.ctx3 = x3.gram
+        |  LEFT JOIN tr t3 ON p.g3 = t3.gram
+        |  CROSS JOIN n_total nt),
+        |s_a AS (SELECT *, CASE WHEN coalesce(c1, 0) > 0 THEN (c1 * 1.0) / (n * 1.0)
+        |                      ELSE 1.0 / (n * 1.0) END AS s1 FROM sc0),
+        |s_b AS (SELECT *, CASE WHEN coalesce(c2, 0) > 0 THEN (c2 * 1.0) / (cprev * 1.0)
+        |                      ELSE 0.4 * s1 END AS s2 FROM s_a),
+        |s_c AS (SELECT *, CASE WHEN coalesce(c3, 0) > 0 THEN (c3 * 1.0) / (cctx3 * 1.0)
+        |                      ELSE 0.4 * s2 END AS s3 FROM s_b),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CASE WHEN g3 IS NOT NULL THEN s3 WHEN g2 IS NOT NULL THEN s2 ELSE s1 END AS s,
+        |    CASE WHEN g3 IS NOT NULL AND coalesce(c3, 0) > 0 THEN 1 ELSE 0 END AS tri_hit,
+        |    CASE WHEN coalesce(c1, 0) = 0 THEN 1 ELSE 0 END AS oov
+        |  FROM s_c),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(tri_hit) AS BIGINT) AS n_tri_hits,
+        |    CAST(sum(oov) AS BIGINT) AS n_oov,
+        |    CAST(sum(CAST(floor(s * 1000000000.0) AS BIGINT)) AS BIGINT) AS score_q9
+        |  FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(a.n_tokens, 0) AS n_tokens,
+        |  coalesce(a.n_tri_hits, 0) AS n_tri_hits,
+        |  coalesce(a.n_oov, 0) AS n_oov,
+        |  coalesce(a.score_q9, 0) AS score_q9
+        |FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+        |LEFT JOIN agg a USING (doc_id)""".stripMargin,
     // Gopher-family repetition signals: duplicate-line char fraction plus
     // top-{2,3}-gram and duplicated-{5,10}-gram char fractions
     "q_repetition" ->

