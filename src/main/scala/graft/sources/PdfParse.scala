@@ -25,9 +25,19 @@ package graft.sources
   *  - per-page image counts via /Resources /XObject → /Subtype /Image;
   *  - links via /Annots → /URI.
   *
-  * Out of scope (returns what it can, never throws): CID/Type0 composite
-  * fonts, encrypted files, image codecs (DCT/JBIG2/JPX) — those fall back
-  * to the deterministic stub kernel in [[Pdf]].
+  *  - encrypted documents via the standard security handler ([[PdfCrypt]]):
+  *    RC4 (V1/V2), AES-128 (/AESV2), AES-256 (/AESV3 R6) with an empty (or
+  *    caller-supplied) user password — streams and dict strings are
+  *    decrypted before any other processing; a failed /U check (a real
+  *    password we don't have) falls back to the stub;
+  *  - Type0/CID composite fonts: per-page /Resources /Font tracking through
+  *    the `Tf` operator, 2-byte codes decoded through the font's /ToUnicode
+  *    CMap (bfchar + bfrange, both destination forms), Identity fallback;
+  *    simple fonts with a /ToUnicode CMap map through it too.
+  *
+  * Out of scope (returns what it can, never throws): image codecs
+  * (DCT/JBIG2/JPX), owner-password recovery, predefined (non-Identity) CMap
+  * names — those fall back to the deterministic stub kernel in [[Pdf]].
   */
 object PdfParse {
 
@@ -559,67 +569,197 @@ object PdfParse {
     Some(dict.substring(start, end))
   }
 
+  // ---- fonts / ToUnicode ------------------------------------------------------
+
+  /** What text extraction needs to know about one page font: whether show
+    * strings carry 2-byte codes (Type0/Identity-H composite fonts) and the
+    * /ToUnicode code → text mapping when present. */
+  final case class FontInfo(twoByte: Boolean, toUni: Option[Map[Int, String]])
+
+  /** Resolve a dict VALUE that is either inline `<< … >>` or an indirect
+    * reference to a dict object. */
+  private def resolveDictVal(v: String, objs: Map[Int, Obj]): Option[String] = {
+    val t = v.trim
+    if (t.startsWith("<<")) Some(t)
+    else refsIn(t).headOption.flatMap(objs.get).map(_.dict)
+  }
+
+  private val fontRefRe = """/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R""".r
+
+  /** Per-page font table from /Resources → /Font (either may be inline or a
+    * reference). A font is two-byte when it is a /Subtype /Type0 composite
+    * (the Identity-H encoding every CID generator emits); its /ToUnicode
+    * CMap stream, when present, is parsed for code → Unicode mapping. */
+  def fontsOf(pageDict: String, objs: Map[Int, Obj]): Map[String, FontInfo] = {
+    val res = dictValue(pageDict, "/Resources").flatMap(resolveDictVal(_, objs))
+    val fd = res.flatMap(dictValue(_, "/Font")).flatMap(resolveDictVal(_, objs))
+    fd.toSeq.flatMap { d =>
+      fontRefRe.findAllMatchIn(d).map { m =>
+        val fobj = objs.get(m.group(2).toInt)
+        val twoByte = fobj.exists(o =>
+          o.dict.contains("/Type0") || o.dict.contains("Identity-H"))
+        val toUni = fobj.flatMap(o => dictValue(o.dict, "/ToUnicode"))
+          .flatMap(v => refsIn(v).headOption).flatMap(objs.get)
+          .flatMap(decodedStream)
+          .map(b => parseToUnicode(latin(b, 0, b.length)))
+          .filter(_.nonEmpty)
+        m.group(1) -> FontInfo(twoByte, toUni)
+      }.toSeq
+    }.toMap
+  }
+
+  private val cmapHexRe = """<([0-9a-fA-F\s]+)>""".r
+
+  /** Parse a /ToUnicode CMap: `beginbfchar` pairs and `beginbfrange`
+    * triples, with both destination forms (`<dst>` consecutive-increment
+    * and `[<d0> <d1> …]` explicit). Destinations are UTF-16BE; range
+    * increments apply to the destination's final code unit (§9.10.3). */
+  def parseToUnicode(cmap: String): Map[Int, String] = {
+    val out = scala.collection.mutable.Map.empty[Int, String]
+    def utf16(hex: String): String = new String(
+      PdfCrypt.StdSecurityHandler.hexBytes(hex),
+      java.nio.charset.StandardCharsets.UTF_16BE)
+    def codeOf(hex: String): Int =
+      try java.lang.Long.parseLong(hex.filterNot(_.isWhitespace), 16).toInt
+      catch { case _: Exception => -1 }
+    for (m <- """(?s)beginbfchar(.*?)endbfchar""".r.findAllMatchIn(cmap)) {
+      cmapHexRe.findAllMatchIn(m.group(1)).map(_.group(1)).grouped(2).foreach {
+        case Seq(src, dst) if codeOf(src) >= 0 => out(codeOf(src)) = utf16(dst)
+        case _ =>
+      }
+    }
+    for (m <- """(?s)beginbfrange(.*?)endbfrange""".r.findAllMatchIn(cmap)) {
+      val sec = m.group(1)
+      // tokenize: hex strings and [ … ] arrays, in order
+      val toks = scala.collection.mutable.ArrayBuffer.empty[Either[String, Seq[String]]]
+      var i = 0
+      while (i < sec.length) {
+        sec.charAt(i) match {
+          case '<' =>
+            val c = sec.indexOf('>', i)
+            if (c < 0) i = sec.length
+            else { toks += Left(sec.substring(i + 1, c)); i = c + 1 }
+          case '[' =>
+            val c = sec.indexOf(']', i)
+            if (c < 0) i = sec.length
+            else {
+              toks += Right(cmapHexRe.findAllMatchIn(sec.substring(i, c))
+                .map(_.group(1)).toSeq)
+              i = c + 1
+            }
+          case _ => i += 1
+        }
+      }
+      var t = 0
+      while (t + 1 < toks.length) {
+        (toks(t), toks(t + 1), toks.lift(t + 2)) match {
+          case (Left(loH), Left(hiH), Some(Left(dstH))) =>
+            val lo = codeOf(loH); val hi = codeOf(hiH)
+            val dst = utf16(dstH)
+            if (lo >= 0 && hi >= lo && hi - lo < 65536 && dst.nonEmpty) {
+              var k = 0
+              while (k <= hi - lo) {
+                val units = dst.toCharArray
+                units(units.length - 1) = (units(units.length - 1) + k).toChar
+                out(lo + k) = new String(units)
+                k += 1
+              }
+            }
+            t += 3
+          case (Left(loH), Left(hiH), Some(Right(arr))) =>
+            val lo = codeOf(loH); val hi = codeOf(hiH)
+            if (lo >= 0 && hi >= lo)
+              arr.zipWithIndex.foreach { case (d, k) =>
+                if (lo + k <= hi) out(lo + k) = utf16(d)
+              }
+            t += 3
+          case _ => t += 1
+        }
+      }
+    }
+    out.toMap
+  }
+
+  /** Decode one shown string's raw bytes through the current font: 2-byte
+    * codes via /ToUnicode (Identity codepoint fallback), 1-byte codes via
+    * /ToUnicode when present, Latin-1 otherwise (the classic simple-font
+    * path). */
+  private def decodeShown(bytes: Array[Byte], font: Option[FontInfo]): String =
+    font match {
+      case Some(f) if f.twoByte =>
+        val sb = new StringBuilder
+        var i = 0
+        while (i + 1 < bytes.length) {
+          val code = ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
+          sb ++= f.toUni.flatMap(_.get(code)).getOrElse(
+            if (Character.isValidCodePoint(code)) new String(Character.toChars(code))
+            else "")
+          i += 2
+        }
+        if (i < bytes.length) sb += (bytes(i) & 0xff).toChar
+        sb.toString
+      case Some(f) if f.toUni.isDefined =>
+        val m = f.toUni.get
+        bytes.map(b => m.getOrElse(b & 0xff, (b & 0xff).toChar.toString)).mkString
+      case _ =>
+        new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+
+  private val tfRe = """/([^\s/<>\[\]()]+)\s+[\d.+-]+\s+Tf""".r
+
   /** Text of one content stream: literal/hex strings inside BT…ET, with
     * line breaks at the Td, TD, T-star, and quote operators. */
-  def textOf(content: Array[Byte]): String = {
+  def textOf(content: Array[Byte]): String = textOf(content, Map.empty)
+
+  /** Font-aware variant: `Tf` operators switch the active [[FontInfo]] and
+    * shown strings decode through it (2-byte CID codes, /ToUnicode). */
+  def textOf(content: Array[Byte], fonts: Map[String, FontInfo]): String = {
     val s = latin(content, 0, content.length)
     val sb = new StringBuilder
     var i = 0
     var inText = false
     var lastShowStart = -1 // sb offset where the most recent string began
+    var curFont: Option[FontInfo] = None
+    var pendingName = ""
     def prevOpIs(j: Int, op: String): Boolean = s.regionMatches(j, op, 0, op.length)
+    def show(raw: Array[Byte]): Unit = {
+      lastShowStart = sb.length
+      sb ++= decodeShown(raw, curFont)
+    }
     while (i < s.length) {
       if (!inText) {
         val bt = s.indexOf("BT", i)
         if (bt < 0) i = s.length
-        else { inText = true; i = bt + 2 }
+        else {
+          // text state persists across text objects — honor a Tf that was
+          // issued between ET and the next BT
+          if (fonts.nonEmpty)
+            tfRe.findAllMatchIn(s.substring(i, bt)).toSeq.lastOption
+              .foreach(m => curFont = fonts.get(m.group(1)))
+          inText = true; i = bt + 2
+        }
       } else s.charAt(i) match {
         case '(' => // literal string
-          lastShowStart = sb.length
-          i += 1
-          var depth = 1
-          while (i < s.length && depth > 0) {
-            s.charAt(i) match {
-              case '\\' if i + 1 < s.length =>
-                s.charAt(i + 1) match {
-                  case 'n' => sb += '\n'; i += 2
-                  case 'r' => sb += '\r'; i += 2
-                  case 't' => sb += '\t'; i += 2
-                  case 'b' => sb += '\b'; i += 2
-                  case 'f' => sb += '\f'; i += 2
-                  case '(' => sb += '('; i += 2
-                  case ')' => sb += ')'; i += 2
-                  case '\\' => sb += '\\'; i += 2
-                  case d if d >= '0' && d <= '7' =>
-                    var code = 0; var k = 0
-                    i += 1
-                    while (k < 3 && i < s.length && s.charAt(i) >= '0' && s.charAt(i) <= '7') {
-                      code = code * 8 + (s.charAt(i) - '0'); i += 1; k += 1
-                    }
-                    sb += code.toChar
-                  case _ => i += 1 // line continuation etc.
-                }
-              case '(' => depth += 1; sb += '('; i += 1
-              case ')' =>
-                depth -= 1
-                if (depth > 0) sb += ')'
-                i += 1
-              case c => sb += c; i += 1
-            }
-          }
+          val (raw, next) = PdfCrypt.StdSecurityHandler.literalBytes(s, i)
+          show(raw)
+          i = next
         case '<' if i + 1 < s.length && s.charAt(i + 1) != '<' => // hex string
-          lastShowStart = sb.length
           val close = s.indexOf('>', i)
           if (close < 0) i = s.length
           else {
-            val hex = s.substring(i + 1, close).filterNot(_.isWhitespace)
-            val padded = if (hex.length % 2 == 1) hex + "0" else hex
-            padded.grouped(2).foreach { h =>
-              try sb += Integer.parseInt(h, 16).toChar catch { case _: Exception => }
-            }
+            show(PdfCrypt.StdSecurityHandler.hexBytes(s.substring(i + 1, close)))
             i = close + 1
           }
+        case '/' => // name token — remembered for a following Tf
+          var j = i + 1
+          while (j < s.length && !s.charAt(j).isWhitespace &&
+                 "/<>[]()".indexOf(s.charAt(j)) < 0) j += 1
+          pendingName = s.substring(i + 1, j)
+          i = j
         case 'E' if prevOpIs(i, "ET") => inText = false; i += 2
+        case 'T' if prevOpIs(i, "Tf") =>
+          curFont = fonts.get(pendingName)
+          i += 2
         case 'T' if prevOpIs(i, "T*") || prevOpIs(i, "Td") || prevOpIs(i, "TD") =>
           if (sb.nonEmpty && sb.last != '\n') sb += '\n'
           i += 2
@@ -636,15 +776,62 @@ object PdfParse {
     sb.toString.linesIterator.map(_.trim).filter(_.nonEmpty).mkString("\n")
   }
 
-  /** Parse a full document. None when the bytes are not a PDF or the page
-    * tree cannot be resolved. */
-  def parse(bytes: Array[Byte]): Option[Seq[Page]] = {
+  /** First file ID from a trailer's `/ID [<…> <…>]` array (hex form — the
+    * form every writer emits; it feeds MD5 so raw bytes are all we need). */
+  private def idFirst(trailer: String): Array[Byte] = {
+    val i = trailer.indexOf("/ID")
+    if (i < 0) Array.emptyByteArray
+    else cmapHexRe.findFirstMatchIn(trailer.substring(i))
+      .map(m => PdfCrypt.StdSecurityHandler.hexBytes(m.group(1)))
+      .getOrElse(Array.emptyByteArray)
+  }
+
+  /** Decrypt every top-level object's stream and dict strings in place. The
+    * /Encrypt dict itself and xref streams are exempt (§7.6.2: never
+    * encrypted); objects INSIDE object streams need nothing — their
+    * container stream is what's encrypted. None = the document needs a
+    * password we don't have, or an unsupported scheme → stub fallback. */
+  private def decryptAll(scanned: Map[Int, Obj], trailer: String,
+                         password: Array[Byte]): Option[Map[Int, Obj]] = {
+    val encNum = """/Encrypt\s+(\d+)\s+\d+\s+R""".r
+      .findFirstMatchIn(trailer).map(_.group(1).toInt).getOrElse(return None)
+    val encObj = scanned.getOrElse(encNum, return None)
+    val h = PdfCrypt.StdSecurityHandler
+      .forDocument(encObj.dict, idFirst(trailer), password).getOrElse(return None)
+    Some(scanned.map { case (num, o) =>
+      val isXrefStm = o.dict.contains("/XRef")
+      if (num == encNum || isXrefStm) num -> o
+      else num -> Obj(num,
+        PdfCrypt.decryptDictStrings(o.dict, num, 0, h),
+        o.stream.map(s => try h.decrypt(num, 0, s) catch { case _: Exception => s }))
+    })
+  }
+
+  /** Parse a full document. None when the bytes are not a PDF, the page
+    * tree cannot be resolved, or the file is encrypted with a password the
+    * caller didn't supply. */
+  def parse(bytes: Array[Byte],
+            password: Array[Byte] = Array.emptyByteArray): Option[Seq[Page]] = {
     if (bytes.length < 5 || latin(bytes, 0, 5) != "%PDF-") return None
     val objs = {
-      val scanned =
+      val scanned0 =
         try scanObjects(bytes)
         catch { case _: Exception => return None }
       val xref = try readXref(bytes) catch { case _: Exception => None }
+      // encryption: the newest trailer names /Encrypt; without an xref the
+      // trailer keyword near EOF carries it
+      val trailer = xref.map(_.trailer).filter(_.contains("/Encrypt")).orElse {
+        val s = latin(bytes, math.max(0, bytes.length - 4096), bytes.length)
+        val t = s.lastIndexOf("trailer")
+        if (t >= 0) Some(s.substring(t)) else None
+      }
+      val scanned = trailer.filter(_.contains("/Encrypt")) match {
+        case Some(tr) => decryptAll(scanned0, tr, password) match {
+          case Some(dec) => dec
+          case None      => return None
+        }
+        case None => scanned0
+      }
       // unpack every object stream (xref type-2 targets plus any scanned
       // /ObjStm); top-level definitions win on collision, except where the
       // xref explicitly places the live object inside a stream
@@ -680,8 +867,9 @@ object PdfParse {
     val pages = pageObjs.map { p =>
       val contentRefs = dictValue(p.dict, "/Contents").map(refsIn)
         .getOrElse(Seq.empty)
+      val fonts = try fontsOf(p.dict, objs) catch { case _: Exception => Map.empty[String, FontInfo] }
       val text = contentRefs.flatMap(objs.get).flatMap(decodedStream)
-        .map(textOf).filter(_.nonEmpty).mkString("\n")
+        .map(textOf(_, fonts)).filter(_.nonEmpty).mkString("\n")
       // image count: /Resources /XObject refs that are /Subtype /Image
       val xobjRefs = dictValue(p.dict, "/XObject").map(refsIn)
         .getOrElse(Seq.empty)

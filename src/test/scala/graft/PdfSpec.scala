@@ -10,57 +10,12 @@ import graft.sources.{Pdf, PdfParse}
   */
 class PdfSpec extends AnyFunSuite {
 
-  /** Minimal valid-enough PDF builder (no xref — the parser scans objects,
-    * like every repair-mode reader). One content stream per page.
-    */
   private def buildPdf(pageContents: Seq[String], compress: Boolean,
                        withImage: Boolean = false,
-                       withLink: Option[String] = None): Array[Byte] = {
-    val n = pageContents.length
-    val out = new java.io.ByteArrayOutputStream()
-    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
-    w("%PDF-1.4\n")
-    // 1: catalog, 2: pages, 3..2+n: page objs, 3+n..2+2n: content streams,
-    // then optional image xobject / annot
-    val imgNum = 3 + 2 * n
-    val annotNum = imgNum + 1
-    w(s"1 0 obj\n<< /Type /Catalog /Root 1 0 R /Pages 2 0 R >>\nendobj\n")
-    val kids = (0 until n).map(i => s"${3 + i} 0 R").mkString(" ")
-    w(s"2 0 obj\n<< /Type /Pages /Kids [ $kids ] /Count $n >>\nendobj\n")
-    (0 until n).foreach { i =>
-      val extra = new StringBuilder
-      if (withImage && i == 0)
-        extra ++= s" /Resources << /XObject << /Im0 $imgNum 0 R >> >>"
-      if (withLink.isDefined && i == 0)
-        extra ++= s" /Annots [ $annotNum 0 R ]"
-      w(s"${3 + i} 0 obj\n<< /Type /Page /Parent 2 0 R /Contents ${3 + n + i} 0 R$extra >>\nendobj\n")
-    }
-    (0 until n).foreach { i =>
-      val content = pageContents(i).getBytes("ISO-8859-1")
-      val (data, filter) =
-        if (compress) {
-          val d = new java.util.zip.Deflater()
-          d.setInput(content); d.finish()
-          val buf = new Array[Byte](content.length * 2 + 64)
-          val len = d.deflate(buf); d.end()
-          (java.util.Arrays.copyOf(buf, len), " /Filter /FlateDecode")
-        } else (content, "")
-      w(s"${3 + n + i} 0 obj\n<< /Length ${data.length}$filter >>\nstream\n")
-      out.write(data)
-      w("\nendstream\nendobj\n")
-    }
-    if (withImage)
-      w(s"$imgNum 0 obj\n<< /Subtype /Image /Width 8 /Height 8 /Length 0 >>\nstream\n\nendstream\nendobj\n")
-    withLink.foreach { uri =>
-      w(s"$annotNum 0 obj\n<< /Type /Annot /Subtype /Link /A << /S /URI /URI ($uri) >> >>\nendobj\n")
-    }
-    w("%%EOF\n")
-    out.toByteArray
-  }
+                       withLink: Option[String] = None): Array[Byte] =
+    PdfFixtures.buildPdf(pageContents, compress, withImage, withLink)
 
-  private def bt(lines: String*): String =
-    "BT /F1 12 Tf 72 720 Td " +
-      lines.map(l => s"($l) Tj T*").mkString(" ") + " ET"
+  private def bt(lines: String*): String = PdfFixtures.bt(lines: _*)
 
   test("uncompressed single page: Tj text recovered") {
     val pdf = buildPdf(Seq(bt("Hello PDF world")), compress = false)
