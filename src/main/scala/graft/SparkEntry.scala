@@ -472,6 +472,19 @@ object SparkEntry {
         Seq("email", "date_iso", "time_24h", "ipv4"))
     }),
 
+    // ---- PII redaction over constructed text (SQL-mirrorable: the DuckDB
+    // twin is built from the SAME pattern catalog via RegexExtract.redactSql,
+    // so chain order and patterns cannot drift) --------------------------------
+    "q_redact" -> ((s, dir) => {
+      val c = table(s, dir, "customer").where(col("c_custkey") < 300)
+        .withColumn("text", concat(
+          lit("user u"), col("c_custkey"), lit("@mail.example.org from 10.0."),
+          col("c_nationkey"), lit(".7 card 4111111111111111 says "),
+          col("c_name"), lit(" call +1 (415) 555-01"),
+          lpad((col("c_custkey") % 100).cast("string"), 2, "0")))
+      RegexExtract.redact(c, "c_custkey", "text")
+    }),
+
     // ---- streaming twin: gap sessionization over events (SQL-mirrorable) --
     "q_sessionize" -> ((s, dir) => {
       graft.streaming.EventStream.sessionizeBatch(
@@ -1325,5 +1338,12 @@ object SparkEntry {
         |         unnest(regexp_extract_all(text, '(?:\d{1,3}\.){3}\d{1,3}')),
         |         unnest(range(len(regexp_extract_all(text, '(?:\d{1,3}\.){3}\d{1,3}'))))
         |  FROM t)""".stripMargin,
+    "q_redact" -> {
+      val textExpr = "'user u' || c_custkey || '@mail.example.org from 10.0.' || " +
+        "c_nationkey || '.7 card 4111111111111111 says ' || c_name || " +
+        "' call +1 (415) 555-01' || lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0')"
+      s"""SELECT c_custkey, ${RegexExtract.redactSql(textExpr)} AS redacted_text
+         |FROM customer WHERE c_custkey < 300""".stripMargin
+    },
   )
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Regex extraction catalog: finds emails, phones, URLs, dates, money, etc.
@@ -40,6 +40,42 @@ object RegexExtract {
     "mac_addr" -> "(?:[0-9A-Fa-f]{2}:){5}[0-9A-Fa-f]{2}",
     "iban" -> "[A-Z]{2}\\d{2}[A-Z0-9]{11,30}",
     "credit_card" -> "\\b(?:4\\d{12}(?:\\d{3})?|5[1-5]\\d{14}|3[47]\\d{13}|6(?:011|5\\d{2})\\d{12})\\b")
+
+  /** Default PII-redaction chain, in application order. Order matters and is
+    * part of the contract: structured identifiers go first so a later, looser
+    * pattern cannot eat a prefix of them (phone_intl's digit-run pattern
+    * overlaps dotted IPv4s and the digit runs inside UUIDs/cards, so it is
+    * applied last, after those have been replaced by digit-free tokens). */
+  val piiLabels: Seq[String] = Seq(
+    "email", "credit_card", "iban", "mac_addr", "ipv6", "ipv4", "uuid",
+    "phone_intl")
+
+  /** Column expression replacing every match of each label (in order) with
+    * its `[LABEL]` token — a chain of codegen'd `regexp_replace`s inside one
+    * projection: a single scan-stage pass, no UDF, no extra stage at any
+    * scale. */
+  def redactExpr(text: Column, labels: Seq[String] = piiLabels): Column =
+    labels.foldLeft(text) { (c, l) =>
+      val re = patterns.getOrElse(l,
+        throw new IllegalArgumentException(s"unknown pattern label: $l"))
+      regexp_replace(c, lit(re), lit(s"[${l.toUpperCase}]"))
+    }
+
+  /** PII scrubbing over a corpus: (<idCol>, redacted_text). The exact same
+    * replacement chain is expressible in ANSI SQL as nested
+    * regexp_replace(…, 'g') — see [[redactSql]], the DuckDB oracle twin. */
+  def redact(df: DataFrame, idCol: String, textCol: String,
+             labels: Seq[String] = piiLabels): DataFrame =
+    df.select(col(idCol), redactExpr(col(textCol), labels).as("redacted_text"))
+
+  /** The SQL twin of [[redactExpr]] for an engine with RE2-style
+    * regexp_replace(text, pattern, replacement, 'g') — same patterns, same
+    * order, built from the same catalog so the two can never drift. */
+  def redactSql(textExpr: String, labels: Seq[String] = piiLabels): String =
+    labels.foldLeft(textExpr) { (e, l) =>
+      val re = patterns(l).replace("'", "''")
+      s"regexp_replace($e, '$re', '[${l.toUpperCase}]', 'g')"
+    }
 
   /** Extract all matches of the selected labels from `textCol`.
     * Output: (<idCol>, label, value, match_pos) — match_pos is the index of

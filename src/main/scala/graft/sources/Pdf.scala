@@ -94,12 +94,23 @@ object Pdf {
         if (p == 0) linksFor(id) else Nil)
     }
 
+  /** True when the synthetic doc for `id` is emitted ENCRYPTED (AES-128
+    * standard security handler, empty user password) — every third classic-
+    * layout doc, so the driver gate exercises the decryption path too. */
+  def syntheticEncrypted(id: Long): Boolean = id % 3 == 1 && id % 7 != 0
+
+  private def md5(s: String): Array[Byte] =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("US-ASCII"))
+
   /** Deterministic synthetic PDF bytes for one (id, text) document:
     * 1 + id%3 pages of 8-token slices, an image XObject on page 0 for even
     * ids, a /URI annot for ids divisible by 5 — and ids divisible by 7 emit
     * the MODERN layout (catalog/pages/page dicts packed in a /ObjStm,
     * resolved via a PDF-1.5 xref STREAM) so the driver gate exercises both
-    * parser paths. All streams Flate-compressed.
+    * parser paths. All streams Flate-compressed. Docs selected by
+    * [[syntheticEncrypted]] are AES-128-encrypted at generation time
+    * (deterministic file ID/O/IVs; the real Algorithm-2 key so the parser's
+    * /U check passes) with the /Encrypt dict carried by a trailer keyword.
     */
   def syntheticPdf(id: Long, text: String): Array[Byte] = {
     val texts = pageTexts(id, text)
@@ -107,6 +118,20 @@ object Pdf {
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
     val modern = id % 7 == 0
+    val encrypted = syntheticEncrypted(id)
+    val id0 = md5(s"graftpdf$id")
+    val oVal = md5(s"graftO$id") ++ md5(s"graftO2$id")
+    val fileKey =
+      if (encrypted) PdfCrypt.fileKeyClassic(Array.emptyByteArray, oVal, -44, id0, 4, 128)
+      else Array.emptyByteArray
+    // generation-side encryptors (no-ops when plaintext)
+    def encStream(num: Int, data: Array[Byte]): Array[Byte] =
+      if (!encrypted) data
+      else PdfCrypt.aesEncrypt(PdfCrypt.objectKey(fileKey, num, 0, aes = true),
+        java.util.Arrays.copyOf(md5(s"iv$id/$num"), 16), data)
+    def encString(num: Int, s: String): String =
+      if (!encrypted) s"($s)"
+      else PdfCrypt.emitString(encStream(num, s.getBytes("ISO-8859-1")))
     w(if (modern) "%PDF-1.5\n" else "%PDF-1.4\n")
     // numbering: 1 catalog, 2 pages, 3..2+n page dicts, 3+n..2+2n contents,
     // then image (imgNum), annot (annotNum), [objstm, xrefstm]
@@ -137,7 +162,7 @@ object Pdf {
     (0 until n).foreach { i =>
       contentOffs(i) = out.size()
       val content = s"BT /F1 12 Tf 72 720 Td (${texts(i)}) Tj ET".getBytes("ISO-8859-1")
-      val data = deflateBytes(content)
+      val data = encStream(3 + n + i, deflateBytes(content))
       w(s"${3 + n + i} 0 obj\n<< /Length ${data.length} /Filter /FlateDecode >>\nstream\n")
       out.write(data)
       w("\nendstream\nendobj\n")
@@ -147,7 +172,7 @@ object Pdf {
       w(s"$imgNum 0 obj\n<< /Subtype /Image /Width 8 /Height 8 /Length 0 >>\nstream\n\nendstream\nendobj\n")
     val annotOff = out.size()
     linksFor(id).foreach { uri =>
-      w(s"$annotNum 0 obj\n<< /Type /Annot /Subtype /Link /A << /S /URI /URI ($uri) >> >>\nendobj\n")
+      w(s"$annotNum 0 obj\n<< /Type /Annot /Subtype /Link /A << /S /URI /URI ${encString(annotNum, uri)} >> >>\nendobj\n")
     }
     if (modern) {
       // pack the page tree into an ObjStm + xref stream
@@ -179,6 +204,15 @@ object Pdf {
       out.write(xr)
       w("\nendstream\nendobj\n")
       w(s"startxref\n$xrefOff\n%%EOF\n")
+    } else if (encrypted) {
+      val encNum = xrefNum + 1
+      def hexs(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02x").mkString
+      val u = PdfCrypt.computeU(fileKey, id0, 4)
+      w(s"$encNum 0 obj\n<< /Filter /Standard /V 4 /R 4 /Length 128 /P -44 " +
+        s"/O <${hexs(oVal)}> /U <${hexs(u)}> " +
+        "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF /StrF /StdCF >>\nendobj\n")
+      w(s"trailer\n<< /Size ${encNum + 1} /Root 1 0 R /Encrypt $encNum 0 R " +
+        s"/ID [<${hexs(id0)}> <${hexs(id0)}>] >>\n%%EOF\n")
     } else {
       w("%%EOF\n")
     }

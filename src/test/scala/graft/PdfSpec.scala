@@ -141,9 +141,17 @@ class PdfSpec extends AnyFunSuite {
   test("synthetic PDF generator: real parse round-trips the generator intent (both layouts)") {
     val text = "Alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
-    // ids cover: modern ObjStm layout (0, 7, 14, 35), image (even), link (0, 5, 35)
-    Seq(0L, 1L, 2L, 5L, 7L, 14L, 35L).foreach { id =>
-      val parsed = PdfParse.parse(Pdf.syntheticPdf(id, text)).get
+    // ids cover: modern ObjStm layout (0, 7, 14, 35), image (even),
+    // link (0, 5, 10, 35), AES-128-encrypted (1, 4, 10 — id%3==1, id%7!=0;
+    // 10 is encrypted+image+link)
+    Seq(0L, 1L, 2L, 4L, 5L, 7L, 10L, 14L, 35L).foreach { id =>
+      assert(Seq(1L, 4L, 10L).forall(Pdf.syntheticEncrypted) &&
+        !Pdf.syntheticEncrypted(id = 0L))
+      val bytes = Pdf.syntheticPdf(id, text)
+      if (Pdf.syntheticEncrypted(id))
+        assert(!new String(bytes, "ISO-8859-1").contains("alpha"),
+          s"id=$id claims encryption but carries plaintext")
+      val parsed = PdfParse.parse(bytes).get
       val intent = Pdf.syntheticPdfIntent(id, text)
       assert(parsed.length == intent.length, s"id=$id page count")
       parsed.zip(intent).foreach { case (p, want) =>
