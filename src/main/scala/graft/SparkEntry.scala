@@ -2,7 +2,7 @@ package graft
 
 import graft.core.{PageRec, Synth, Urls}
 import graft.frontier.{Crawl, CrawlConfig}
-import graft.ops.{Bm25, Curate, CurateConfig, Dedup, Multimodal, NgramLm, RegexExtract, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Bm25, Bpe, Curate, CurateConfig, Dedup, Multimodal, NgramLm, RegexExtract, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -310,6 +310,15 @@ object SparkEntry {
       val counts = NgramLm.train(d, "text")
       NgramLm.scoreStupidBackoff(
         d.where(col("doc_id") < 200), "doc_id", "text", counts)
+    }),
+
+    // ---- BPE tokenizer training + apply (sequential-oracle fixtures) ------
+    "q_bpe_merges" -> ((s, dir) =>
+      Bpe.train(table(s, dir, "documents").where(col("doc_id") < 200),
+        "text", merges = 30)),
+    "q_bpe_tokens" -> ((s, dir) => {
+      val d = table(s, dir, "documents").where(col("doc_id") < 100)
+      Bpe.segment(d, "doc_id", "text", Bpe.train(d, "text", merges = 20))
     }),
     "q_repetition" -> ((s, dir) => {
       val d = table(s, dir, "documents")
@@ -644,6 +653,8 @@ object SparkEntry {
     "q_ann_lsh_topk" -> graft.oracle.Fixtures.sql("q_ann_lsh_topk"),
     "q_ann_ivf_trained" -> graft.oracle.Fixtures.sql("q_ann_ivf_trained"),
     "q_pdf_pages" -> graft.oracle.Fixtures.sql("q_pdf_pages"),
+    "q_bpe_merges" -> graft.oracle.Fixtures.sql("q_bpe_merges"),
+    "q_bpe_tokens" -> graft.oracle.Fixtures.sql("q_bpe_tokens"),
     "q_cooccurrence" ->
       """WITH arrs AS (
         |  SELECT doc_id,

@@ -154,6 +154,21 @@ object Fixtures {
           .map(p => (id, p.page_no, p.text, p.n_images, p.links.mkString(",")))
       }.toDF("doc_id", "page_no", "text", "n_images", "links"))
 
+    // BPE: sequential independent implementation (SeqBpe) over the same
+    // collected slices, same determinism contract as the distributed trainer
+    val bpeTexts200 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where($"doc_id" < 200).select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    write("q_bpe_merges",
+      SeqBpe.train(bpeTexts200.map(_._2), merges = 30)
+        .toDF("rank", "left", "right", "pair_cnt"))
+    val bpeDocs100 = bpeTexts200.filter(_._1 < 100)
+    write("q_bpe_tokens",
+      SeqBpe.segment(bpeDocs100,
+          SeqBpe.train(bpeDocs100.map(_._2), merges = 20)
+            .map { case (k, l, r, _) => (k, l, r) })
+        .toDF("doc_id", "pos", "piece"))
+
     // ---- shared-kernel distribution twins ----------------------------------
     // (the kernel itself is deterministic shared code; the fixture checks the
     // distributed map/partitioning reproduces the sequential pass)
