@@ -165,4 +165,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
     assert(p.contains("partial_count"), p) // map-side combine before the id shuffle
   }
+
+  test("PII redaction is a single shuffle-free projection over a pruned scan") {
+    val p = plan(SparkEntry.queries("q_redact")(spark, sf))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Aggregate"), p)
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("c_address") && !readSchema.contains("c_comment"),
+      readSchema) // only the columns the constructed text consumes are read
+  }
+
+  test("BPE word counting: map-side combine before the word shuffle") {
+    val p = plan(graft.ops.Bpe.wordCounts(
+      spark.read.parquet(s"$sf/documents.parquet"), "text"))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p) // partial + final
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("text") && !readSchema.contains("lang"), readSchema)
+  }
 }
