@@ -40,10 +40,13 @@ final case class CurateConfig(
   *      with the eval corpus is dropped
   *   6. deterministic hash-fraction sample
   *
-  * Everything stays one lazy plan: gates are scan-stage projections, the
-  * dedups are the same shuffle shapes as their standalone operators, and
-  * the sample is a pure filter — so Catalyst sees the whole pipeline and
-  * the cheap filters run before the expensive joins.
+  * Stage boundaries with more than one downstream consumer are
+  * materialized (lazy `localCheckpoint`): the gate+exact-dedup survivor
+  * set feeds the fuzzy pair generator, the cluster labeler, AND the
+  * survivor semi-join — left lazy, Spark would re-run the quality gates
+  * over the full corpus once per consumer, which at 100 TB turns a
+  * one-pass pipeline into four corpus scans. Within a stage everything
+  * stays one lazy plan so Catalyst still fuses the scan-stage gates.
   */
 object Curate {
 
@@ -64,9 +67,13 @@ object Curate {
              col("top2_gram_frac") <= cfg.maxTopGramFrac &&
              col("dup10_gram_frac") <= cfg.maxDupGramFrac)
 
-    // 2. exact dedup
+    // 2. exact dedup. Materialized (lazy checkpoint, computed once on first
+    // action) because every later stage — fuzzy pairs, cluster labels, the
+    // canonical semi-join, span dedup, decontamination — re-reads this
+    // survivor set; without it the gate subplan re-executes per consumer.
     val exactKept = gated.join(
-      Dedup.exact(gated, idCol, textCol).select(idCol), Seq(idCol), "left_semi")
+        Dedup.exact(gated, idCol, textCol).select(idCol), Seq(idCol), "left_semi")
+      .localCheckpoint(false)
 
     // 3. fuzzy dedup — canonical survivor per near-dup component
     val fuzzyKept = cfg.fuzzy match {
@@ -84,24 +91,34 @@ object Curate {
           .where(col("is_canonical")).select(col(idCol))
         exactKept.join(canonical, Seq(idCol), "left_semi")
     }
+    // same multi-consumer shape downstream: span dedup / decontamination
+    // each join the survivor set back to itself
+    val fuzzyMat =
+      if (cfg.fuzzy != "none" && (cfg.spanK > 0 || bench.isDefined))
+        fuzzyKept.localCheckpoint(false)
+      else fuzzyKept
 
     // 4. corpus span dedup (optional): text becomes the cleaned normalized form
     val spanned =
       if (cfg.spanK > 0) {
-        val sd = Dedup.spanDedup(fuzzyKept, idCol, textCol, cfg.spanK)
+        val sd = Dedup.spanDedup(fuzzyMat, idCol, textCol, cfg.spanK)
           .select(col(idCol), col("n_removed"), col("clean_text"))
-        fuzzyKept.drop(textCol).join(sd, Seq(idCol))
+        fuzzyMat.drop(textCol).join(sd, Seq(idCol))
           .withColumnRenamed("clean_text", textCol)
-      } else fuzzyKept.withColumn("n_removed", lit(0L))
+      } else fuzzyMat.withColumn("n_removed", lit(0L))
 
-    // 5. benchmark decontamination (optional)
+    // 5. benchmark decontamination (optional). The span-deduped text is
+    // consumed by the contamination scan AND the survivor semi-join.
+    val spannedMat =
+      if (cfg.spanK > 0 && bench.isDefined) spanned.localCheckpoint(false)
+      else spanned
     val cleaned = bench match {
       case Some(b) =>
-        val clean = Dedup.contamination(spanned, idCol, textCol, b,
+        val clean = Dedup.contamination(spannedMat, idCol, textCol, b,
             benchTextCol, cfg.benchK)
           .where(!col("is_contaminated")).select(col(idCol))
-        spanned.join(clean, Seq(idCol), "left_semi")
-      case None => spanned
+        spannedMat.join(clean, Seq(idCol), "left_semi")
+      case None => spannedMat
     }
 
     // 6. deterministic sample
