@@ -245,6 +245,20 @@ object SparkEntry {
         d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
       Dedup.minHashLsh(dups, "doc_id", "text", k = 32, bands = 8, minEstJaccard = 0.5)
     }),
+    // cross-snapshot incremental dedup: probe an LSH index of docs < 150
+    // with a later batch (fresh 150..249 + marked near-copies of indexed
+    // docs) — the indexed corpus text is never re-scanned
+    "q_minhash_incremental" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val old = d.where(col("doc_id") < 150)
+      val incoming = d.where(col("doc_id") >= 150 && col("doc_id") < 250)
+        .unionByName(old.where(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" incremental snapshot marker")).as("text")))
+      val idx = Dedup.minHashIndex(old, "doc_id", "text", k = 32, bands = 8)
+      Dedup.minHashLshAgainst(incoming, "doc_id", "text", idx,
+        k = 32, bands = 8, minEstJaccard = 0.5)
+    }),
     // md5-keyed minhash signatures (the oracle-checkable twin of the
     // xxhash64 production path; estimates verified against true Jaccard in
     // the ScalaTest suite)
@@ -648,6 +662,7 @@ object SparkEntry {
     "crawl_markdown" -> graft.oracle.Fixtures.sql("crawl_markdown"),
     "crawl_media_variants" -> graft.oracle.Fixtures.sql("crawl_media_variants"),
     "q_minhash_lsh" -> graft.oracle.Fixtures.sql("q_minhash_lsh"),
+    "q_minhash_incremental" -> graft.oracle.Fixtures.sql("q_minhash_incremental"),
     "q_simhash_pairs" -> graft.oracle.Fixtures.sql("q_simhash_pairs"),
     "q_embedding_neardup" -> graft.oracle.Fixtures.sql("q_embedding_neardup"),
     "q_ann_lsh_topk" -> graft.oracle.Fixtures.sql("q_ann_lsh_topk"),

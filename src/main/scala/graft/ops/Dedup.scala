@@ -120,18 +120,27 @@ object Dedup {
     * scale). Exposed separately so the band-exchange payload stays
     * plan-inspectable (PlanSpec) after minHashLsh materializes it.
     */
-  def minHashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-                            k: Int, bands: Int, shingleLen: Int): DataFrame = {
+  /** LSH band keys of a signature table (id, sig) → (band, band_hash, id).
+    * The ONE definition of the banding function: the self-join candidates,
+    * the persistable index, and the incremental probes must bucket
+    * identically or cross-snapshot collisions are silently missed.
+    */
+  private def bandedKeys(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
     val rowsPerBand = k / bands
     require(bands * rowsPerBand == k, "bands must divide k")
-    val sigUdf = udf((text: String) => minHashSignatureFast(text, k, shingleLen))
-    val sigs = df.select(col(idCol).as("id"), sigUdf(col(textCol)).as("sig"))
-    val banded = sigs.select(col("id"),
+    sigs.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, concat_ws(",",
             slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
           .as(Seq("band", "band_hash")))
       .select(col("band"), col("band_hash"), col("id"))
+  }
+
+  def minHashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                            k: Int, bands: Int, shingleLen: Int): DataFrame = {
+    val sigUdf = udf((text: String) => minHashSignatureFast(text, k, shingleLen))
+    val sigs = df.select(col(idCol).as("id"), sigUdf(col(textCol)).as("sig"))
+    val banded = bandedKeys(sigs, k, bands)
     val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
     a.join(b, Seq("band", "band_hash"))
@@ -178,6 +187,92 @@ object Dedup {
           lit(0), (acc, v) => acc + v).cast("double") / lit(k.toDouble))
       .where(col("est_jaccard") >= minEstJaccard)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** Persistable LSH index of an already-deduplicated corpus snapshot:
+    * `bandIndex` (band, band_hash, id) for candidate lookup and `sigs`
+    * (id, sig) for Jaccard verification. Write both as parquet — bucket
+    * `bandIndex` by band_hash so incremental probes co-locate without
+    * shuffling the indexed corpus — and dedup every incoming snapshot
+    * against them with [[minHashLshAgainst]]: at 100 TB the index is built
+    * (and paid for) ONCE; later snapshots never re-scan the old corpus text.
+    */
+  final case class MinHashIndex(bandIndex: DataFrame, sigs: DataFrame)
+
+  /** Build a [[MinHashIndex]] in one pass over the corpus: the signature
+    * kernel runs once (lazily checkpointed), the band keys derive from the
+    * stored signatures rather than a second text scan.
+    */
+  def minHashIndex(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 32, bands: Int = 8, shingleLen: Int = 3): MinHashIndex = {
+    require(bands > 0 && k % bands == 0, "bands must divide k")
+    val sigUdf = udf((text: String) => minHashSignatureFast(text, k, shingleLen))
+    val sigs = df.select(col(idCol).as("id"), sigUdf(col(textCol)).as("sig"))
+      .localCheckpoint(false)
+    MinHashIndex(bandedKeys(sigs, k, bands), sigs)
+  }
+
+  /** Cross-snapshot near-dup pairs: every (new_id, old_id, est_jaccard)
+    * where an incoming document collides with the indexed corpus in at
+    * least one LSH band and the signature-estimated Jaccard clears the
+    * threshold. Equivalent to running [[minHashLsh]] over old ∪ new and
+    * keeping the cross pairs — without touching the old corpus text.
+    *
+    * Scale shape: the incoming batch is scanned once for signatures
+    * (lazy-checkpointed — banding and verification reuse the blocks), the
+    * probe join ships only (band, band_hash, id) rows against the band
+    * index, and signatures rejoin by id for the collided slice only — the
+    * same band-exchange payload discipline as [[minHashCandidatePairs]].
+    * `k`, `bands`, `shingleLen` must match the values the index was built
+    * with (the band keys are not comparable otherwise).
+    */
+  def minHashLshAgainst(incoming: DataFrame, idCol: String, textCol: String,
+                        index: MinHashIndex, k: Int = 32, bands: Int = 8,
+                        shingleLen: Int = 3,
+                        minEstJaccard: Double = 0.5): DataFrame = {
+    val sigUdf = udf((text: String) => minHashSignatureFast(text, k, shingleLen))
+    val inSigs = incoming
+      .select(col(idCol).as("id"), sigUdf(col(textCol)).as("sig"))
+      .localCheckpoint(false)
+    val hits = bandedKeys(inSigs, k, bands)
+      .withColumnRenamed("id", "new_id")
+      .join(index.bandIndex.withColumnRenamed("id", "old_id"),
+        Seq("band", "band_hash"))
+      .select(col("new_id"), col("old_id"))
+      .dropDuplicates("new_id", "old_id")
+    hits
+      .join(inSigs.select(col("id").as("new_id"), col("sig").as("sig_new")),
+        Seq("new_id"))
+      .join(index.sigs.select(col("id").as("old_id"), col("sig").as("sig_old")),
+        Seq("old_id"))
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_new"), col("sig_old"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / lit(k.toDouble))
+      .where(col("est_jaccard") >= minEstJaccard)
+      .select(col("new_id"), col("old_id"), col("est_jaccard"))
+  }
+
+  /** Incremental corpus growth: the incoming rows that survive dedup
+    * against an existing snapshot index AND within the batch itself —
+    * drop anything near-duplicating the indexed corpus, then keep one
+    * canonical (min-id) survivor per remaining in-batch near-dup cluster.
+    * Ids must be disjoint from the index's. Append [[minHashIndex]] of the
+    * survivors to the stored index to absorb the batch.
+    */
+  def dedupIncremental(incoming: DataFrame, idCol: String, textCol: String,
+                       index: MinHashIndex, k: Int = 32, bands: Int = 8,
+                       shingleLen: Int = 3,
+                       minEstJaccard: Double = 0.5): DataFrame = {
+    val crossIds = minHashLshAgainst(incoming, idCol, textCol, index,
+        k, bands, shingleLen, minEstJaccard)
+      .select(col("new_id").as(idCol)).distinct()
+    val fresh = incoming.join(crossIds, Seq(idCol), "left_anti")
+      .localCheckpoint(false) // feeds pair gen, cluster labels, and the semi-join
+    val pairs = minHashLsh(fresh, idCol, textCol, k, bands, shingleLen, minEstJaccard)
+    val canonical = clusterLabels(fresh, idCol, pairs)
+      .where(col("is_canonical")).select(col(idCol))
+    fresh.join(canonical, Seq(idCol), "left_semi")
   }
 
   /** 64-bit SimHash over word tokens: bit j of the result is the sign of the

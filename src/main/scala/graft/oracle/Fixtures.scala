@@ -123,6 +123,23 @@ object Fixtures {
     write("q_simhash_pairs",
       SeqOracle.simHashPairs(docDups, maxDist = 3).toDF("id_a", "id_b", "hamming"))
 
+    // incremental cross-snapshot probe: the sequential full self-join over
+    // old ∪ incoming, restricted to cross pairs (old ids all < 150 < every
+    // incoming id, so the pair's min side is the indexed doc)
+    val oldSeq = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where($"doc_id" < 150).select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val incomingSeq = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where($"doc_id" >= 150 && $"doc_id" < 250).select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq ++
+      oldSeq.collect { case (id, t) if id % 3 == 0 =>
+        (id + 100000L, t + " incremental snapshot marker") }
+    write("q_minhash_incremental",
+      SeqOracle.minHashLsh(oldSeq ++ incomingSeq, k = 32, bands = 8,
+          shingleLen = 3, minEstJaccard = 0.5)
+        .collect { case (a, b, est) if a < 150 && b >= 150 => (b, a, est) }
+        .toDF("new_id", "old_id", "est_jaccard"))
+
     val embAll = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
     val emb100 = embAll.filter(_._1 < 100)

@@ -63,6 +63,49 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental minhash: index probe == full recompute restricted to cross pairs") {
+    val oldDocs = docs.select(col("doc_id"), col("text")).where(col("doc_id") < 50)
+    val incoming = docs.select(col("doc_id"), col("text"))
+      .where(col("doc_id") >= 50 && col("doc_id") < 100)
+      .unionByName(oldDocs.select(col("doc_id") + 10000 as "doc_id", col("text")))
+      .unionByName(oldDocs.select(col("doc_id") + 20000 as "doc_id",
+        concat(col("text"), lit(" trailing marker words here")).as("text")))
+    val idx = Dedup.minHashIndex(oldDocs, "doc_id", "text", k = 32, bands = 8)
+    val incr = Dedup.minHashLshAgainst(incoming, "doc_id", "text", idx,
+        k = 32, bands = 8, minEstJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // ground truth: the full self-join over old ∪ incoming, cross pairs only
+    // (old ids are all < 50 < every incoming id, so a is the old side)
+    val full = Dedup.minHashLsh(oldDocs.unionByName(incoming), "doc_id", "text",
+        k = 32, bands = 8, minEstJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a < 50 && b >= 50 }
+      .map { case (a, b, est) => (b, a, est) }.toSet
+    assert(incr == full,
+      s"only-incremental=${(incr -- full).take(5)} only-full=${(full -- incr).take(5)}")
+    // and the exact copies of indexed docs are all caught at estimate 1.0
+    assert(incr.count { case (n, o, est) => n == o + 10000 && est == 1.0 } == 50)
+  }
+
+  test("dedupIncremental: drops index matches and in-batch dups, keeps canonical") {
+    val oldDocs = docs.select(col("doc_id"), col("text")).where(col("doc_id") < 50)
+    val batch = docs.select(col("doc_id"), col("text"))
+      .where(col("doc_id") >= 50 && col("doc_id") < 100)
+    val incoming = batch
+      .unionByName(oldDocs.select(col("doc_id") + 10000 as "doc_id", col("text")))
+      .unionByName(batch.select(col("doc_id") + 30000 as "doc_id", col("text")))
+    val idx = Dedup.minHashIndex(oldDocs, "doc_id", "text")
+    val kept = Dedup.dedupIncremental(incoming, "doc_id", "text", idx)
+      .select("doc_id").as[Long].collect().toSet
+    // every exact copy of an indexed doc is gone
+    assert(!kept.exists(id => id >= 10000 && id < 20000), kept.filter(_ >= 10000))
+    // every in-batch exact copy loses to its smaller-id original: if the
+    // original survived the index probe its copy is non-canonical; if it
+    // matched the index, the identical copy matched too
+    assert(!kept.exists(_ >= 30000), kept.filter(_ >= 30000))
+    assert(kept.nonEmpty && kept.forall(id => id >= 50 && id < 100))
+  }
+
   test("connected components: chains, triangles, stars, isolated edges") {
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21} (edge),
     // {30..34} (star centered off-min)

@@ -129,6 +129,24 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("incremental minhash probe: band exchanges carry ids only") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+      val idx = graft.ops.Dedup.minHashIndex(
+        df.where(org.apache.spark.sql.functions.col("doc_id") < 150), "doc_id", "text")
+      val p = plan(graft.ops.Dedup.minHashLshAgainst(
+        df.where(org.apache.spark.sql.functions.col("doc_id") >= 150),
+        "doc_id", "text", idx))
+      val nodes = p.split("\\n\\(\\d+\\) ").toSeq
+      val bandExchanges = nodes.filter(n =>
+        n.startsWith("Exchange") && n.contains("hashpartitioning(band"))
+      assert(bandExchanges.nonEmpty, p)
+      assert(bandExchanges.forall(!_.contains("sig")), bandExchanges.mkString("\n---\n"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("cosine pre-filter: one shuffle-free typed-map stage over a pruned scan") {
     val p = plan(SparkEntry.queries("q_cosine_filter")(spark, sf))
     assert(!p.contains("Exchange"), p)
