@@ -325,6 +325,14 @@ object SparkEntry {
       NgramLm.scoreStupidBackoff(
         d.where(col("doc_id") < 200), "doc_id", "text", counts)
     }),
+    // CCNet head/middle/tail split of the LM-scored slice; cutoffs from a
+    // deterministic 0.5 hash-sample, assignment a scan-stage comparison
+    "q_ccnet_buckets" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val scored = NgramLm.scoreStupidBackoff(
+        d.where(col("doc_id") < 200), "doc_id", "text", NgramLm.train(d, "text"))
+      NgramLm.ccnetBuckets(scored, "doc_id", sampleFraction = 0.5, salt = "r3")
+    }),
 
     // ---- BPE tokenizer training + apply (sequential-oracle fixtures) ------
     "q_bpe_merges" -> ((s, dir) =>
@@ -650,6 +658,72 @@ object SparkEntry {
   /** DuckDB twins (driver-run at sf0.01). Column names match the Spark side
     * exactly — the driver sorts columns by name before hashing.
     */
+  /** The stupid-backoff LM scoring statement, shared by the q_ngram_lm
+    * oracle and (as a CTE) the q_ccnet_buckets oracle so the two can
+    * never drift.
+    */
+  private val ngramLmScoredSql: String =
+    """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |n_total AS (SELECT CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS n FROM tk),
+        |u AS (SELECT g AS gram, count(*) AS cnt FROM (
+        |  SELECT unnest(toks) AS g FROM tk) GROUP BY g),
+        |b AS (SELECT g AS gram, count(*) AS cnt FROM (
+        |  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+        |         i -> array_to_string(toks[i:i+1], ' '))) AS g
+        |  FROM tk WHERE len(toks) >= 2) GROUP BY g),
+        |tr AS (SELECT g AS gram, count(*) AS cnt FROM (
+        |  SELECT unnest(list_transform(generate_series(1, len(toks) - 2),
+        |         i -> array_to_string(toks[i:i+2], ' '))) AS g
+        |  FROM tk WHERE len(toks) >= 3) GROUP BY g),
+        |pos AS (
+        |  SELECT doc_id,
+        |    toks[i] AS w,
+        |    CASE WHEN i >= 2 THEN toks[i-1] END AS prev,
+        |    CASE WHEN i >= 2 THEN array_to_string(toks[i-1:i], ' ') END AS g2,
+        |    CASE WHEN i >= 3 THEN array_to_string(toks[i-2:i-1], ' ') END AS ctx3,
+        |    CASE WHEN i >= 3 THEN array_to_string(toks[i-2:i], ' ') END AS g3
+        |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)
+        |  WHERE doc_id < 200),
+        |sc0 AS (
+        |  SELECT p.doc_id, p.g2, p.g3,
+        |    t3.cnt AS c3, x3.cnt AS cctx3, b2.cnt AS c2, pv.cnt AS cprev,
+        |    u1.cnt AS c1, nt.n
+        |  FROM pos p
+        |  LEFT JOIN u u1 ON p.w = u1.gram
+        |  LEFT JOIN u pv ON p.prev = pv.gram
+        |  LEFT JOIN b b2 ON p.g2 = b2.gram
+        |  LEFT JOIN b x3 ON p.ctx3 = x3.gram
+        |  LEFT JOIN tr t3 ON p.g3 = t3.gram
+        |  CROSS JOIN n_total nt),
+        |s_a AS (SELECT *, CASE WHEN coalesce(c1, 0) > 0 THEN (c1 * 1.0) / (n * 1.0)
+        |                      ELSE 1.0 / (n * 1.0) END AS s1 FROM sc0),
+        |s_b AS (SELECT *, CASE WHEN coalesce(c2, 0) > 0 THEN (c2 * 1.0) / (cprev * 1.0)
+        |                      ELSE 0.4 * s1 END AS s2 FROM s_a),
+        |s_c AS (SELECT *, CASE WHEN coalesce(c3, 0) > 0 THEN (c3 * 1.0) / (cctx3 * 1.0)
+        |                      ELSE 0.4 * s2 END AS s3 FROM s_b),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CASE WHEN g3 IS NOT NULL THEN s3 WHEN g2 IS NOT NULL THEN s2 ELSE s1 END AS s,
+        |    CASE WHEN g3 IS NOT NULL AND coalesce(c3, 0) > 0 THEN 1 ELSE 0 END AS tri_hit,
+        |    CASE WHEN coalesce(c1, 0) = 0 THEN 1 ELSE 0 END AS oov
+        |  FROM s_c),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(tri_hit) AS BIGINT) AS n_tri_hits,
+        |    CAST(sum(oov) AS BIGINT) AS n_oov,
+        |    CAST(sum(CAST(floor(s * 1000000000.0) AS BIGINT)) AS BIGINT) AS score_q9
+        |  FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(a.n_tokens, 0) AS n_tokens,
+        |  coalesce(a.n_tri_hits, 0) AS n_tri_hits,
+        |  coalesce(a.n_oov, 0) AS n_oov,
+        |  coalesce(a.score_q9, 0) AS score_q9
+        |FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+        |LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // ---- expected-result fixtures (sequential oracles / generator intent /
     // reference-derived goldens), written by Verify → graft.oracle.Fixtures
@@ -968,67 +1042,33 @@ object SparkEntry {
     // stupid-backoff trigram LM scoring: per-token S quantized to integer
     // billionths (floor(S*1e9)) and summed as BIGINT — bit-exact across
     // engines, no float-sum nondeterminism (IEEE division + 0.4 literal only)
-    "q_ngram_lm" ->
-      """WITH tk AS (
+    "q_ngram_lm" -> ngramLmScoredSql,
+    // CCNet bucketing chained onto the SAME scoring statement: integer
+    // per-token average, rank cutoffs on the md5 hash-sample, fixed-value
+    // comparison — every step exact in both engines
+    "q_ccnet_buckets" ->
+      s"""WITH scored AS ($ngramLmScoredSql),
+        |av AS (
         |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |n_total AS (SELECT CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS n FROM tk),
-        |u AS (SELECT g AS gram, count(*) AS cnt FROM (
-        |  SELECT unnest(toks) AS g FROM tk) GROUP BY g),
-        |b AS (SELECT g AS gram, count(*) AS cnt FROM (
-        |  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
-        |         i -> array_to_string(toks[i:i+1], ' '))) AS g
-        |  FROM tk WHERE len(toks) >= 2) GROUP BY g),
-        |tr AS (SELECT g AS gram, count(*) AS cnt FROM (
-        |  SELECT unnest(list_transform(generate_series(1, len(toks) - 2),
-        |         i -> array_to_string(toks[i:i+2], ' '))) AS g
-        |  FROM tk WHERE len(toks) >= 3) GROUP BY g),
-        |pos AS (
-        |  SELECT doc_id,
-        |    toks[i] AS w,
-        |    CASE WHEN i >= 2 THEN toks[i-1] END AS prev,
-        |    CASE WHEN i >= 2 THEN array_to_string(toks[i-1:i], ' ') END AS g2,
-        |    CASE WHEN i >= 3 THEN array_to_string(toks[i-2:i-1], ' ') END AS ctx3,
-        |    CASE WHEN i >= 3 THEN array_to_string(toks[i-2:i], ' ') END AS g3
-        |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)
-        |  WHERE doc_id < 200),
-        |sc0 AS (
-        |  SELECT p.doc_id, p.g2, p.g3,
-        |    t3.cnt AS c3, x3.cnt AS cctx3, b2.cnt AS c2, pv.cnt AS cprev,
-        |    u1.cnt AS c1, nt.n
-        |  FROM pos p
-        |  LEFT JOIN u u1 ON p.w = u1.gram
-        |  LEFT JOIN u pv ON p.prev = pv.gram
-        |  LEFT JOIN b b2 ON p.g2 = b2.gram
-        |  LEFT JOIN b x3 ON p.ctx3 = x3.gram
-        |  LEFT JOIN tr t3 ON p.g3 = t3.gram
-        |  CROSS JOIN n_total nt),
-        |s_a AS (SELECT *, CASE WHEN coalesce(c1, 0) > 0 THEN (c1 * 1.0) / (n * 1.0)
-        |                      ELSE 1.0 / (n * 1.0) END AS s1 FROM sc0),
-        |s_b AS (SELECT *, CASE WHEN coalesce(c2, 0) > 0 THEN (c2 * 1.0) / (cprev * 1.0)
-        |                      ELSE 0.4 * s1 END AS s2 FROM s_a),
-        |s_c AS (SELECT *, CASE WHEN coalesce(c3, 0) > 0 THEN (c3 * 1.0) / (cctx3 * 1.0)
-        |                      ELSE 0.4 * s2 END AS s3 FROM s_b),
-        |sc AS (
-        |  SELECT doc_id,
-        |    CASE WHEN g3 IS NOT NULL THEN s3 WHEN g2 IS NOT NULL THEN s2 ELSE s1 END AS s,
-        |    CASE WHEN g3 IS NOT NULL AND coalesce(c3, 0) > 0 THEN 1 ELSE 0 END AS tri_hit,
-        |    CASE WHEN coalesce(c1, 0) = 0 THEN 1 ELSE 0 END AS oov
-        |  FROM s_c),
-        |agg AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |    CAST(sum(tri_hit) AS BIGINT) AS n_tri_hits,
-        |    CAST(sum(oov) AS BIGINT) AS n_oov,
-        |    CAST(sum(CAST(floor(s * 1000000000.0) AS BIGINT)) AS BIGINT) AS score_q9
-        |  FROM sc GROUP BY doc_id)
-        |SELECT d.doc_id,
-        |  coalesce(a.n_tokens, 0) AS n_tokens,
-        |  coalesce(a.n_tri_hits, 0) AS n_tri_hits,
-        |  coalesce(a.n_oov, 0) AS n_oov,
-        |  coalesce(a.score_q9, 0) AS score_q9
-        |FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
-        |LEFT JOIN agg a USING (doc_id)""".stripMargin,
+        |    CASE WHEN n_tokens > 0 THEN score_q9 // n_tokens ELSE 0 END AS avg_q9
+        |  FROM scored),
+        |samp AS (
+        |  SELECT doc_id, avg_q9 FROM av
+        |  WHERE md5('r3|' || CAST(doc_id AS VARCHAR)) < '80000000000000000000000000000000'),
+        |ranked AS (
+        |  SELECT avg_q9,
+        |    CAST(row_number() OVER (ORDER BY avg_q9 DESC, doc_id) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER () AS BIGINT) AS m
+        |  FROM samp),
+        |th AS (SELECT
+        |    max(CASE WHEN rn = CAST(ceil(m * ${1.0 / 3}) AS BIGINT) THEN avg_q9 END) AS t_head,
+        |    max(CASE WHEN rn = CAST(ceil(m * ${2.0 / 3}) AS BIGINT) THEN avg_q9 END) AS t_tail
+        |  FROM ranked)
+        |SELECT a.doc_id, a.avg_q9,
+        |  CASE WHEN a.avg_q9 >= t.t_head THEN 'head'
+        |       WHEN a.avg_q9 >= t.t_tail THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM av a CROSS JOIN th t""".stripMargin,
     // Gopher-family repetition signals: duplicate-line char fraction plus
     // top-{2,3}-gram and duplicated-{5,10}-gram char fractions
     "q_repetition" ->

@@ -114,4 +114,53 @@ object NgramLm {
         coalesce(col("n_oov"), lit(0L)).as("n_oov"),
         coalesce(col("score_q9"), lit(0L)).as("score_q9"))
   }
+
+  /** CCNet-style quality bucketing (Wenzek et al. 2020, "CCNet: Extracting
+    * High Quality Monolingual Datasets from Web Crawl Data"): split a
+    * scored corpus into head / middle / tail by per-token LM score, with
+    * the two cutoffs computed on a deterministic hash-sample — exactly how
+    * CCNet derives its perplexity percentiles from a held-out slice rather
+    * than globally sorting the corpus (a global sort of 10^11 docs is the
+    * thing this avoids; the bucket assignment itself is a scan-stage
+    * comparison against two broadcast scalars).
+    *
+    * Per-doc metric: `avg_q9 = score_q9 div n_tokens` (integer division of
+    * the quantized stupid-backoff total — exact in any engine). Cutoffs:
+    * within the sample ordered by (avg_q9 DESC, id), the avg at rank
+    * ceil(m·headFrac) opens `middle` and the avg at rank ceil(m·tailFrac)
+    * opens `tail`; ties widen `head`/`middle` (fixed cutoff values, CCNet's
+    * approximate-proportion semantics). An empty sample puts every doc in
+    * `tail`.
+    *
+    * @param scored output of [[scoreStupidBackoff]] (or any frame with
+    *               idCol, n_tokens, score_q9)
+    * @return (idCol, avg_q9, bucket)
+    */
+  def ccnetBuckets(scored: DataFrame, idCol: String,
+                   sampleFraction: Double = 0.1, salt: String = "graft",
+                   headFrac: Double = 1.0 / 3,
+                   tailFrac: Double = 2.0 / 3): DataFrame = {
+    val av = scored.select(col(idCol),
+      when(col("n_tokens") > 0, expr("score_q9 div n_tokens"))
+        .otherwise(lit(0L)).as("avg_q9"))
+    val samp = Sampling.hashFraction(av, idCol, sampleFraction, salt)
+    // the sample is bounded by construction (CCNet uses a held-out slice);
+    // the partitionless rank window runs over it, never the corpus
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("avg_q9").desc, col(idCol))
+    val ranked = samp.select(col("avg_q9"),
+      row_number().over(w).cast("long").as("rn"),
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy()).as("m"))
+    val th = ranked.agg(
+      max(when(col("rn") === ceil(col("m") * lit(headFrac)).cast("long"),
+        col("avg_q9"))).as("t_head"),
+      max(when(col("rn") === ceil(col("m") * lit(tailFrac)).cast("long"),
+        col("avg_q9"))).as("t_tail"))
+    av.crossJoin(broadcast(th))
+      .select(col(idCol), col("avg_q9"),
+        when(col("avg_q9") >= col("t_head"), lit("head"))
+          .when(col("avg_q9") >= col("t_tail"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
 }

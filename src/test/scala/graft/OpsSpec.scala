@@ -537,6 +537,37 @@ class OpsSpec extends AnyFunSuite {
     assert(inAvg > 0)
   }
 
+  test("ccnet buckets: distributed == sequential cutoffs, exhaustive and ordered") {
+    val d = docs.where(col("doc_id") < 120).select(col("doc_id"), col("text"))
+    val scored = NgramLm.scoreStupidBackoff(d, "doc_id", "text",
+      NgramLm.train(d, "text"))
+    val rows = scored.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    val avg = rows.map { case (id, nt, q) =>
+      (id, if (nt > 0) q / nt else 0L) }.toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val samp = avg.toSeq
+      .filter { case (id, _) =>
+        md5hex(s"r3|$id") < "80000000000000000000000000000000" }
+      .sortBy { case (id, a) => (-a, id) }
+    val m = samp.length
+    assert(m > 10) // the sample must be non-trivial for the test to bite
+    def cut(f: Double) = samp(math.ceil(m * f).toInt - 1)._2
+    val (tHead, tTail) = (cut(1.0 / 3), cut(2.0 / 3))
+    val expected = avg.map { case (id, a) =>
+      id -> (if (a >= tHead) "head" else if (a >= tTail) "middle" else "tail") }
+    val got = NgramLm.ccnetBuckets(scored, "doc_id", 0.5, "r3").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.map(g => g._1 -> g._3).toMap == expected)
+    assert(got.map(_._3).toSet.subsetOf(Set("head", "middle", "tail")))
+    // every head doc scores at least as high per token as every tail doc
+    val headMin = got.collect { case (_, a, "head") => a }.min
+    val tailMax = got.collect { case (_, a, "tail") => a }.max
+    assert(headMin > tailMax)
+  }
+
   // ---- benchmark decontamination --------------------------------------------
 
   test("contamination: shared k-grams flagged, sub-k docs clean, counts exact") {
