@@ -2,7 +2,7 @@ package graft
 
 import graft.core.{PageRec, Synth, Urls}
 import graft.frontier.{Crawl, CrawlConfig}
-import graft.ops.{Bm25, Bpe, Curate, CurateConfig, Dedup, Multimodal, NgramLm, RegexExtract, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Bm25, Bpe, Curate, CurateConfig, Dedup, Multimodal, NgramLm, QualityClassifier, RegexExtract, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -332,6 +332,22 @@ object SparkEntry {
       val scored = NgramLm.scoreStupidBackoff(
         d.where(col("doc_id") < 200), "doc_id", "text", NgramLm.train(d, "text"))
       NgramLm.ccnetBuckets(scored, "doc_id", sampleFraction = 0.5, salt = "r3")
+    }),
+
+    // fastText-style classifier: train on marker-labeled docs, score a
+    // held-in slice; quantized-long gradients make the model bit-exactly
+    // reproducible, so the fixture is the same math run sequentially
+    "q_quality_classifier" -> ((s, dir) => {
+      val d = table(s, dir, "documents").where(col("doc_id") < 300)
+        .select(col("doc_id"),
+          when(col("doc_id") % 2 === 0,
+              concat(col("text"), lit(" curated wellformed prose paragraph")))
+            .otherwise(concat(col("text"), lit(" boilerplate spam garbled listing")))
+            .as("text"),
+          when(col("doc_id") % 2 === 0, 1.0).otherwise(0.0).as("label"))
+      val m = QualityClassifier.train(d, "text", "label",
+        dim = 1 << 14, iters = 20)
+      QualityClassifier.score(d.where(col("doc_id") < 100), "doc_id", "text", m)
     }),
 
     // ---- BPE tokenizer training + apply (sequential-oracle fixtures) ------
@@ -737,6 +753,7 @@ object SparkEntry {
     "crawl_media_variants" -> graft.oracle.Fixtures.sql("crawl_media_variants"),
     "q_minhash_lsh" -> graft.oracle.Fixtures.sql("q_minhash_lsh"),
     "q_minhash_incremental" -> graft.oracle.Fixtures.sql("q_minhash_incremental"),
+    "q_quality_classifier" -> graft.oracle.Fixtures.sql("q_quality_classifier"),
     "q_simhash_pairs" -> graft.oracle.Fixtures.sql("q_simhash_pairs"),
     "q_embedding_neardup" -> graft.oracle.Fixtures.sql("q_embedding_neardup"),
     "q_ann_lsh_topk" -> graft.oracle.Fixtures.sql("q_ann_lsh_topk"),

@@ -140,6 +140,33 @@ object Fixtures {
         .collect { case (a, b, est) if a < 150 && b >= 150 => (b, a, est) }
         .toDF("new_id", "old_id", "est_jaccard"))
 
+    // linear classifier: sequential twin of the distributed trainer — same
+    // per-doc kernels (shared, labeled distribution twin), plain loop in
+    // place of treeAggregate; quantized-long gradient sums make the two
+    // bit-identical, which is exactly the property under test
+    val clsRows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where($"doc_id" < 300).select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+      .map { case (id, t) =>
+        if (id % 2 == 0) (id, t + " curated wellformed prose paragraph", 1.0)
+        else (id, t + " boilerplate spam garbled listing", 0.0) }
+    write("q_quality_classifier", {
+      import graft.ops.QualityClassifier._
+      val dim = 1 << 14
+      val w = new Array[Double](dim + 1)
+      val iters = 20
+      (0 until iters).foreach { t =>
+        val acc = new Array[Long](dim + 2)
+        clsRows.foreach { case (_, txt, y) =>
+          accumulate(acc, w, dim, bigrams = true, txt, y) }
+        applyUpdate(w, acc, clsRows.length.toLong,
+          50.0 * (1.0 - t.toDouble / iters.toDouble))
+      }
+      val m = LinearModel(dim, bigrams = true, w)
+      clsRows.collect { case (id, txt, _) if id < 100 => (id, predict(m, txt)) }
+        .toDF("doc_id", "prob")
+    })
+
     val embAll = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
     val emb100 = embAll.filter(_._1 < 100)

@@ -568,6 +568,48 @@ class OpsSpec extends AnyFunSuite {
     assert(headMin > tailMax)
   }
 
+  // ---- fastText-style linear classifier ---------------------------------------
+
+  test("linear classifier: partitioning-independent, == sequential twin, learns markers") {
+    import QualityClassifier._
+    // constructed separable task: half the docs carry positive marker words
+    val d = docs.where(col("doc_id") < 300)
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+            concat(col("text"), lit(" curated wellformed prose paragraph")))
+          .otherwise(concat(col("text"), lit(" boilerplate spam garbled listing")))
+          .as("text"),
+        when(col("doc_id") % 2 === 0, 1.0).otherwise(0.0).as("label"))
+    val dim = 1 << 14
+    val iters = 30
+    val m1 = train(d.repartition(1), "text", "label", dim, iters = iters, lr = 50.0)
+    val m16 = train(d.repartition(16), "text", "label", dim, iters = iters, lr = 50.0)
+    // quantized-long gradient sums: bit-identical weights at any partitioning
+    assert(java.util.Arrays.equals(m1.weights, m16.weights))
+    // sequential twin: same kernels, plain loop instead of treeAggregate
+    val rows = d.select("text", "label").as[(String, Double)].collect()
+    val w = new Array[Double](dim + 1)
+    var losses = List.empty[Double]
+    (0 until iters).foreach { t =>
+      val acc = new Array[Long](dim + 2)
+      rows.foreach { case (txt, y) => accumulate(acc, w, dim, bigrams = true, txt, y) }
+      losses ::= applyUpdate(w, acc, rows.length.toLong,
+        50.0 * (1.0 - t.toDouble / iters.toDouble))
+    }
+    assert(java.util.Arrays.equals(m1.weights, w))
+    // the loss descends overall and the model separates the classes
+    assert(losses.head < losses.last / 2,
+      s"final ${losses.head} vs initial ${losses.last}")
+    val preds = rows.map { case (txt, y) => (predict(m1, txt), y) }
+    val acc = preds.count { case (p, y) => (p >= 0.5) == (y == 1.0) }.toDouble / preds.length
+    assert(acc > 0.95, s"train accuracy $acc")
+    // and the distributed scorer agrees with the kernel
+    val scored = score(d, "doc_id", "text", m1)
+      .as[(Long, Double)].collect().toMap
+    val byId = d.select("doc_id", "text").as[(Long, String)].collect()
+    byId.foreach { case (id, txt) => assert(scored(id) == predict(m1, txt)) }
+  }
+
   // ---- benchmark decontamination --------------------------------------------
 
   test("contamination: shared k-grams flagged, sub-k docs clean, counts exact") {
