@@ -296,6 +296,14 @@ object SparkEntry {
       Sampling.hashFraction(d, "doc_id", 0.2, salt = "r3")
         .select("doc_id", "source")
     }),
+    // τ=0.5 domain-mixing resample: engine-exact (integer-quantized √n
+    // weights, fixed-parenthesization thresholds, 60-bit md5 prefix)
+    "q_temperature_sample" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      Sampling.temperatureSample(d, "source", "doc_id",
+          temperature = 0.5, fraction = 0.5, salt = "r3")
+        .select("doc_id", "source")
+    }),
     // the full curation pipeline end-to-end over a corpus with constructed
     // exact copies and light edits: quality+repetition gates → exact dedup →
     // jaccard fuzzy dedup (the SQL-expressible path) → 13-gram
@@ -937,6 +945,30 @@ object SparkEntry {
     "q_hash_sample" ->
       """SELECT doc_id, source FROM documents
         |WHERE md5('r3|' || CAST(doc_id AS VARCHAR)) < '33333333333334000000000000000000'""".stripMargin,
+    // τ=0.5 temperature mixture resample: same quantized-weight /
+    // fixed-parenthesization threshold arithmetic as the operator
+    "q_temperature_sample" ->
+      """WITH c AS (
+        |  SELECT source AS s, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |w AS (
+        |  SELECT s, n,
+        |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576.0) AS BIGINT) AS wq
+        |  FROM c),
+        |tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(wq) AS BIGINT) AS wt
+        |  FROM w),
+        |th AS (
+        |  SELECT s,
+        |    CAST(floor(least(1.0,
+        |      0.5 * ((CAST(nt AS DOUBLE) * CAST(wq AS DOUBLE)) /
+        |             (CAST(wt AS DOUBLE) * CAST(n AS DOUBLE))))
+        |      * 1152921504606846976.0) AS BIGINT) AS t
+        |  FROM w CROSS JOIN tot)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN th ON d.source = th.s
+        |WHERE CAST(concat('0x',
+        |  substr(md5('r3|' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) < th.t""".stripMargin,
     // the whole curation pipeline as ONE oracle: every stage is the
     // already-green SQL fragment of its standalone query, chained
     "q_curate" ->

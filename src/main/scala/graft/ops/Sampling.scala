@@ -58,4 +58,51 @@ object Sampling {
       df.where(hashOf(col(keyCol), salt) < lit(threshold))
     }
   }
+
+  /** Temperature-controlled mixture resampling over a stratum column — the
+    * domain-mixing step of corpus assembly (the Pile / LLaMA-family source
+    * weighting; CCNet's per-language balancing). Stratum s with n_s rows is
+    * kept with per-row probability f_s = min(1, fraction·N·q_s/n_s), where
+    * q_s ∝ n_s^τ: τ = 1 preserves the natural mixture, τ = 0 equalizes
+    * strata, τ ∈ (0,1) flattens toward rare domains. Down-sampling only
+    * (f_s caps at 1; repetition-based upsampling is a separate decision).
+    *
+    * Selection is the same deterministic hash filter as [[hashFraction]]
+    * with a per-stratum cutoff: keep iff the 60-bit md5(salt|key) prefix
+    * < floor(f_s·2^60). One count aggregation, a driver-side weight table
+    * (strata cardinality is a mixture config — bounded), a broadcast join,
+    * and a scan-stage compare — the corpus itself never shuffles.
+    *
+    * ENGINE-EXACT at τ = 0.5 (the common flattening choice): stratum
+    * weights quantize to integers (floor(√n_s·2^20), IEEE sqrt is
+    * correctly rounded everywhere), their sum is an exact integer in any
+    * order, and the threshold arithmetic is fixed-parenthesization IEEE —
+    * the DuckDB twin reproduces every kept row bit-for-bit. Other τ use
+    * StrictMath.pow (JVM-reproducible; cross-engine only to libm's pow).
+    */
+  def temperatureSample(df: DataFrame, stratumCol: String, keyCol: String,
+                        temperature: Double, fraction: Double,
+                        salt: String = ""): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
+    require(temperature >= 0.0 && temperature <= 1.0, "temperature in [0,1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(col(stratumCol).cast("string").as("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    val wq = counts.map { case (_, n) =>
+      math.floor(StrictMath.pow(n.toDouble, temperature) * (1L << 20)).toLong }
+    val nTotal = counts.map(_._2).sum
+    val wTotal = wq.sum
+    val thresholds = counts.zip(wq).map { case ((s, n), w) =>
+      // fixed parenthesization, mirrored by the SQL twin
+      val f = math.min(1.0,
+        fraction * ((nTotal.toDouble * w.toDouble) / (wTotal.toDouble * n.toDouble)))
+      (s, math.floor(f * 1152921504606846976.0 /* 2^60 */).toLong)
+    }.toSeq.toDF("__s", "__t")
+    df.join(broadcast(thresholds), col(stratumCol).cast("string") === col("__s"))
+      .where(conv(substring(hashOf(col(keyCol), salt), 1, 15), 16, 10)
+        .cast("long") < col("__t"))
+      .drop("__s", "__t")
+  }
 }

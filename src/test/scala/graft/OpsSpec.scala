@@ -568,6 +568,41 @@ class OpsSpec extends AnyFunSuite {
     assert(headMin > tailMax)
   }
 
+  test("temperature sample: exact sequential twin, flattening moves mass to rare strata") {
+    val d = docs.select(col("doc_id"), col("source"), col("text"))
+    val rows = d.select("doc_id", "source").as[(Long, String)].collect()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def expectedKept(tau: Double, frac: Double): Set[Long] = {
+      val byS = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val wq = byS.map { case (s, n) =>
+        s -> math.floor(StrictMath.pow(n.toDouble, tau) * (1L << 20)).toLong }
+      val nT = byS.values.sum; val wT = wq.values.sum
+      val th = byS.map { case (s, n) =>
+        val f = math.min(1.0,
+          frac * ((nT.toDouble * wq(s).toDouble) / (wT.toDouble * n.toDouble)))
+        s -> math.floor(f * 1152921504606846976.0).toLong }
+      rows.collect { case (id, s)
+        if java.lang.Long.parseLong(md5hex(s"t|$id").substring(0, 15), 16) < th(s) => id
+      }.toSet
+    }
+    for (tau <- Seq(0.0, 0.5, 1.0)) {
+      val kept = Sampling.temperatureSample(d, "source", "doc_id", tau, 0.4, "t")
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == expectedKept(tau, 0.4), s"tau=$tau")
+    }
+    // flattening: as tau drops, the kept share of the rarest stratum rises
+    val sizes = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    val rare = sizes.minBy(_._2)._1
+    def rareShare(tau: Double): Double = {
+      val kept = Sampling.temperatureSample(d, "source", "doc_id", tau, 0.4, "t")
+        .select("source").as[String].collect()
+      kept.count(_ == rare).toDouble / math.max(kept.length, 1)
+    }
+    assert(rareShare(0.0) >= rareShare(1.0), s"${rareShare(0.0)} < ${rareShare(1.0)}")
+  }
+
   // ---- fastText-style linear classifier ---------------------------------------
 
   test("linear classifier: partitioning-independent, == sequential twin, learns markers") {
