@@ -2,7 +2,7 @@ package graft
 
 import graft.core.{PageRec, Synth, Urls}
 import graft.frontier.{Crawl, CrawlConfig}
-import graft.ops.{Bm25, Bpe, Curate, CurateConfig, Dedup, Multimodal, NgramLm, QualityClassifier, RegexExtract, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Bm25, Bpe, Curate, CurateConfig, Dedup, Multimodal, NgramLm, Pack, QualityClassifier, RegexExtract, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -304,6 +304,17 @@ object SparkEntry {
           temperature = 0.5, fraction = 0.5, salt = "r3")
         .select("doc_id", "source")
     }),
+    // DSIR importance resampling: the 100 raw docs most like the en-labeled
+    // target slice, hashed-unigram models, deterministic Gumbel top-k
+    "q_dsir_sample" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      Sampling.dsirResample(d, d.where(col("lang") === "en"),
+        "doc_id", "text", k = 100, hexChars = 2, lambda = 1.0, salt = "r3")
+    }),
+    // sequence packing: concat-then-chunk manifest, one stream per source
+    "q_pack_sequences" -> ((s, dir) =>
+      Pack.packSequences(table(s, dir, "documents"),
+        "source", "doc_id", "text", seqLen = 512)),
     // the full curation pipeline end-to-end over a corpus with constructed
     // exact copies and light edits: quality+repetition gates → exact dedup →
     // jaccard fuzzy dedup (the SQL-expressible path) → 13-gram
@@ -450,6 +461,15 @@ object SparkEntry {
       val centroids = Similarity.trainIvf(e, "vec_id", "embedding",
         cells = 8, iters = 3, trainFraction = 0.5)
       Similarity.ivfTopKTrained(e, "vec_id", "embedding", q, 10, centroids, nProbe = 4)
+    }),
+    // SemDeDup (Abbas et al. 2023): trained-quantizer blocking + within-cell
+    // cosine pairs + connected-components canonical survivors
+    "q_semdedup" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val dups = e.where(col("vec_id") < 100)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      Dedup.semDedup(e.unionByName(dups), "vec_id", "embedding",
+        cells = 8, minCosine = 0.999, iters = 2, trainFraction = 0.5)
     }),
     "q_embedding_neardup" -> ((s, dir) => {
       val e = table(s, dir, "embeddings").where(col("vec_id") < 100)
@@ -766,6 +786,7 @@ object SparkEntry {
     "q_embedding_neardup" -> graft.oracle.Fixtures.sql("q_embedding_neardup"),
     "q_ann_lsh_topk" -> graft.oracle.Fixtures.sql("q_ann_lsh_topk"),
     "q_ann_ivf_trained" -> graft.oracle.Fixtures.sql("q_ann_ivf_trained"),
+    "q_semdedup" -> graft.oracle.Fixtures.sql("q_semdedup"),
     "q_pdf_pages" -> graft.oracle.Fixtures.sql("q_pdf_pages"),
     "q_bpe_merges" -> graft.oracle.Fixtures.sql("q_bpe_merges"),
     "q_bpe_tokens" -> graft.oracle.Fixtures.sql("q_bpe_tokens"),
@@ -969,6 +990,56 @@ object SparkEntry {
         |FROM documents d JOIN th ON d.source = th.s
         |WHERE CAST(concat('0x',
         |  substr(md5('r3|' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) < th.t""".stripMargin,
+    // DSIR: hashed-unigram importance weights (λ=1 over 256 md5-prefix
+    // buckets), deterministic Gumbel top-k — same fixed-parenthesization
+    // arithmetic as the operator
+    "q_dsir_sample" ->
+      """WITH rw AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |tw AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS w
+        |  FROM documents WHERE lang = 'en'),
+        |rb AS (SELECT substr(md5(w), 1, 2) AS b, count(*) AS cr FROM rw GROUP BY 1),
+        |tb AS (SELECT substr(md5(w), 1, 2) AS b, count(*) AS ct FROM tw GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(sum(cr) AS DOUBLE) FROM rb) AS nr,
+        |               (SELECT CAST(sum(ct) AS DOUBLE) FROM tb) AS nt),
+        |model AS (
+        |  SELECT COALESCE(rb.b, tb.b) AS b,
+        |    ln((COALESCE(ct, 0) + 1.0) / (nt + 256.0)) -
+        |    ln((COALESCE(cr, 0) + 1.0) / (nr + 256.0)) AS lw
+        |  FROM rb FULL JOIN tb ON rb.b = tb.b CROSS JOIN tot),
+        |dw AS (
+        |  SELECT doc_id, sum(lw) AS logw
+        |  FROM rw JOIN model ON substr(md5(rw.w), 1, 2) = model.b
+        |  GROUP BY 1),
+        |scored AS (
+        |  SELECT d.doc_id, COALESCE(dw.logw, 0.0) AS logw,
+        |    -ln(-ln((CAST(concat('0x',
+        |        substr(md5('r3|g|' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      + 0.5) / 1152921504606846976.0)) AS g
+        |  FROM documents d LEFT JOIN dw ON d.doc_id = dw.doc_id)
+        |SELECT doc_id, round(logw, 4) AS log_weight
+        |FROM scored ORDER BY logw + g DESC, doc_id LIMIT 100""".stripMargin,
+    // concat-then-chunk packing manifest: running token offset per source
+    // stream, exact floor-division pack bounds
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, start_off,
+        |  CASE WHEN n_tokens > 0
+        |       THEN CAST(floor(CAST(start_off AS DOUBLE) / 512.0) AS BIGINT) END AS pack_first,
+        |  CASE WHEN n_tokens > 0
+        |       THEN CAST(floor(CAST(start_off + n_tokens - 1 AS DOUBLE) / 512.0) AS BIGINT) END AS pack_last
+        |FROM o""".stripMargin,
     // the whole curation pipeline as ONE oracle: every stage is the
     // already-green SQL fragment of its standalone query, chained
     "q_curate" ->

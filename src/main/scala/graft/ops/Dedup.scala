@@ -641,4 +641,64 @@ object Dedup {
         coalesce(col("component"), col(idCol)).as("component"))
       .withColumn("is_canonical", col(idCol) === col("component"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540): k-means
+    * the embedding space into `cells` clusters, compare pairs ONLY within a
+    * cluster (the paper's core trick — clustering bounds the otherwise
+    * quadratic pairwise search), connect transitive duplicates, and keep the
+    * smallest-id document per semantic-duplicate component.
+    *
+    * Differences from [[embeddingNearDup]]: LSH sign-buckets are
+    * data-oblivious random planes with banding to recover recall; SemDeDup's
+    * blocking is a DATA-ADAPTED quantizer (the same trained coarse quantizer
+    * as [[Similarity.trainIvf]]), which is what the paper runs at LAION/web
+    * scale. Pairs crossing a cluster boundary are missed by construction —
+    * the paper accepts that (duplicates are near-identical, so they land in
+    * the same cell except at cell boundaries).
+    *
+    * Scale shape: training runs on a deterministic hash-sample
+    * (`trainFraction`); assignment is one argmin-kernel projection per row
+    * over a broadcast C·dim centroid matrix; the within-cell self-join
+    * shuffles on `cell` and is quadratic only in the cell occupancy — pick
+    * `cells ≈ n / targetCellSize` so occupancy stays bounded (the paper uses
+    * 50k clusters for LAION-440M). Assignment is materialized once (lazy
+    * localCheckpoint) because it feeds both join sides and the final label
+    * join; left lazy, Spark would re-run trainIvf's scan + the argmin per
+    * consumer. Component labeling is the O(log² n)-round
+    * [[connectedComponents]], never a driver loop.
+    *
+    * Reference semantic twin: crawl4ai clusters cosine-similar chunks the
+    * same keep-one-representative way in its CosineStrategy
+    * (`extraction_strategy.py:121-461`); SemDeDup is that semantics lifted
+    * to corpus scale with a trained quantizer as the blocker.
+    *
+    * @return one row per input doc: (id, cell, component, is_canonical) —
+    *         `is_canonical = false` rows are the semantic duplicates to drop
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               cells: Int, minCosine: Double = 0.95, iters: Int = 3,
+               trainFraction: Double = 1.0): DataFrame = {
+    require(cells >= 1, "cells must be >= 1")
+    val centroids = Similarity.trainIvf(df, idCol, vecCol, cells, iters, trainFraction)
+    // untracked kernel broadcast: it must stay live until the lazy checkpoint
+    // below first executes (inside the caller's first action), so it is freed
+    // by the ContextCleaner with the plan, not destroyed here — the same
+    // contract as ivfTopKTrained
+    val cellOf = Similarity.nearestCellKernel(df.sparkSession, centroids)
+    val assigned = df
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("cell", cellOf(col("v").cast("array<double>")))
+      .localCheckpoint(false)
+    val a = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = assigned.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"))
+    val pairs = a.join(b, Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+      .where(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"))
+    clusterLabels(assigned.select(col("id")), "id", pairs)
+      .join(assigned.select(col("id"), col("cell")), Seq("id"))
+      .select(col("id").as(idCol), col("cell"), col("component"), col("is_canonical"))
+  }
 }

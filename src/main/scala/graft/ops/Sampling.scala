@@ -105,4 +105,64 @@ object Sampling {
         .cast("long") < col("__t"))
       .drop("__s", "__t")
   }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169): pick the `k` raw documents that look most like a
+    * TARGET corpus, by importance weight under bag-of-hashed-ngram language
+    * models. Features are words hashed into 16^`hexChars` buckets (the md5
+    * hex prefix — engine-portable, the paper hashes into 10^4 buckets);
+    * each corpus gets an add-λ-smoothed unigram model over buckets;
+    * log w(x) = Σ_w [ln p̂_target(b(w)) − ln p̂_raw(b(w))]; selection is
+    * Gumbel top-k (g = −ln(−ln u) with u a deterministic md5 hash of the
+    * id — so "sampling without replacement ∝ w" is a pure function of the
+    * salt, the paper's resampling made reproducible).
+    *
+    * Scale shape: two passes over the raw corpus (model fit, then scoring —
+    * DSIR is two-pass by construction) and one over the target. The bucket
+    * count tables (≤ 16^hexChars rows) are materialized once and broadcast
+    * into the scoring pass; per-doc weights are one partial-aggregated
+    * shuffle on the doc id; selection is TakeOrdered, never a global sort.
+    * Nothing driver-side exceeds the bucket-table size.
+    *
+    * @return the selected rows: (id, log_weight rounded to 4 — the noised
+    *         Gumbel key itself is selection state, not output)
+    */
+  def dsirResample(raw: DataFrame, target: DataFrame, idCol: String,
+                   textCol: String, k: Int, hexChars: Int = 2,
+                   lambda: Double = 1.0, salt: String = ""): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(hexChars >= 1 && hexChars <= 6, "hexChars in [1,6]")
+    val nBuckets = math.pow(16.0, hexChars) // exact integer for hexChars <= 6
+    def words(c: Column) = filter(split(lower(c), "[^a-z]+"), w => w =!= "")
+    def bucket(w: Column) = substring(md5(w), 1, hexChars)
+
+    val rawWords = raw.select(col(idCol).as("id"),
+      explode(words(col(textCol))).as("w"))
+    val rb = rawWords.groupBy(bucket(col("w")).as("b"))
+      .agg(count(lit(1)).as("cr")).localCheckpoint(false)
+    val tb = target.select(explode(words(col(textCol))).as("w"))
+      .groupBy(bucket(col("w")).as("b"))
+      .agg(count(lit(1)).as("ct")).localCheckpoint(false)
+    val tot = rb.agg(sum(col("cr")).cast("double").as("nr"))
+      .crossJoin(tb.agg(sum(col("ct")).cast("double").as("nt")))
+    val model = rb.join(tb, Seq("b"), "full_outer")
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log((coalesce(col("ct"), lit(0L)) + lambda) / (col("nt") + lambda * nBuckets))
+          - log((coalesce(col("cr"), lit(0L)) + lambda) / (col("nr") + lambda * nBuckets)))
+          .as("lw"))
+    val docWeights = rawWords
+      .join(broadcast(model), bucket(col("w")) === col("b"))
+      .groupBy("id").agg(sum(col("lw")).as("logw"))
+    // deterministic Gumbel noise from the 60-bit hash prefix, u ∈ (0,1)
+    val u = (conv(substring(hashOf(col("id"), salt + "|g"), 1, 15), 16, 10)
+      .cast("long").cast("double") + 0.5) / 1152921504606846976.0
+    raw.select(col(idCol).as("id"))
+      .join(docWeights, Seq("id"), "left")
+      .select(col("id"), coalesce(col("logw"), lit(0.0)).as("logw"),
+        (-log(-log(u))).as("g"))
+      .orderBy((col("logw") + col("g")).desc, col("id"))
+      .limit(k)
+      .select(col("id").as(idCol), round(col("logw"), 4).as("log_weight"))
+  }
 }

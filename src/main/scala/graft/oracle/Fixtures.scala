@@ -186,6 +186,15 @@ object Fixtures {
       SeqOracle.ivfTrainedTopK(embAll, q0, k = 10, cells = 8, iters = 3,
         trainFraction = 0.5, nProbe = 4).toDF("vec_id", "sim"))
 
+    // SemDeDup: full table + exact duplicates of the first 100 — the
+    // sequential twin trains the same quantizer protocol, brute-forces
+    // within-cell pairs, and union-finds components (no float columns in
+    // the output, so the compare is exact)
+    write("q_semdedup",
+      SeqOracle.semDedup(embAll ++ emb100.map { case (id, v) => (id + 100000L, v) },
+          cells = 8, minCosine = 0.999, iters = 2, trainFraction = 0.5)
+        .toDF("vec_id", "cell", "component", "is_canonical"))
+
     // PDF pages: GENERATOR INTENT (what the builder put into each page),
     // computed without the parser — the distributed query must real-parse
     // its way back to exactly this

@@ -290,4 +290,84 @@ object SeqOracle {
       .sortBy { case (id, sim) => (-sim, id) }
       .take(k)
   }
+
+  /** Sequential twin of Dedup.semDedup: the same Lloyd's protocol as
+    * [[ivfTrainedTopK]] (first-C-by-id init, xxh64 hash-sample, first-min
+    * argmin, empty cells keep their centroid), then within-cell brute-force
+    * cosine pairs at `minCosine` and union-find component labeling with the
+    * component min as the canonical survivor. Outputs carry no float columns,
+    * so the compare is exact (argmin flips from last-ulp sum-order noise are
+    * the same non-risk as ivfTrainedTopK — asserted stable by the driver
+    * compare itself).
+    */
+  def semDedup(vecs: Seq[(Long, Seq[Float])], cells: Int, minCosine: Double,
+               iters: Int, trainFraction: Double): Seq[(Long, Int, Long, Boolean)] = {
+    def distSq(v: Seq[Float], c: Seq[Double]): Double = {
+      var acc = 0.0; var j = 0
+      val n = math.min(v.length, c.length)
+      while (j < n) { val d = v(j).toDouble - c(j); acc += d * d; j += 1 }
+      acc
+    }
+    def argmin(v: Seq[Float], cs: Seq[Seq[Double]]): Int = {
+      var best = Double.MaxValue; var bi = 0; var i = 0
+      while (i < cs.length) {
+        val d = distSq(v, cs(i))
+        if (d < best) { best = d; bi = i }
+        i += 1
+      }
+      bi
+    }
+    val mod = math.max(1L, (1.0 / trainFraction).toLong)
+    val sample =
+      if (trainFraction >= 1.0) vecs
+      else vecs.filter { case (id, _) =>
+        Math.floorMod(graft.core.Xxh64.hashLong(id, 42L), mod) == 0L }
+    var centroids: Seq[Seq[Double]] =
+      sample.sortBy(_._1).take(cells).map(_._2.map(_.toDouble).toIndexedSeq)
+    var it = 0
+    while (it < iters) {
+      val byCell = sample.groupBy { case (_, v) => argmin(v, centroids) }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        byCell.get(c) match {
+          case Some(ms) =>
+            val dim = old.length
+            val sums = new Array[Double](dim)
+            ms.foreach { case (_, v) =>
+              var j = 0; while (j < dim) { sums(j) += v(j).toDouble; j += 1 } }
+            sums.map(_ / ms.length).toIndexedSeq
+          case None => old
+        }
+      }
+      it += 1
+    }
+    val assigned = vecs.map { case (id, v) => (id, v, argmin(v, centroids)) }
+    // union-find over within-cell pairs at minCosine
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      r
+    }
+    def union(x: Long, y: Long): Unit = {
+      val (rx, ry) = (find(x), find(y))
+      if (rx != ry) { val (lo, hi) = (math.min(rx, ry), math.max(rx, ry))
+        parent(hi) = lo }
+    }
+    assigned.groupBy(_._3).foreach { case (_, ms) =>
+      val arr = ms.sortBy(_._1).toIndexedSeq
+      var i = 0
+      while (i < arr.length) {
+        var j = i + 1
+        while (j < arr.length) {
+          if (cosineF(arr(i)._2, arr(j)._2) >= minCosine) union(arr(i)._1, arr(j)._1)
+          j += 1
+        }
+        i += 1
+      }
+    }
+    assigned.map { case (id, _, cell) =>
+      val comp = find(id)
+      (id, cell, comp, id == comp)
+    }.sortBy(_._1)
+  }
 }

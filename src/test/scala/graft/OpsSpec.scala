@@ -263,6 +263,77 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.planesFor(10L * 1000 * 1000 * 1000, 64) >= 24) // 10^10 rows
   }
 
+  test("semdedup: quantizer blocking groups exact dups, min-id canonical, matches seq twin") {
+    val vecs = embs.select(col("vec_id"), col("embedding")).where(col("vec_id") < 80)
+    val dupVecs = vecs.unionByName(
+      vecs.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    val out = Dedup.semDedup(dupVecs, "vec_id", "embedding",
+        cells = 4, minCosine = 0.999, iters = 2, trainFraction = 1.0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.length == 160)
+    val byId = out.map(t => t._1 -> t).toMap
+    (0L until 80L).foreach { id =>
+      val (o, d) = (byId(id), byId(id + 100000))
+      assert(o._2 == d._2, s"identical vectors of $id assigned different cells")
+      assert(o._3 == d._3 && d._3 <= id, s"dup pair of $id not in one component")
+      assert(!d._4, s"duplicate ${id + 100000} marked canonical")
+    }
+    out.groupBy(_._3).foreach { case (comp, ms) =>
+      assert(ms.count(_._4) == 1, s"component $comp has ${ms.count(_._4)} canonicals")
+      assert(ms.map(_._1).min == comp)
+    }
+    // engine == sequential oracle twin on the same vectors (the fixture protocol)
+    val seqIn = dupVecs.as[(Long, Seq[Float])].collect().toSeq
+    val expected = graft.oracle.SeqOracle.semDedup(
+      seqIn, cells = 4, minCosine = 0.999, iters = 2, trainFraction = 1.0)
+    assert(out.sortBy(_._1).toSeq == expected)
+  }
+
+  test("dsir: importance resampling prefers target-like docs, deterministic") {
+    val raw = (0L until 60L).map { i =>
+      if (i % 2 == 0) (i, "quantum entanglement superposition qubit decoherence photon")
+      else (i, "mortgage refinance credit lender escrow amortization")
+    }.toDF("doc_id", "text")
+    val target = Seq((1000L, "qubit photon entanglement quantum decoherence"),
+      (1001L, "superposition quantum photon qubit")).toDF("doc_id", "text")
+    val picked = Sampling.dsirResample(raw, target, "doc_id", "text",
+        k = 20, hexChars = 2, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(picked.length == 20)
+    // physics docs carry strictly higher weights than finance docs; with a
+    // 30/30 split and k=20 the Gumbel noise cannot promote a finance doc
+    // past the weight gap on this separation
+    assert(picked.count(_._1 % 2 == 0) >= 18, s"selected ${picked.map(_._1).toSeq}")
+    val byParity = picked.groupBy(_._1 % 2).view.mapValues(_.map(_._2))
+    if (byParity.contains(1))
+      assert(byParity(0).min > byParity(1).max)
+    // pure function of (salt, ids): identical on re-run
+    val again = Sampling.dsirResample(raw, target, "doc_id", "text",
+        k = 20, hexChars = 2, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(picked.toSeq == again.toSeq)
+  }
+
+  test("pack: concat-then-chunk offsets and pack bounds, empty docs skip packs") {
+    val rows = Seq(
+      (1L, "a", "one two three four"),            // 4 tokens
+      (2L, "a", ""),                              // 0 tokens
+      (3L, "a", "five six seven"),                // 3 tokens, crosses pack edge
+      (4L, "a", "eight nine"),                    // 2 tokens
+      (10L, "b", "uno dos tres cuatro cinco seis")) // independent stream
+      .toDF("doc_id", "source", "text")
+    val out = Pack.packSequences(rows, "source", "doc_id", "text", seqLen = 5)
+      .collect().map(r => (r.getLong(0),
+        r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5))).sortBy(_._1)
+    assert(out(0) == ((1L, 4L, 0L, 0L, 0L)))   // tokens 0-3 → pack 0
+    assert(out(1) == ((2L, 0L, 4L, -1L, -1L))) // empty: offset defined, no pack
+    assert(out(2) == ((3L, 3L, 4L, 0L, 1L)))   // tokens 4-6 → spans packs 0-1
+    assert(out(3) == ((4L, 2L, 7L, 1L, 1L)))   // tokens 7-8 → pack 1
+    assert(out(4) == ((10L, 6L, 0L, 0L, 1L)))  // stream b starts at offset 0
+  }
+
   test("simhash: hamming 0 for exact copies, small for light edits") {
     val pairs = Dedup.simHashPairs(withDups, "doc_id", "text", maxDist = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))

@@ -193,6 +193,30 @@ class PlanSpec extends AnyFunSuite {
       readSchema) // only the columns the constructed text consumes are read
   }
 
+  test("pack manifest: one shard exchange, streaming window, no global sort") {
+    val p = plan(SparkEntry.queries("q_pack_sequences")(spark, sf))
+    assert(p.contains("hashpartitioning(source"), p) // shard is the parallel unit
+    assert(p.contains("Window"), p)
+    // exactly one Exchange node (formatted mode prints each node twice:
+    // once in the tree, once in the detail block)
+    assert("Exchange".r.findAllIn(p).length == 2, p)
+    assert(!p.contains("SinglePartition"), p)        // never a global window
+  }
+
+  test("dsir: broadcast model join, partial-agg weights, TakeOrdered selection") {
+    val p = plan(SparkEntry.queries("q_dsir_sample")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)   // top-k, never a global sort
+    assert(p.contains("BroadcastHashJoin"), p)       // bucket model broadcast into scoring
+    assert(p.contains("partial_sum"), p)             // map-side combine of per-word weights
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("semdedup: within-cell equi-join, no cartesian pair generation") {
+    val p = plan(SparkEntry.queries("q_semdedup")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("cell"), p) // the pair join is keyed on the quantizer cell
+  }
+
   test("BPE word counting: map-side combine before the word shuffle") {
     val p = plan(graft.ops.Bpe.wordCounts(
       spark.read.parquet(s"$sf/documents.parquet"), "text"))
