@@ -315,6 +315,20 @@ object SparkEntry {
     "q_pack_sequences" -> ((s, dir) =>
       Pack.packSequences(table(s, dir, "documents"),
         "source", "doc_id", "text", seqLen = 512)),
+    // WARC archive sink → source roundtrip: export the documents table as
+    // WARC/1.0 response records, strict-parse them back; oracle = the table
+    "q_warc_roundtrip" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(
+        concat(lit("https://corpus.example/doc/"), col("doc_id")).as("uri"),
+        col("text"))
+      val path = s"/tmp/graft_warc_${new java.io.File(dir).getName}"
+      graft.sources.Warc.writeWarc(d, "uri", "text", path)
+      graft.sources.Warc.readWarc(s, path)
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+          col("payload").as("text"),
+          col("content_length").as("n_bytes"))
+    }),
     // the full curation pipeline end-to-end over a corpus with constructed
     // exact copies and light edits: quality+repetition gates → exact dedup →
     // jaccard fuzzy dedup (the SQL-expressible path) → 13-gram
@@ -1040,6 +1054,10 @@ object SparkEntry {
         |  CASE WHEN n_tokens > 0
         |       THEN CAST(floor(CAST(start_off + n_tokens - 1 AS DOUBLE) / 512.0) AS BIGINT) END AS pack_last
         |FROM o""".stripMargin,
+    // WARC roundtrip: what comes back from the archive must be the table
+    "q_warc_roundtrip" ->
+      """SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
     // the whole curation pipeline as ONE oracle: every stage is the
     // already-green SQL fragment of its standalone query, chained
     "q_curate" ->
