@@ -304,6 +304,18 @@ object SparkEntry {
           temperature = 0.5, fraction = 0.5, salt = "r3")
         .select("doc_id", "source")
     }),
+    // repeat-factor upsampling: en ×2.5, de ×1.25, everything else ×1
+    "q_upsample" -> ((s, dir) => {
+      Sampling.upsampleRepeat(table(s, dir, "documents"), "lang", "doc_id",
+          Map("en" -> 2.5, "de" -> 1.25), salt = "r3")
+        .select("doc_id", "lang", "copy_id")
+    }),
+    // consistent train/valid/test hash split, 80/10/10
+    "q_split" -> ((s, dir) => {
+      Sampling.splitByHash(table(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1), salt = "r3")
+        .select("doc_id", "split")
+    }),
     // DSIR importance resampling: the 100 raw docs most like the en-labeled
     // target slice, hashed-unigram models, deterministic Gumbel top-k
     "q_dsir_sample" -> ((s, dir) => {
@@ -1004,6 +1016,37 @@ object SparkEntry {
         |FROM documents d JOIN th ON d.source = th.s
         |WHERE CAST(concat('0x',
         |  substr(md5('r3|' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) < th.t""".stripMargin,
+    // repeat-factor upsampling: integer-quantized factors (floor(w·2^20)),
+    // base copies by integer division, fractional copy by 60-bit hash compare
+    "q_upsample" ->
+      """WITH f AS (SELECT * FROM (VALUES ('en', 2621440), ('de', 1310720)) AS t(s, wq)),
+        |j AS (
+        |  SELECT d.doc_id, d.lang, CAST(COALESCE(f.wq, 1048576) AS BIGINT) AS wq,
+        |    CAST(concat('0x', substr(md5('r3|' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents d LEFT JOIN f ON d.lang = f.s),
+        |n AS (
+        |  SELECT doc_id, lang,
+        |    wq // 1048576 +
+        |      CASE WHEN h < (wq % 1048576) * 1099511627776 THEN 1 ELSE 0 END AS n
+        |  FROM j)
+        |SELECT doc_id, lang,
+        |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS copy_id
+        |FROM n WHERE n > 0""".stripMargin,
+    // 80/10/10 split: cut points mirror the operator's scanLeft chain
+    // ((0.8+0.1)+0.1 total, cumulative w/total, floor(cum·2^60))
+    "q_split" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5('r3|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN h < CAST(floor((0.8 / ((0.8 + 0.1) + 0.1)) * 1152921504606846976.0) AS BIGINT)
+        |       THEN 'train'
+        |       WHEN h < CAST(floor(((0.8 / ((0.8 + 0.1) + 0.1)) + (0.1 / ((0.8 + 0.1) + 0.1)))
+        |                     * 1152921504606846976.0) AS BIGINT)
+        |       THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM h""".stripMargin,
     // DSIR: hashed-unigram importance weights (λ=1 over 256 md5-prefix
     // buckets), deterministic Gumbel top-k — same fixed-parenthesization
     // arithmetic as the operator

@@ -106,6 +106,61 @@ object Sampling {
       .drop("__s", "__t")
   }
 
+  /** Deterministic repeat-factor upsampling — the other half of mixture
+    * weighting ([[temperatureSample]] only down-samples): stratum s with
+    * repeat factor w_s emits floor(w_s) copies of every row plus one more
+    * with probability frac(w_s) (the Pile/LLaMA-family "epoch multiplier"
+    * for high-quality domains). Each copy carries a `copy_id` so downstream
+    * shuffling can interleave copies instead of clustering them.
+    *
+    * Arithmetic is integer-exact across engines: factors quantize to
+    * wq = floor(w·2^20); base copies = wq div 2^20; the fractional copy
+    * keeps iff the row's 60-bit md5(salt|key) prefix < (wq mod 2^20)·2^40.
+    * Shape: broadcast factor table + scan-stage explode — the corpus never
+    * shuffles, output size is Σ n_s·w_s by construction.
+    */
+  def upsampleRepeat(df: DataFrame, stratumCol: String, keyCol: String,
+                     factors: Map[String, Double], salt: String = ""): DataFrame = {
+    require(factors.values.forall(w => w >= 0.0 && w < 1024.0),
+      "repeat factors must be in [0, 1024)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fq = factors.toSeq.sortBy(_._1)
+      .map { case (s, w) => (s, math.floor(w * 1048576.0).toLong) }
+      .toDF("__s", "__wq")
+    val h60 = conv(substring(hashOf(col(keyCol), salt), 1, 15), 16, 10).cast("long")
+    df.join(broadcast(fq), col(stratumCol).cast("string") === col("__s"), "left")
+      .withColumn("__wq", coalesce(col("__wq"), lit(1048576L))) // absent: w = 1
+      .withColumn("__n",
+        (col("__wq") / 1048576L).cast("long") +
+          when(h60 < (col("__wq") % 1048576L) * 1099511627776L, 1L).otherwise(0L))
+      .where(col("__n") > 0)
+      .withColumn("copy_id", explode(sequence(lit(0L), col("__n") - 1)))
+      .drop("__s", "__wq", "__n")
+  }
+
+  /** Deterministic train/validation/test splitting: each row gets the label
+    * of the hash-range bucket its 60-bit md5(salt|key) prefix falls in,
+    * with bucket widths ∝ the requested weights. A pure projection — no
+    * shuffle, no state — and, like [[hashFraction]], membership depends
+    * only on (salt, key), so every derived table splits consistently (a
+    * document's features can never leak from train to test because some
+    * job re-split differently).
+    */
+  def splitByHash(df: DataFrame, keyCol: String,
+                  splits: Seq[(String, Double)], salt: String = ""): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0.0), "weights must be >= 0")
+    val total = splits.map(_._2).sum
+    val cuts = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }.tail
+    val h60 = conv(substring(hashOf(col(keyCol), salt), 1, 15), 16, 10).cast("long")
+    // fixed parenthesization: floor(cum · 2^60), mirrored by SQL twins
+    val label = splits.map(_._1).zip(cuts).init.foldRight(
+        lit(splits.last._1)) { case ((name, cum), rest) =>
+      when(h60 < math.floor(cum * 1152921504606846976.0).toLong, name).otherwise(rest)
+    }
+    df.withColumn("split", label)
+  }
+
   /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
     * arXiv:2302.03169): pick the `k` raw documents that look most like a
     * TARGET corpus, by importance weight under bag-of-hashed-ngram language

@@ -289,6 +289,43 @@ class OpsSpec extends AnyFunSuite {
     assert(out.sortBy(_._1).toSeq == expected)
   }
 
+  test("upsample: per-stratum repeat factors, copy ids, deterministic") {
+    val out = Sampling.upsampleRepeat(docs, "lang", "doc_id",
+        Map("en" -> 2.5, "de" -> 1.25), salt = "u")
+      .groupBy("doc_id", "lang").agg(count(lit(1)).as("n"),
+        max("copy_id").as("mx"), min("copy_id").as("mn"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byLang = out.groupBy(_._2)
+    byLang("en").foreach { case (_, _, n, mx, mn) =>
+      assert((n == 2 || n == 3) && mn == 0 && mx == n - 1) }
+    byLang("de").foreach { case (_, _, n, _, _) => assert(n == 1 || n == 2) }
+    (byLang.keySet -- Set("en", "de")).foreach { l =>
+      byLang(l).foreach { case (_, _, n, _, _) => assert(n == 1) } }
+    // the realized multiplier tracks the requested factor
+    val enAvg = byLang("en").map(_._3).sum.toDouble / byLang("en").length
+    assert(math.abs(enAvg - 2.5) < 0.35, s"en multiplier $enAvg")
+    // w = 0 strata vanish
+    val none = Sampling.upsampleRepeat(docs, "lang", "doc_id", Map("en" -> 0.0))
+    assert(none.where(col("lang") === "en").count() == 0)
+  }
+
+  test("splitByHash: exhaustive labeling, requested proportions, join-consistent") {
+    val splits = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+    val out = Sampling.splitByHash(docs, "doc_id", splits, salt = "s")
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.length == docs.count())
+    val frac = out.groupBy(_._2).view.mapValues(_.length.toDouble / out.length).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.06, frac.toString)
+    assert(math.abs(frac.getOrElse("valid", 0.0) - 0.1) < 0.04, frac.toString)
+    // consistency: a DERIVED table with the same keys splits identically
+    val derived = docs.select(col("doc_id"), col("n_chars")).repartition(7)
+    val again = Sampling.splitByHash(derived, "doc_id", splits, salt = "s")
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    out.foreach { case (id, s) => assert(again(id) == s) }
+  }
+
   test("dsir: importance resampling prefers target-like docs, deterministic") {
     val raw = (0L until 60L).map { i =>
       if (i % 2 == 0) (i, "quantum entanglement superposition qubit decoherence photon")

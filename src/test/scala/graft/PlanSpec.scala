@@ -203,6 +203,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), p)        // never a global window
   }
 
+  test("upsample: broadcast factor join + scan-stage explode, corpus never shuffles") {
+    val p = plan(SparkEntry.queries("q_upsample")(spark, sf))
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Generate"), p) // the copy explode
+  }
+
+  test("hash split is a pure projection: no exchange, no aggregation") {
+    val p = plan(SparkEntry.queries("q_split")(spark, sf))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Aggregate"), p)
+  }
+
   test("dsir: broadcast model join, partial-agg weights, TakeOrdered selection") {
     val p = plan(SparkEntry.queries("q_dsir_sample")(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p)   // top-k, never a global sort
