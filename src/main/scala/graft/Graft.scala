@@ -99,7 +99,9 @@ final class Graft(val spark: SparkSession) {
   def curateCorpus(docs: DataFrame, idCol: String, textCol: String,
                    bench: Option[DataFrame] = None,
                    benchTextCol: String = "text",
-                   cfg: graft.ops.CurateConfig = graft.ops.CurateConfig())
+                   cfg: graft.ops.CurateConfig = graft.ops.CurateConfig(),
+                   embedder: graft.ops.Embedder = graft.ops.Embedder.default)
       : DataFrame =
-    graft.ops.Curate.curateCorpus(docs, idCol, textCol, bench, benchTextCol, cfg)
+    graft.ops.Curate.curateCorpus(docs, idCol, textCol, bench, benchTextCol,
+      cfg, embedder)
 }

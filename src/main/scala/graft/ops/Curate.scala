@@ -10,7 +10,9 @@ import org.apache.spark.sql.functions._
   *
   * @param fuzzy near-dup stage: "minhash" (MinHash+LSH banding — the scale
   *              path), "jaccard" (exact n-gram Jaccard over an inverted
-  *              index — fully SQL-oracle-able), or "none"
+  *              index — fully SQL-oracle-able), "embedding" (semantic
+  *              near-dup through the Embedder seam; fuzzyThreshold is the
+  *              cosine floor), or "none"
   * @param spanK corpus-level substring dedup gram size (Lee et al. 2021);
   *              when > 0 the text column is REPLACED by the normalized
   *              reassembled `clean_text` (lowercased, letter tokens)
@@ -40,6 +42,10 @@ final case class CurateConfig(
   *      with the eval corpus is dropped
   *   6. deterministic hash-fraction sample
   *
+  * `idCol` must be castable to a 64-bit integer (the engine's
+  * content-addressing convention — `xxhash64` of the canonical URL for
+  * crawled docs): component labeling runs over long node ids.
+  *
   * Stage boundaries with more than one downstream consumer are
   * materialized (lazy `localCheckpoint`): the gate+exact-dedup survivor
   * set feeds the fuzzy pair generator, the cluster labeler, AND the
@@ -53,7 +59,8 @@ object Curate {
   def curateCorpus(docs: DataFrame, idCol: String, textCol: String,
                    bench: Option[DataFrame] = None,
                    benchTextCol: String = "text",
-                   cfg: CurateConfig = CurateConfig()): DataFrame = {
+                   cfg: CurateConfig = CurateConfig(),
+                   embedder: Embedder = Embedder.default): DataFrame = {
     // 1. scan-stage gates
     val rep = TextAnalysis.repetitionSignals(docs, idCol, textCol,
         topNs = Seq(2), dupNs = Seq(10))
@@ -84,8 +91,15 @@ object Curate {
             n = cfg.fuzzyN, minJaccard = cfg.fuzzyThreshold)
           case "minhash" => Dedup.minHashLsh(exactKept, idCol, textCol,
             shingleLen = cfg.fuzzyN, minEstJaccard = cfg.fuzzyThreshold)
+          // semantic near-dup via the pluggable Embedder seam: vectors are
+          // computed in-plan, blocked by banded sign-buckets, verified by
+          // exact cosine at fuzzyThreshold
+          case "embedding" => Dedup.embeddingNearDupText(exactKept, idCol,
+            textCol, embedder, minCosine = cfg.fuzzyThreshold,
+            bands = 3, targetBucketSize = 64)
+            .select(col("id_a"), col("id_b"))
           case other => throw new IllegalArgumentException(
-            s"unknown fuzzy stage '$other' (minhash | jaccard | none)")
+            s"unknown fuzzy stage '$other' (minhash | jaccard | embedding | none)")
         }
         val canonical = Dedup.clusterLabels(exactKept, idCol, pairs)
           .where(col("is_canonical")).select(col(idCol))

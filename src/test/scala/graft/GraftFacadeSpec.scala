@@ -86,6 +86,52 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(s1 == s2 && s1.subsetOf(Set(1L, 7L)))
   }
 
+  test("curateCorpus: embedding fuzzy stage dedups semantically via the Embedder seam") {
+    import graft.ops.CurateConfig
+    val good1 = "the quick brown fox jumps over the lazy dog and it was a " +
+      "good day in the forest for everyone involved"
+    val docs = Seq(
+      (1L, good1),
+      (3L, good1 + " extra"), // one appended word: near-identical bag of words
+      (7L, "a completely separate article describing gardens with flowers " +
+           "and trees that bloom in the spring when the weather is warm")
+    ).toDF("doc_id", "text")
+    val cfg = CurateConfig(minQuality = 0.3, maxDupLineFrac = 0.5,
+      maxTopGramFrac = 0.5, maxDupGramFrac = 0.5,
+      fuzzy = "embedding", fuzzyThreshold = 0.9, sampleFraction = 1.0)
+    val out = g.curateCorpus(docs, "doc_id", "text", None, "text", cfg)
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 7L))
+  }
+
+  test("crawl → curate: the crawled corpus flows end-to-end into curation") {
+    import graft.ops.CurateConfig
+    val pages = (0L until Synth.pageCount(site)).map { i =>
+      val p = Synth.pageAt(site, i)
+      graft.core.PageRec(p.url, 0L, p.host, p.html, 200, 0)
+    }.toDF().withColumn("url_hash", xxhash64(col("url")))
+    val runDir = java.nio.file.Files.createTempDirectory("crawl2curate").toString
+    val summary = g.crawl(Synth.seeds(site).toDF(), pages,
+      Synth.robots(site).toDF(), runDir, CrawlConfig(hostBudget = 10, maxEpochs = 20))
+    // assemble one text document per crawled URL from its ordered spans
+    // doc ids entering curation follow the engine's content-addressing
+    // convention: 64-bit xxhash64 of the canonical URL (Curate requires
+    // integer-castable ids for component labeling)
+    val corpus = g.docs(runDir)
+      .select(xxhash64(col("doc_id")).as("doc_id"), explode(col("spans")).as("span"))
+      .where(col("span.kind") === "text")
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("span.offset").as("offset"),
+          col("span.text").as("text")))),
+        s => s.getField("text"))).as("text"))
+    val cfg = CurateConfig(minQuality = 0.0, maxDupLineFrac = 1.0,
+      maxTopGramFrac = 1.0, maxDupGramFrac = 1.0,
+      fuzzy = "minhash", fuzzyThreshold = 0.9, sampleFraction = 1.0)
+    val curated = g.curateCorpus(corpus, "doc_id", "text", None, "text", cfg)
+    // synthetic pages are pairwise distinct: everything crawled survives
+    assert(curated.count() == summary.fetched)
+  }
+
   test("curateCorpus: span dedup stage rewrites text and counts removals") {
     import graft.ops.CurateConfig
     val docs = Seq((1L, "alpha beta gamma delta"), (2L, "x alpha beta y"))
