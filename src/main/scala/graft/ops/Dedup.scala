@@ -407,7 +407,8 @@ object Dedup {
         .select(col("id_a"), col("id_b"), col("v_a"), col("v_b"))
     }.reduce(_ unionByName _).dropDuplicates("id_a", "id_b")
     candidates
-      .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+      // compiled kernel (bit-identical twin of Similarity.cosine — OpsSpec)
+      .withColumn("cosine", Similarity.cosineKernel(col("v_a"), col("v_b")))
       .where(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
@@ -694,7 +695,9 @@ object Dedup {
     val b = assigned.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"))
     val pairs = a.join(b, Seq("cell"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+      // compiled kernel (bit-identical twin of Similarity.cosine — OpsSpec):
+      // within-cell verification evaluates O(cell²) pairs, the hot path
+      .withColumn("cosine", Similarity.cosineKernel(col("v_a"), col("v_b")))
       .where(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"))
     clusterLabels(assigned.select(col("id")), "id", pairs)

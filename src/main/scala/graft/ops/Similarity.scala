@@ -32,6 +32,33 @@ object Similarity {
     when(d === 0.0, 0.0).otherwise(dot(a, b) / d)
   }
 
+  /** Compiled twin of [[cosine]] — identical float multiply → double
+    * accumulation in index order, so results are BIT-IDENTICAL to the
+    * Column form (asserted in OpsSpec, same contract as the minhash/simhash
+    * kernels). Exists because the Column form is an interpreted
+    * HigherOrderFunction: on the near-dup pair-verification hot path
+    * (hundreds of thousands of candidate pairs per cell/bucket) the
+    * interpreter costs ~10× per pair vs this while-loop.
+    */
+  def cosineFast(a: Array[Float], b: Array[Float]): Double = {
+    def dotF(x: Array[Float], y: Array[Float]): Double = {
+      val n = math.min(x.length, y.length)
+      var acc = 0.0; var i = 0
+      while (i < n) { acc += (x(i) * y(i)).toDouble; i += 1 }
+      acc
+    }
+    val d = math.sqrt(dotF(a, a)) * math.sqrt(dotF(b, b))
+    if (d == 0.0) 0.0 else dotF(a, b) / d
+  }
+
+  /** [[cosineFast]] as a column function. Declared over PRIMITIVE float
+    * arrays: Spark's input converter materializes ArrayData via
+    * toFloatArray, so the hot loop runs unboxed (a Seq[Float] signature
+    * boxes every element access).
+    */
+  def cosineKernel(a: Column, b: Column): Column =
+    udf((x: Array[Float], y: Array[Float]) => cosineFast(x, y)).apply(a, b)
+
   /** Exact top-k by cosine against one query vector (a literal — the plan is
     * scan → project → TakeOrdered; no shuffle beyond the final k).
     */

@@ -166,6 +166,57 @@ object TextAnalysis {
       .otherwise(slice(array(lit("")), 1, 0))
   }
 
+  /** Compiled per-row twin of [[repetitionSignals]] (exact same counting
+    * semantics, asserted equal in OpsSpec): returns
+    * `dup_line_frac +: top-fracs ++ dup-fracs` in the declared n order.
+    * Exists for STREAMING curation — the batch op is an explode + two keyed
+    * aggregations, which on an unbounded stream would be stateful; this
+    * kernel is a stateless projection, so the scan gates run per micro-batch
+    * unchanged. (Batch pipelines keep the relational form: its partial
+    * aggregation shape is the skew-safe one for giant documents.)
+    */
+  def repetitionSignalsFast(text: String, topNs: Seq[Int] = Seq(2, 3, 4),
+                            dupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10)): Seq[Double] = {
+    val t = if (text == null) "" else text
+    // mirror Spark's trim exactly: strips ' ' only, not \t/\r
+    def trimSpaces(s: String): String = {
+      var a = 0; var b = s.length
+      while (a < b && s.charAt(a) == ' ') a += 1
+      while (b > a && s.charAt(b - 1) == ' ') b -= 1
+      s.substring(a, b)
+    }
+    val nChars = t.codePointCount(0, t.length).toLong // Spark length() = code points
+    val lines = t.split("\n").map(trimSpaces).filter(_.nonEmpty)
+    def cp(s: String): Long = s.codePointCount(0, s.length).toLong
+    val lineChars = lines.map(cp).sum
+    val dupLineChars = lineChars - lines.distinct.map(cp).sum
+    val toks = t.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+    def gramCounts(n: Int): scala.collection.Map[String, Long] = {
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      var i = 0
+      while (i + n <= toks.length) {
+        val g = toks.slice(i, i + n).mkString(" ")
+        m.update(g, m.getOrElse(g, 0L) + 1L)
+        i += 1
+      }
+      m
+    }
+    val denom = math.max(nChars, 1L).toDouble
+    val dupLineFrac =
+      dupLineChars.toDouble / math.max(lineChars, 1L).toDouble
+    val tops = topNs.map { n =>
+      val m = gramCounts(n)
+      (if (m.isEmpty) 0L
+       else m.iterator.map { case (g, c) => c * cp(g) }.max).toDouble / denom
+    }
+    val dups = dupNs.map { n =>
+      gramCounts(n).iterator
+        .collect { case (g, c) if c > 1 => (c - 1) * cp(g) }
+        .foldLeft(0L)(_ + _).toDouble / denom
+    }
+    dupLineFrac +: (tops ++ dups)
+  }
+
   /** Per-document repetition signals in the Gopher / MassiveText family
     * (Rae et al. 2021 §A1.1; same measurements as the public NeMo-Curator /
     * DataTrove repetition filters): duplicate-line character fraction and

@@ -263,6 +263,18 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.planesFor(10L * 1000 * 1000 * 1000, 64) >= 24) // 10^10 rows
   }
 
+  test("cosine kernel is bit-identical to the Column form") {
+    val pairs = embs.select(col("vec_id"), col("embedding")).limit(40)
+      .crossJoin(embs.select(col("vec_id").as("id2"), col("embedding").as("e2")).limit(40))
+      .where(col("vec_id") < col("id2"))
+    val both = pairs.select(
+        Similarity.cosine(col("embedding"), col("e2")).as("c"),
+        Similarity.cosineKernel(col("embedding"), col("e2")).as("k"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // exact, not approx
+  }
+
   test("semdedup: quantizer blocking groups exact dups, min-id canonical, matches seq twin") {
     val vecs = embs.select(col("vec_id"), col("embedding")).where(col("vec_id") < 80)
     val dupVecs = vecs.unionByName(
@@ -287,6 +299,20 @@ class OpsSpec extends AnyFunSuite {
     val expected = graft.oracle.SeqOracle.semDedup(
       seqIn, cells = 4, minCosine = 0.999, iters = 2, trainFraction = 1.0)
     assert(out.sortBy(_._1).toSeq == expected)
+  }
+
+  test("repetition kernel: per-row twin equals the relational op exactly") {
+    val batch = TextAnalysis.repetitionSignals(docs, "doc_id", "text",
+        topNs = Seq(2), dupNs = Seq(10))
+      .select("doc_id", "dup_line_frac", "top2_gram_frac", "dup10_gram_frac")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    docs.select("doc_id", "text").collect().foreach { r =>
+      val s = TextAnalysis.repetitionSignalsFast(r.getString(1), Seq(2), Seq(10))
+      val b = batch(r.getLong(0))
+      assert(s == Seq(b._1, b._2, b._3), s"doc ${r.getLong(0)}: $s vs $b")
+    }
   }
 
   test("upsample: per-stratum repeat factors, copy ids, deterministic") {

@@ -97,6 +97,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming curation: gates + exact + near-dup dedup across micro-batches") {
+    import graft.ops.CurateConfig
+    import graft.streaming.StreamCurate
+    implicit val sqlCtx = spark.sqlContext
+    val good1 = "the quick brown fox jumps over the lazy dog and it was a " +
+      "good day in the forest for everyone involved all things considered"
+    val good2 = "a completely separate article describing gardens with flowers " +
+      "and trees that bloom in the spring when the weather is warm and bright"
+    val cfg = CurateConfig(minQuality = 0.3, maxDupLineFrac = 0.5,
+      maxTopGramFrac = 0.5, maxDupGramFrac = 0.5,
+      fuzzy = "minhash", fuzzyThreshold = 0.5, fuzzyN = 2)
+    val stateDir = java.nio.file.Files.createTempDirectory("scur_state").toString
+    val outDir = java.nio.file.Files.createTempDirectory("scur_out").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("scur_ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = StreamCurate.curateStream(docs, "doc_id", "text", cfg,
+      stateDir, outDir, ckptDir)
+    try {
+      // batch 1: two distinct docs + an in-batch exact copy + a gate reject
+      mem.addData((1L, good1), (2L, good2), (3L, good1), (4L, "x"))
+      q.processAllAvailable()
+      // batch 2: exact dup of an ACCEPTED doc, near-dup of an accepted doc,
+      // one genuinely new doc
+      mem.addData((10L, good1), (11L, good1 + " extra trailing marker"),
+        (12L, "meanwhile the mountain villages prepare their winter stores " +
+              "of grain and wood while the river slowly freezes along the banks"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L, 12L), s"got $out")
+    // the state ledgers absorbed exactly the accepted docs
+    assert(spark.read.parquet(s"$stateDir/hashes").count() == 3)
+    assert(spark.read.parquet(s"$stateDir/sigs").count() == 3)
+    // at-least-once convergence: replaying an accepted batch adds nothing
+    val replay = StreamCurate.acceptBatch(
+      Seq((1L, good1)).toDF("doc_id", "text"), "doc_id", "text", cfg, stateDir)
+    assert(replay.count() == 0)
+  }
+
   test("text-analysis operators run unchanged on a stream (batch parity)") {
     // the pipeline operators are pure Column expressions, so the SAME code
     // path serves batch backfill and streaming ingest — parity asserted
