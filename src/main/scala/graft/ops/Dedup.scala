@@ -674,12 +674,23 @@ object Dedup {
     * (`extraction_strategy.py:121-461`); SemDeDup is that semantics lifted
     * to corpus scale with a trained quantizer as the blocker.
     *
+    * A collapsed quantizer is the failure mode at scale: if k-means lands
+    * most of the corpus in one cell, the within-cell join goes quadratic in
+    * THAT cell. `maxCellSize > 0` bounds it: any cell over the limit is
+    * sub-blocked by random-hyperplane sign-buckets (⌈log₂(size/limit)⌉
+    * planes, per-cell plane family) and pairs are generated within a
+    * sub-block only. Identical vectors always share every sign, so
+    * exact-duplicate recall is unaffected; near-identical pairs can split
+    * across a plane with the same bounded probability as
+    * [[embeddingNearDup]]'s banding — the price of the bound, documented
+    * here rather than discovered at 3 a.m. over 100 TB.
+    *
     * @return one row per input doc: (id, cell, component, is_canonical) —
     *         `is_canonical = false` rows are the semantic duplicates to drop
     */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
                cells: Int, minCosine: Double = 0.95, iters: Int = 3,
-               trainFraction: Double = 1.0): DataFrame = {
+               trainFraction: Double = 1.0, maxCellSize: Int = 0): DataFrame = {
     require(cells >= 1, "cells must be >= 1")
     val centroids = Similarity.trainIvf(df, idCol, vecCol, cells, iters, trainFraction)
     // untracked kernel broadcast: it must stay live until the lazy checkpoint
@@ -687,13 +698,32 @@ object Dedup {
     // by the ContextCleaner with the plan, not destroyed here — the same
     // contract as ivfTopKTrained
     val cellOf = Similarity.nearestCellKernel(df.sparkSession, centroids)
-    val assigned = df
+    val assignedRaw = df
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .withColumn("cell", cellOf(col("v").cast("array<double>")))
-      .localCheckpoint(false)
-    val a = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = assigned.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"))
-    val pairs = a.join(b, Seq("cell"))
+    val assigned = (
+      if (maxCellSize > 0) {
+        // per-cell plane count from the occupancy (one bounded-size agg);
+        // sub-block key from a per-cell plane family so one giant cell's
+        // split does not correlate with another's
+        val sizes = assignedRaw.groupBy("cell").agg(count(lit(1)).as("n"))
+          .collect().map { r =>
+            val n = r.getLong(1)
+            val planes =
+              if (n <= maxCellSize) 0
+              else math.ceil(math.log(n.toDouble / maxCellSize) / math.log(2.0)).toInt
+            r.getInt(0) -> planes
+          }.toMap
+        val subOf = udf((cell: Int, v: Seq[Float]) => {
+          val p = sizes.getOrElse(cell, 0)
+          if (p == 0) 0L else Similarity.signBucketFast(v, p, planeOffset = cell * 64)
+        })
+        assignedRaw.withColumn("sub", subOf(col("cell"), col("v")))
+      } else assignedRaw.withColumn("sub", lit(0L))
+    ).localCheckpoint(false)
+    val a = assigned.select(col("cell"), col("sub"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = assigned.select(col("cell"), col("sub"), col("id").as("id_b"), col("v").as("v_b"))
+    val pairs = a.join(b, Seq("cell", "sub"))
       .where(col("id_a") < col("id_b"))
       // compiled kernel (bit-identical twin of Similarity.cosine — OpsSpec):
       // within-cell verification evaluates O(cell²) pairs, the hot path

@@ -352,6 +352,25 @@ class OpsSpec extends AnyFunSuite {
     out.foreach { case (id, s) => assert(again(id) == s) }
   }
 
+  test("semdedup: maxCellSize sub-blocks a collapsed cell, keeps exact-dup recall") {
+    // cells = 1 forces the quantizer-collapse failure mode: every vector in
+    // one cell, the within-cell join quadratic in the corpus
+    val vecs = embs.select(col("vec_id"), col("embedding")).where(col("vec_id") < 200)
+    val dupVecs = vecs.unionByName(
+      vecs.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    val out = Dedup.semDedup(dupVecs, "vec_id", "embedding",
+        cells = 1, minCosine = 0.999, iters = 1, maxCellSize = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    assert(out.length == 400)
+    val byId = out.map(t => t._1 -> t).toMap
+    // identical vectors share every sign bucket → sub-blocking cannot split
+    // an exact-dup pair
+    (0L until 200L).foreach { id =>
+      assert(byId(id)._2 == byId(id + 100000)._2, s"dup pair of $id split")
+      assert(!byId(id + 100000)._3)
+    }
+  }
+
   test("dsir: importance resampling prefers target-like docs, deterministic") {
     val raw = (0L until 60L).map { i =>
       if (i % 2 == 0) (i, "quantum entanglement superposition qubit decoherence photon")
