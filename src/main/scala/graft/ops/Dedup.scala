@@ -35,7 +35,7 @@ object Dedup {
 
   private def tokenizeFast(text: String): Array[String] =
     if (text == null) Array.empty
-    else text.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+    else text.toLowerCase(java.util.Locale.ROOT).split("[^a-z]+").filter(_.nonEmpty)
 
   /** Word k-shingles, mirroring TextAnalysis.shingles (fallback: one shingle
     * of all tokens when fewer than k). */
@@ -166,8 +166,11 @@ object Dedup {
       // localCheckpoint (not persist: the CacheManager would pin it for the
       // session) truncates lineage into block storage sized to the candidate
       // pairs, orders smaller than the corpus; freed by the ContextCleaner
-      // when the returned plan is no longer referenced.
-      .localCheckpoint(true)
+      // when the returned plan is no longer referenced. LAZY: the returned
+      // plan stays a plan — callers that only build/inspect/compose it
+      // (Curate.curateCorpus documents a one-lazy-plan contract) pay the
+      // band join at their first action, not here at call time.
+      .localCheckpoint(false)
     val survivorIds = pairIds.select(col("id_a").as("id"))
       .unionByName(pairIds.select(col("id_b").as("id")))
       .distinct()
@@ -176,7 +179,7 @@ object Dedup {
       .select(col("id"), sigUdf(col("__t")).as("sig"))
       // same reasoning: joined as both sig_a and sig_b below — materialize
       // the (small) survivor slice so the corpus is scanned once, not twice
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val pairs = pairIds
       .join(survivorSigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(survivorSigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
@@ -541,13 +544,10 @@ object Dedup {
                     bench: DataFrame, benchTextCol: String,
                     k: Int = 13): DataFrame = {
     require(k >= 1, "gram length must be >= 1")
-    def gramsOf(text: Column): Column = {
-      val toks = filter(split(lower(text), "[^a-z]+"), t => t =!= "")
-      val end = size(toks) - lit(k - 1)
-      when(end >= 1,
-        transform(sequence(lit(1), end), i => concat_ws(" ", slice(toks, i, lit(k)))))
-        .otherwise(slice(array(lit("")), 1, 0))
-    }
+    // ONE gram builder for the whole pipeline: the decontamination grams are
+    // TextAnalysis.wordGrams, the same expression the repetition/LM operators
+    // tokenize with — a tokenizer change there changes this in lockstep
+    def gramsOf(text: Column): Column = TextAnalysis.wordGrams(text, k)
     val docGrams = docs
       .select(col(idCol).as("id"), explode(gramsOf(col(textCol))).as("g"))
       .distinct()
@@ -556,7 +556,7 @@ object Dedup {
     val hits = docGrams.join(benchGrams, Seq("g"))
       .groupBy("id").agg(count(lit(1)).as("n_hit_grams"))
     docs.select(col(idCol).as("id"),
-        greatest(size(filter(split(lower(col(textCol)), "[^a-z]+"), t => t =!= ""))
+        greatest(size(TextAnalysis.tokens(col(textCol)))
           - lit(k - 1), lit(0)).cast("long").as("n_grams"))
       .join(hits, Seq("id"), "left")
       .select(col("id").as(idCol), col("n_grams"),
@@ -592,8 +592,11 @@ object Dedup {
   def spanDedup(df: DataFrame, idCol: String, textCol: String,
                 k: Int = 10): DataFrame = {
     require(k >= 1, "span length must be >= 1")
-    val toksOf = filter(split(lower(col(textCol)), "[^a-z]+"), t => t =!= "")
-    val docs = df.select(col(idCol).cast("long").as("id"), toksOf.as("toks"))
+    // ids pass through untouched (string ids order lexicographically in the
+    // first-occurrence reduction; numeric ids numerically) — no cast, so a
+    // non-numeric id column can never null out and empty the corpus
+    val docs = df.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
 
     // one row per span occurrence: (id, pos of first covered token, gram)
     val nSpans = size(col("toks")) - lit(k - 1)
@@ -663,10 +666,11 @@ object Dedup {
     * over a broadcast C·dim centroid matrix; the within-cell self-join
     * shuffles on `cell` and is quadratic only in the cell occupancy — pick
     * `cells ≈ n / targetCellSize` so occupancy stays bounded (the paper uses
-    * 50k clusters for LAION-440M). Assignment is materialized once (lazy
-    * localCheckpoint) because it feeds both join sides and the final label
-    * join; left lazy, Spark would re-run trainIvf's scan + the argmin per
-    * consumer. Component labeling is the O(log² n)-round
+    * 50k clusters for LAION-440M). The assignment projection is materialized
+    * once (lazy localCheckpoint) because it feeds the occupancy agg, both
+    * join sides, and the final label join; left unmaterialized, Spark would
+    * re-run trainIvf's scan + the argmin per consumer. Component labeling is
+    * the O(log² n)-round
     * [[connectedComponents]], never a driver loop.
     *
     * Reference semantic twin: crawl4ai clusters cosine-similar chunks the
@@ -698,14 +702,21 @@ object Dedup {
     // by the ContextCleaner with the plan, not destroyed here — the same
     // contract as ivfTopKTrained
     val cellOf = Similarity.nearestCellKernel(df.sparkSession, centroids)
+    // the assignment pass (corpus scan + O(cells·dim) argmin per row) is the
+    // expensive projection — checkpoint IT, so the occupancy collect below
+    // materializes it once and the sub-block key is derived from cached
+    // blocks (signBucketFast over the few oversized cells is cheap enough to
+    // re-evaluate per consumer; re-running the argmin per consumer is not)
     val assignedRaw = df
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .withColumn("cell", cellOf(col("v").cast("array<double>")))
-    val assigned = (
+      .localCheckpoint(false)
+    val assigned =
       if (maxCellSize > 0) {
-        // per-cell plane count from the occupancy (one bounded-size agg);
-        // sub-block key from a per-cell plane family so one giant cell's
-        // split does not correlate with another's
+        // per-cell plane count from the occupancy (one bounded-size agg over
+        // the now-materialized assignment); sub-block key from a per-cell
+        // plane family so one giant cell's split does not correlate with
+        // another's
         val sizes = assignedRaw.groupBy("cell").agg(count(lit(1)).as("n"))
           .collect().map { r =>
             val n = r.getLong(1)
@@ -720,7 +731,6 @@ object Dedup {
         })
         assignedRaw.withColumn("sub", subOf(col("cell"), col("v")))
       } else assignedRaw.withColumn("sub", lit(0L))
-    ).localCheckpoint(false)
     val a = assigned.select(col("cell"), col("sub"), col("id").as("id_a"), col("v").as("v_a"))
     val b = assigned.select(col("cell"), col("sub"), col("id").as("id_b"), col("v").as("v_b"))
     val pairs = a.join(b, Seq("cell", "sub"))

@@ -20,7 +20,7 @@ import graft.core.Xxh64
 object Embed {
 
   def tokens(text: String): Seq[String] =
-    text.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).toSeq
+    text.toLowerCase(java.util.Locale.ROOT).split("[^a-z]+").filter(_.nonEmpty).toSeq
 
   /** Production kernel: xxh64 slot/sign. */
   def stub(text: String, dim: Int = 64): Array[Float] = {

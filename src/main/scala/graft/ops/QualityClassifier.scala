@@ -36,7 +36,7 @@ object QualityClassifier {
   private val GradScale = 4294967296.0 // 2^32
 
   private def tokenize(text: String): Array[String] =
-    text.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+    text.toLowerCase(java.util.Locale.ROOT).split("[^a-z]+").filter(_.nonEmpty)
 
   /** Hashed l2-normalized tf bag of unigrams (+ bigrams): sparse (indices,
     * values) with indices strictly ascending — the fixed accumulation

@@ -145,7 +145,7 @@ object TextAnalysis {
     */
   def fixedChunksFast(text: String, words: Int): Seq[String] = {
     if (text == null) return null
-    val t = text.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+    val t = text.toLowerCase(java.util.Locale.ROOT).split("[^a-z]+").filter(_.nonEmpty)
     if (t.isEmpty) Seq("")
     else t.grouped(words).map(_.mkString(" ")).toSeq
   }
@@ -190,7 +190,7 @@ object TextAnalysis {
     def cp(s: String): Long = s.codePointCount(0, s.length).toLong
     val lineChars = lines.map(cp).sum
     val dupLineChars = lineChars - lines.distinct.map(cp).sum
-    val toks = t.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+    val toks = t.toLowerCase(java.util.Locale.ROOT).split("[^a-z]+").filter(_.nonEmpty)
     def gramCounts(n: Int): scala.collection.Map[String, Long] = {
       val m = scala.collection.mutable.HashMap.empty[String, Long]
       var i = 0

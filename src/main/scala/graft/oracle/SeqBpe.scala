@@ -12,7 +12,7 @@ import scala.collection.mutable
 object SeqBpe {
 
   private def tokensOf(text: String): Seq[String] =
-    text.toLowerCase.split("[^a-z]+").toSeq.filter(_.nonEmpty)
+    text.toLowerCase(java.util.Locale.ROOT).split("[^a-z]+").toSeq.filter(_.nonEmpty)
 
   private def replacePair(syms: Vector[String], l: String, r: String): Vector[String] = {
     val out = Vector.newBuilder[String]

@@ -239,24 +239,32 @@ object SeqOracle {
     * Spark's partition order — last-ulp noise that cannot flip an argmin on
     * this data (asserted stable by the driver compare itself).
     */
-  def ivfTrainedTopK(vecs: Seq[(Long, Seq[Float])], query: Seq[Float], k: Int,
-                     cells: Int, iters: Int, trainFraction: Double,
-                     nProbe: Int): Seq[(Long, Double)] = {
-    def distSq(v: Seq[Float], c: Seq[Double]): Double = {
-      var acc = 0.0; var j = 0
-      val n = math.min(v.length, c.length)
-      while (j < n) { val d = v(j).toDouble - c(j); acc += d * d; j += 1 }
-      acc
+  private def distSq(v: Seq[Float], c: Seq[Double]): Double = {
+    var acc = 0.0; var j = 0
+    val n = math.min(v.length, c.length)
+    while (j < n) { val d = v(j).toDouble - c(j); acc += d * d; j += 1 }
+    acc
+  }
+
+  private def argmin(v: Seq[Float], cs: Seq[Seq[Double]]): Int = {
+    var best = Double.MaxValue; var bi = 0; var i = 0
+    while (i < cs.length) {
+      val d = distSq(v, cs(i))
+      if (d < best) { best = d; bi = i }
+      i += 1
     }
-    def argmin(v: Seq[Float], cs: Seq[Seq[Double]]): Int = {
-      var best = Double.MaxValue; var bi = 0; var i = 0
-      while (i < cs.length) {
-        val d = distSq(v, cs(i))
-        if (d < best) { best = d; bi = i }
-        i += 1
-      }
-      bi
-    }
+    bi
+  }
+
+  /** The ONE sequential twin of Similarity.trainIvf's Lloyd's protocol —
+    * first-C-vectors-by-id init, deterministic xxh64 hash-sample, first-min
+    * argmin assignment, per-cell mean update with empty cells keeping their
+    * centroid. Shared by [[ivfTrainedTopK]] and [[semDedup]] so a protocol
+    * change (sample seed, empty-cell rule, init order) cannot desynchronize
+    * one oracle from the other.
+    */
+  private def trainCentroids(vecs: Seq[(Long, Seq[Float])], cells: Int,
+                             iters: Int, trainFraction: Double): Seq[Seq[Double]] = {
     val mod = math.max(1L, (1.0 / trainFraction).toLong)
     val sample =
       if (trainFraction >= 1.0) vecs
@@ -280,6 +288,13 @@ object SeqOracle {
       }
       it += 1
     }
+    centroids
+  }
+
+  def ivfTrainedTopK(vecs: Seq[(Long, Seq[Float])], query: Seq[Float], k: Int,
+                     cells: Int, iters: Int, trainFraction: Double,
+                     nProbe: Int): Seq[(Long, Double)] = {
+    val centroids = trainCentroids(vecs, cells, iters, trainFraction)
     val qCells = centroids.zipWithIndex
       .map { case (c, i) =>
         val d = c.zip(query).map { case (m, x) => (x - m) * (x - m) }.sum
@@ -302,44 +317,7 @@ object SeqOracle {
     */
   def semDedup(vecs: Seq[(Long, Seq[Float])], cells: Int, minCosine: Double,
                iters: Int, trainFraction: Double): Seq[(Long, Int, Long, Boolean)] = {
-    def distSq(v: Seq[Float], c: Seq[Double]): Double = {
-      var acc = 0.0; var j = 0
-      val n = math.min(v.length, c.length)
-      while (j < n) { val d = v(j).toDouble - c(j); acc += d * d; j += 1 }
-      acc
-    }
-    def argmin(v: Seq[Float], cs: Seq[Seq[Double]]): Int = {
-      var best = Double.MaxValue; var bi = 0; var i = 0
-      while (i < cs.length) {
-        val d = distSq(v, cs(i))
-        if (d < best) { best = d; bi = i }
-        i += 1
-      }
-      bi
-    }
-    val mod = math.max(1L, (1.0 / trainFraction).toLong)
-    val sample =
-      if (trainFraction >= 1.0) vecs
-      else vecs.filter { case (id, _) =>
-        Math.floorMod(graft.core.Xxh64.hashLong(id, 42L), mod) == 0L }
-    var centroids: Seq[Seq[Double]] =
-      sample.sortBy(_._1).take(cells).map(_._2.map(_.toDouble).toIndexedSeq)
-    var it = 0
-    while (it < iters) {
-      val byCell = sample.groupBy { case (_, v) => argmin(v, centroids) }
-      centroids = centroids.zipWithIndex.map { case (old, c) =>
-        byCell.get(c) match {
-          case Some(ms) =>
-            val dim = old.length
-            val sums = new Array[Double](dim)
-            ms.foreach { case (_, v) =>
-              var j = 0; while (j < dim) { sums(j) += v(j).toDouble; j += 1 } }
-            sums.map(_ / ms.length).toIndexedSeq
-          case None => old
-        }
-      }
-      it += 1
-    }
+    val centroids = trainCentroids(vecs, cells, iters, trainFraction)
     val assigned = vecs.map { case (id, v) => (id, v, argmin(v, centroids)) }
     // union-find over within-cell pairs at minCosine
     val parent = scala.collection.mutable.Map.empty[Long, Long]

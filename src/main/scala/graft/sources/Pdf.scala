@@ -60,7 +60,7 @@ object Pdf {
   // ---- deterministic synthetic PDF generator (bench/driver corpus) --------
 
   private def pdfTokens(text: String): Array[String] =
-    text.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+    text.toLowerCase(java.util.Locale.ROOT).split("[^a-z]+").filter(_.nonEmpty)
 
   private def pageTexts(id: Long, text: String): Seq[String] = {
     val toks = pdfTokens(text)

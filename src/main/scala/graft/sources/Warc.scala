@@ -103,7 +103,10 @@ object Warc {
             .map(_.split(":", 2))
             .collect { case Array(k, v) => k.trim.toLowerCase -> v.trim }
             .toMap
-          val len = fields.get("content-length").map(_.toLong).getOrElse(0L)
+          // tolerate a malformed Content-Length (skip the record's payload
+          // rather than failing the whole segment's task)
+          val len = fields.get("content-length")
+            .flatMap(_.toLongOption).filter(_ >= 0L).getOrElse(0L)
           val pStart = hEnd + sepLen
           val pLen = math.min(len, (bytes.length - pStart).toLong).toInt
           out += WarcRecord(

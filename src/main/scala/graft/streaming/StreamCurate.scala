@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import graft.ops.{CurateConfig, Dedup, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -13,15 +15,22 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * against everything ever accepted, and NEAR-dup dedup against the
   * persisted MinHash LSH index, then extends that state on disk.
   *
-  * State is three append-only parquet ledgers under `stateDir`:
-  * `hashes/` (accepted content hashes), `band_index/` + `sigs/` (the
-  * [[Dedup.MinHashIndex]] of accepted documents). Per-batch work is
-  * O(batch) probes against them — accepted-corpus TEXT is never re-scanned,
-  * the same property as [[Dedup.dedupIncremental]] (the batch-mode
-  * cross-snapshot path). Selection is a pure function of content, so a
-  * replayed micro-batch (streaming's at-least-once foreachBatch contract)
-  * converges: already-accepted content hash-collides with the ledger and is
-  * dropped on replay.
+  * State is three parquet ledgers under `stateDir` — `hashes/` (accepted
+  * content hashes), `band_index/` + `sigs/` (the [[Dedup.MinHashIndex]] of
+  * accepted documents) — each laid out as one `batch=<id>` partition per
+  * micro-batch. Per-batch work is O(batch) probes against them —
+  * accepted-corpus TEXT is never re-scanned, the same property as
+  * [[Dedup.dedupIncremental]] (the batch-mode cross-snapshot path).
+  *
+  * Replay safety (foreachBatch only guarantees at-least-once): every write a
+  * batch makes — the three state deltas AND the curated output — goes to
+  * that batch's own `batch=<id>` directory in OVERWRITE mode, and state
+  * probes read only partitions with id < the current batch. A replayed batch
+  * therefore sees exactly the pre-batch state (its own partial writes from
+  * the failed attempt are invisible to the probes and clobbered by the
+  * rewrite), recomputes the identical survivor set (selection is a pure
+  * function of content + prior state), and lands exactly-once output — the
+  * idempotent-sink pattern, not append-and-hope.
   *
   * The scan gates run as a stateless projection
   * ([[TextAnalysis.repetitionSignalsFast]] — the compiled per-row twin of
@@ -47,21 +56,46 @@ object StreamCurate {
       .drop("__rep")
   }
 
+  /** `batch=<id>` partitions of `dir` committed BEFORE `batchId` — the state
+    * a replayed batch is allowed to see. Streaming batch ids are monotonic,
+    * so "before" is a simple id compare; the current batch's own partial
+    * partition from a failed attempt is excluded by construction.
+    */
+  private def priorBatchDirs(dir: String, batchId: Long): Seq[String] = {
+    val p = Paths.get(dir)
+    if (!Files.isDirectory(p)) Seq.empty
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala
+        .filter { sub =>
+          val name = sub.getFileName.toString
+          name.startsWith("batch=") &&
+            name.stripPrefix("batch=").toLongOption.exists(_ < batchId)
+        }
+        .map(_.toString).toList
+      finally s.close()
+    }
+  }
+
   private def ledger(spark: org.apache.spark.sql.SparkSession,
-                     dir: String, schema: String): DataFrame =
-    if (Files.isDirectory(Paths.get(dir))) spark.read.parquet(dir)
+                     dir: String, schema: String, batchId: Long): DataFrame = {
+    val parts = priorBatchDirs(dir, batchId)
+    if (parts.nonEmpty) spark.read.parquet(parts: _*)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(schema))
+  }
 
   /** One micro-batch acceptance step (the foreachBatch body, exposed so
     * tests and batch replays can drive it directly): gate → exact dedup
     * (in-batch min-id + anti-join vs the hash ledger) → near-dup dedup
     * (in-batch clusters + probe vs the persisted index) → survivors
-    * returned AND absorbed into the on-disk state.
+    * returned AND absorbed into the on-disk state under this batch's own
+    * `batch=<batchId>` partitions (overwrite — replaying the same batch id
+    * self-heals a partial attempt instead of double-appending).
     */
   def acceptBatch(batch: DataFrame, idCol: String, textCol: String,
-                  cfg: CurateConfig, stateDir: String): DataFrame = {
+                  cfg: CurateConfig, stateDir: String, batchId: Long): DataFrame = {
     val spark = batch.sparkSession
     val hashDir = s"$stateDir/hashes"
     val bandDir = s"$stateDir/band_index"
@@ -70,7 +104,7 @@ object StreamCurate {
     val gated = gate(batch, textCol, cfg)
       .withColumn("__h", xxhash64(col(textCol)))
     // exact: one survivor per content in-batch (min id), nothing already accepted
-    val seen = ledger(spark, hashDir, "h BIGINT")
+    val seen = ledger(spark, hashDir, "h BIGINT", batchId)
     val exactKept = gated
       .join(gated.groupBy("__h").agg(min(col(idCol)).as(idCol)),
         Seq("__h", idCol), "left_semi")
@@ -86,9 +120,11 @@ object StreamCurate {
           .where(col("is_canonical")).select(col(idCol))
         exactKept.join(canonical, Seq(idCol), "left_semi")
       }
-      if (Files.isDirectory(Paths.get(bandDir))) {
+      val priorBands = priorBatchDirs(bandDir, batchId)
+      if (priorBands.nonEmpty) {
         val index = Dedup.MinHashIndex(
-          spark.read.parquet(bandDir), spark.read.parquet(sigDir))
+          spark.read.parquet(priorBands: _*),
+          spark.read.parquet(priorBatchDirs(sigDir, batchId): _*))
         val crossIds = Dedup.minHashLshAgainst(inBatch, idCol, textCol, index,
             shingleLen = cfg.fuzzyN, minEstJaccard = cfg.fuzzyThreshold)
           .select(col("new_id").as(idCol)).distinct()
@@ -96,28 +132,30 @@ object StreamCurate {
       } else inBatch
     }.localCheckpoint(true) // materialize BEFORE extending the state it reads
 
-    // absorb: extend the ledgers with the survivors
+    // absorb: this batch's state deltas, overwrite-idempotent per batch id
     val newIndex = Dedup.minHashIndex(survivors, idCol, textCol,
       shingleLen = cfg.fuzzyN)
-    newIndex.bandIndex.write.mode("append").parquet(bandDir)
-    newIndex.sigs.write.mode("append").parquet(sigDir)
+    newIndex.bandIndex.write.mode("overwrite").parquet(s"$bandDir/batch=$batchId")
+    newIndex.sigs.write.mode("overwrite").parquet(s"$sigDir/batch=$batchId")
     survivors.select(col("__h").as("h")).distinct()
-      .write.mode("append").parquet(hashDir)
+      .write.mode("overwrite").parquet(s"$hashDir/batch=$batchId")
     survivors.drop("__h")
   }
 
   /** Wire a streaming document source through [[acceptBatch]]: survivors of
-    * every micro-batch append to `outDir`, curation state lives under
-    * `stateDir`, stream progress under `checkpointDir`.
+    * micro-batch B land exactly-once at `outDir/batch=B` (read the root —
+    * the batch id surfaces as a partition column, per-micro-batch lineage
+    * for free), curation state lives under `stateDir`, stream progress under
+    * `checkpointDir`.
     */
   def curateStream(docs: DataFrame, idCol: String, textCol: String,
                    cfg: CurateConfig, stateDir: String, outDir: String,
                    checkpointDir: String): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        acceptBatch(batch, idCol, textCol, cfg, stateDir)
-          .write.mode("append").parquet(outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        acceptBatch(batch, idCol, textCol, cfg, stateDir, batchId)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         ()
       }
       .start()

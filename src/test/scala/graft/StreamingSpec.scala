@@ -132,10 +132,22 @@ class StreamingSpec extends AnyFunSuite {
     // the state ledgers absorbed exactly the accepted docs
     assert(spark.read.parquet(s"$stateDir/hashes").count() == 3)
     assert(spark.read.parquet(s"$stateDir/sigs").count() == 3)
-    // at-least-once convergence: replaying an accepted batch adds nothing
+    // at-least-once replay of batch 1 (same id, same content — the streaming
+    // contract): identical survivor set, state self-heals by overwrite, so
+    // the ledgers do NOT grow — exactly-once effective semantics
     val replay = StreamCurate.acceptBatch(
-      Seq((1L, good1)).toDF("doc_id", "text"), "doc_id", "text", cfg, stateDir)
-    assert(replay.count() == 0)
+      Seq((10L, good1), (11L, good1 + " extra trailing marker"),
+        (12L, "meanwhile the mountain villages prepare their winter stores " +
+              "of grain and wood while the river slowly freezes along the banks"))
+        .toDF("doc_id", "text"), "doc_id", "text", cfg, stateDir, batchId = 1L)
+    assert(replay.select("doc_id").as[Long].collect().toSet == Set(12L))
+    assert(spark.read.parquet(s"$stateDir/hashes").count() == 3)
+    assert(spark.read.parquet(s"$stateDir/sigs").count() == 3)
+    // a LATER batch re-carrying already-accepted content adds nothing
+    val later = StreamCurate.acceptBatch(
+      Seq((20L, good1)).toDF("doc_id", "text"),
+      "doc_id", "text", cfg, stateDir, batchId = 2L)
+    assert(later.count() == 0)
   }
 
   test("text-analysis operators run unchanged on a stream (batch parity)") {
