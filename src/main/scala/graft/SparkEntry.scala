@@ -723,6 +723,31 @@ object SparkEntry {
         .select(col("doc_id"), col("media_ref"), col("kind"),
           col("width"), col("height"), col("duration_ms"), col("n_frames"))
     }),
+    // REAL video decode under a TRUE arithmetic oracle: blobs are genuine
+    // animated-GIF / MJPEG-AVI containers whose dims/frame-count/duration are
+    // pure functions of doc_id; the engine must parse the containers and
+    // decode frames to reproduce what DuckDB computes from the arithmetic —
+    // a stubbed decoder cannot match.
+    "q_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      val blobs = table(s, dir, "documents").where(col("doc_id") < 40)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val ref = s"http://media.example.com/$id" +
+            (if (id % 2 == 0) ".gif" else ".avi")
+          val w = 16 + (id % 16).toInt
+          val h = 16 + ((id * 3) % 16).toInt
+          val n = 2 + (id % 4).toInt
+          if (id % 2 == 0)
+            Multimodal.syntheticGifVideoBlob(id.toString, ref, w, h, n, frameMs = 50)
+          else
+            Multimodal.syntheticAviVideoBlob(id.toString, ref, w, h, n, frameMs = 50)
+        }
+      Multimodal.extractFrames(blobs, everyMs = 100).toDF()
+        .select(col("doc_id").cast("long").as("doc_id"), col("container"),
+          col("frame_no"), col("ts_ms"), col("width"), col("height"),
+          col("n_frames"), col("duration_ms"))
+    }),
   )
 
   /** DuckDB twins (driver-run at sf0.01). Column names match the Spark side
@@ -832,6 +857,24 @@ object SparkEntry {
         |GROUP BY 1, 2
         |HAVING count(*) >= 5""".stripMargin,
     "q_media_features" -> graft.oracle.Fixtures.sql("q_media_features"),
+    // TRUE oracle: the expected frame schedule, dims, and durations are
+    // recomputed arithmetically from doc_id — matching requires the engine
+    // to genuinely parse the GIF/AVI containers it generated
+    "q_video_frames" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 2 = 0 THEN 'gif' ELSE 'avi' END AS container,
+        |         CAST(16 + doc_id % 16 AS INT) AS width,
+        |         CAST(16 + (doc_id * 3) % 16 AS INT) AS height,
+        |         CAST(2 + doc_id % 4 AS INT) AS n_frames
+        |  FROM documents WHERE doc_id < 40)
+        |SELECT doc_id, container,
+        |       CAST(LEAST(n_frames - 1, k * 2) AS INT) AS frame_no,
+        |       CAST(k * 100 AS INT) AS ts_ms,
+        |       width, height, n_frames,
+        |       CAST(n_frames * 50 AS INT) AS duration_ms
+        |FROM p, LATERAL (SELECT unnest(generate_series(0, (n_frames * 50 - 1) // 100)) AS k)
+        |""".stripMargin,
     "q_cosine_extract" -> graft.oracle.Fixtures.sql("q_cosine_extract"),
     "q_admission_window" ->
       """SELECT user_id, event_id, CAST(rk AS INTEGER) AS rk FROM (

@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions._
   * models.py:331-340).
   *
   * Decode is REAL for images (PNG/JPEG/BMP/GIF via the JDK's javax.imageio,
-  * headless) and WAV audio (javax.sound.sampled): true dimensions/duration
-  * plus content-based features (4×4 grayscale pool / 16-bin RMS profile).
-  * VIDEO remains a deterministic stub — the JDK ships no video codec and
-  * this container has no external ones; corrupt/unknown payloads also fall
-  * back to the stub rather than failing the pipeline. The Spark shape is
+  * headless), WAV audio (javax.sound.sampled), and two VIDEO containers the
+  * JDK can genuinely handle: animated GIF (multi-frame ImageIO reads with
+  * per-frame delays) and MJPEG-in-AVI (a RIFF/AVI chunk walk + per-frame
+  * JPEG decode). True dimensions/duration/frame counts plus content-based
+  * features (4×4 grayscale pool / 16-bin RMS profile / frame-mean pool).
+  * Codecs the JVM lacks (H.264 etc.) and corrupt payloads fall back to the
+  * deterministic stub rather than failing the pipeline. The Spark shape is
   * identical either way: per-partition batched map (`mapPartitions` — the
   * JVM analogue of `mapInPandas` batch plumbing), salted repartition for
   * decode-cost skew, one feature schema downstream (dedup, ANN).
@@ -100,7 +102,125 @@ object Multimodal {
     MediaBlob(docId, ref, "audio", bytes, Xxh64.hashBytes(bytes, 42L))
   }
 
-  /** ===== STUB KERNEL (video + fallback) =====
+  /** Deterministic REAL animated-GIF video blob: `nFrames` full frames of
+    * ref-derived pixels, each shown `frameMs` ms (GIF stores delays in
+    * centiseconds, so use multiples of 10). Decodable by any GIF codec.
+    */
+  def syntheticGifVideoBlob(docId: String, ref: String, w: Int, h: Int,
+                            nFrames: Int, frameMs: Int): MediaBlob = {
+    val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    val seed = Xxh64.hashString(ref)
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = Xxh64.hashLong(seed, (f.toLong << 40) | (y.toLong << 20) | x.toLong)
+          img.setRGB(x, y, (v & 0xffffff).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val meta = writer.getDefaultImageMetadata(
+        new javax.imageio.ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+      val fmt = meta.getNativeMetadataFormatName
+      val root = meta.getAsTree(fmt).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      // find-or-create the GraphicControlExtension node carrying the delay
+      val kids = root.getChildNodes
+      var gce: javax.imageio.metadata.IIOMetadataNode = null
+      var i = 0
+      while (i < kids.getLength && gce == null) {
+        if (kids.item(i).getNodeName == "GraphicControlExtension")
+          gce = kids.item(i).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        i += 1
+      }
+      if (gce == null) {
+        gce = new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
+        root.appendChild(gce)
+      }
+      gce.setAttribute("disposalMethod", "none")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("delayTime", (frameMs / 10).toString)
+      gce.setAttribute("transparentColorIndex", "0")
+      meta.setFromTree(fmt, root)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    val bytes = bos.toByteArray
+    MediaBlob(docId, ref, "video", bytes, Xxh64.hashBytes(bytes, 42L))
+  }
+
+  /** Deterministic REAL MJPEG-in-AVI video blob: a spec-shaped RIFF 'AVI '
+    * container (avih + vids 'MJPG' stream header + movi '00dc' chunks) whose
+    * frames are JPEG-encoded ref-derived pixels at 1000/`frameMs` fps.
+    */
+  def syntheticAviVideoBlob(docId: String, ref: String, w: Int, h: Int,
+                            nFrames: Int, frameMs: Int): MediaBlob = {
+    val seed = Xxh64.hashString(ref)
+    val jpegs = Array.tabulate(nFrames) { f =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = Xxh64.hashLong(seed, (f.toLong << 40) | (y.toLong << 20) | x.toLong)
+          img.setRGB(x, y, (v & 0xffffff).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      fourcc(id) ++ le32(body.length) ++ body ++ pad
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", fourcc(kind) ++ body)
+    // avih: MainAVIHeader (56 bytes)
+    val avih = chunk("avih",
+      le32(frameMs * 1000) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(nFrames) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    // strh: AVIStreamHeader for a 'vids'/'MJPG' stream (56 bytes)
+    val strh = chunk("strh",
+      fourcc("vids") ++ fourcc("MJPG") ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(frameMs) ++ le32(1000) ++ le32(0) ++ le32(nFrames) ++ le32(0) ++
+      le32(-1) ++ le32(0) ++
+      Array[Byte](0, 0, 0, 0) ++ le32((h << 16) | w)) // rcFrame
+    // strf: BITMAPINFOHEADER with 'MJPG' compression (40 bytes)
+    val strf = chunk("strf",
+      le32(40) ++ le32(w) ++ le32(h) ++
+      Array[Byte](1, 0, 24, 0) ++ fourcc("MJPG") ++
+      le32(w * h * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi", jpegs.flatMap(j => chunk("00dc", j)))
+    val riffBody = fourcc("AVI ") ++ hdrl ++ movi
+    out.write(fourcc("RIFF")); out.write(le32(riffBody.length)); out.write(riffBody)
+    val bytes = out.toByteArray
+    MediaBlob(docId, ref, "video", bytes, Xxh64.hashBytes(bytes, 42L))
+  }
+
+  /** ===== STUB KERNEL (unsupported codecs + fallback) =====
     * A real implementation decodes `bytes` with an image/audio codec. This
     * container ships none, so features are derived deterministically from
     * the byte content — the Spark-side contract (shape, determinism, cost
@@ -178,10 +298,151 @@ object Multimodal {
     f
   }
 
-  /** REAL decode: JDK codecs for images (PNG/JPEG/BMP/GIF) and WAV audio;
-    * stub fallback for video, unknown formats, and corrupt payloads. */
+  // ---- real video containers (animated GIF / MJPEG-AVI) -------------------
+
+  /** Parsed video container metadata; `delaysMs(i)` is frame i's display
+    * time (GIF: per-frame GCE delay; AVI: the uniform frame period). */
+  final case class VideoInfo(container: String, width: Int, height: Int,
+                             durationMs: Int, nFrames: Int, delaysMs: Array[Int])
+
+  private def gifReader(bytes: Array[Byte]): Option[(javax.imageio.ImageReader,
+      javax.imageio.stream.ImageInputStream)] = {
+    if (bytes.length < 6 || bytes(0) != 'G' || bytes(1) != 'I' || bytes(2) != 'F')
+      return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    if (!readers.hasNext) { iis.close(); return None }
+    val r = readers.next()
+    r.setInput(iis, false, false) // keep metadata: the per-frame delays live there
+    Some((r, iis))
+  }
+
+  private def gifInfo(bytes: Array[Byte]): Option[VideoInfo] =
+    gifReader(bytes).flatMap { case (r, iis) =>
+      try {
+        val n = r.getNumImages(true)
+        if (n <= 0) None
+        else {
+          val delays = Array.tabulate(n) { i =>
+            val root = r.getImageMetadata(i).getAsTree("javax_imageio_gif_image_1.0")
+            var d = 0
+            val kids = root.getChildNodes
+            var j = 0
+            while (j < kids.getLength) {
+              val node = kids.item(j)
+              if (node.getNodeName == "GraphicControlExtension") {
+                val a = node.getAttributes.getNamedItem("delayTime")
+                if (a != null) d = a.getNodeValue.toInt * 10 // centiseconds → ms
+              }
+              j += 1
+            }
+            d
+          }
+          Some(VideoInfo("gif", r.getWidth(0), r.getHeight(0), delays.sum, n, delays))
+        }
+      } finally { r.dispose(); iis.close() }
+    }
+
+  private def gifFrame(bytes: Array[Byte], frameNo: Int): Option[java.awt.image.BufferedImage] =
+    gifReader(bytes).flatMap { case (r, iis) =>
+      try Option(r.read(frameNo))
+      catch { case _: Exception => None }
+      finally { r.dispose(); iis.close() }
+    }
+
+  /** RIFF 'AVI ' walk: (width, height, frame period ms, [payload slices of
+    * the '00dc'/'00db' movi chunks]). Strict little-endian chunk arithmetic —
+    * JPEG payloads containing 'LIST' bytes cannot desync it. */
+  private def parseAvi(bytes: Array[Byte]): Option[(Int, Int, Int, IndexedSeq[(Int, Int)])] = {
+    def le32(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+      ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+    def tag(off: Int): String =
+      if (off + 4 <= bytes.length) new String(bytes, off, 4, "US-ASCII") else ""
+    if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "AVI ") return None
+    var usecPerFrame = 0; var w = 0; var h = 0
+    val frames = IndexedSeq.newBuilder[(Int, Int)]
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val id = tag(off)
+        val size = le32(off + 4)
+        if (size < 0 || off + 8 + size > end) return // truncated/corrupt: stop
+        if (id == "LIST") walk(off + 12, off + 8 + size) // skip the list type fourcc
+        else if (id == "avih" && size >= 40) {
+          usecPerFrame = le32(off + 8)
+          w = le32(off + 8 + 32); h = le32(off + 8 + 36)
+        } else if (id == "00dc" || id == "00db") frames += ((off + 8, size))
+        off += 8 + size + (size & 1) // chunks are word-aligned
+      }
+    }
+    walk(12, math.min(bytes.length, 8 + le32(4)))
+    val fs = frames.result()
+    if (w <= 0 || h <= 0 || fs.isEmpty) None
+    else Some((w, h, math.max(1, usecPerFrame / 1000), fs))
+  }
+
+  /** Container sniff + metadata of the two JVM-decodable video formats. */
+  def videoInfo(bytes: Array[Byte]): Option[VideoInfo] =
+    try gifInfo(bytes).orElse(parseAvi(bytes).map { case (w, h, periodMs, fs) =>
+      VideoInfo("avi", w, h, periodMs * fs.length, fs.length,
+        Array.fill(fs.length)(periodMs))
+    }) catch { case _: Exception => None }
+
+  /** Decode one frame of a parsed video (re-sniffs the container; a sampling
+    * kernel touches only the frames it asked for — frames are never all
+    * resident, so a 10^5-frame video cannot blow an executor). */
+  def videoFrame(bytes: Array[Byte], frameNo: Int): Option[java.awt.image.BufferedImage] =
+    try {
+      if (bytes.length >= 3 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')
+        gifFrame(bytes, frameNo)
+      else parseAvi(bytes).flatMap { case (_, _, _, fs) =>
+        if (frameNo < 0 || frameNo >= fs.length) None
+        else {
+          val (off, len) = fs(frameNo)
+          Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes, off, len)))
+        }
+      }
+    } catch { case _: Exception => None }
+
+  /** Frame index on screen at `tsMs` per the delay schedule. */
+  private def frameAt(delaysMs: Array[Int], tsMs: Int): Int = {
+    var i = 0; var cum = 0L
+    while (i < delaysMs.length - 1 && cum + delaysMs(i) <= tsMs) {
+      cum += delaysMs(i); i += 1
+    }
+    i
+  }
+
+  /** REAL video decode: true dims/duration/frame count from the container,
+    * features = 4×4 gray pool averaged over ≤8 evenly-sampled frames. */
+  private def decodeVideoReal(b: MediaBlob): Option[MediaFeatures] =
+    videoInfo(b.bytes).map { info =>
+      val sampleIdx = (0 until math.min(8, info.nFrames))
+        .map(k => k * info.nFrames / math.min(8, info.nFrames)).distinct
+      val pooled = new Array[Float](16)
+      var got = 0
+      sampleIdx.foreach { i =>
+        videoFrame(b.bytes, i).foreach { img =>
+          val t = grayThumb(img, 4)
+          var j = 0
+          while (j < 16) { pooled(j) += t(j); j += 1 }
+          got += 1
+        }
+      }
+      if (got > 0) { var j = 0; while (j < 16) { pooled(j) /= got; j += 1 } }
+      MediaFeatures(b.doc_id, b.media_ref, b.kind, b.content_hash,
+        info.width, info.height, info.durationMs, info.nFrames, pooled)
+    }
+
+  /** REAL decode: JDK codecs for images (PNG/JPEG/BMP/GIF), WAV audio, and
+    * GIF/MJPEG-AVI video; stub fallback for codecs the JVM lacks, unknown
+    * formats, and corrupt payloads. */
   def decodeReal(b: MediaBlob): MediaFeatures =
     try b.kind match {
+      case "video" => decodeVideoReal(b).getOrElse(decodeStub(b))
       case "image" =>
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b.bytes))
         if (img == null) decodeStub(b)
@@ -239,9 +500,58 @@ object Multimodal {
       }
   }
 
+  /** One REAL sampled video frame: container-parsed schedule position plus
+    * the decoded frame re-encoded as PNG. */
+  final case class SampledFrame(
+      doc_id: String,
+      media_ref: String,
+      container: String,
+      frame_no: Int,
+      ts_ms: Int,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      duration_ms: Int,
+      png: Array[Byte])
+
+  /** REAL frame sampling: decode each video blob's container (GIF or
+    * MJPEG-AVI), take the frame on screen at every `everyMs` tick of its
+    * true duration, and emit it as PNG bytes + schedule metadata. Same
+    * mapPartitions/salt shape as [[decode]]; frames are decoded one at a
+    * time per tick (never the whole video), so memory is bounded by one
+    * frame regardless of clip length. Blobs the JVM cannot decode are
+    * dropped (they carry no extractable frames — [[decode]] still features
+    * them via the stub).
+    */
+  def extractFrames(blobs: Dataset[MediaBlob], everyMs: Int = 1000,
+                    saltBuckets: Int = 16): Dataset[SampledFrame] = {
+    import blobs.sparkSession.implicits._
+    blobs
+      .repartition(blobs.sparkSession.sessionState.conf.numShufflePartitions,
+        pmod(col("content_hash"), lit(saltBuckets)))
+      .mapPartitions { it =>
+        it.filter(_.kind == "video").flatMap { b =>
+          videoInfo(b.bytes).toSeq.flatMap { info =>
+            val nTicks = math.max(1, (info.durationMs + everyMs - 1) / everyMs)
+            (0 until nTicks).iterator.flatMap { k =>
+              val ts = k * everyMs
+              val fno = math.min(info.nFrames - 1, frameAt(info.delaysMs, ts))
+              videoFrame(b.bytes, fno).map { img =>
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(img, "png", bos)
+                SampledFrame(b.doc_id, b.media_ref, info.container, fno, ts,
+                  info.width, info.height, info.nFrames, info.durationMs,
+                  bos.toByteArray)
+              }
+            }
+          }
+        }
+      }
+  }
+
   /** Frame sampling plan for videos: every `everyMs` ms, as (blob, frame_no,
-    * ts_ms) rows — the explode happens on metadata only; real frame bytes
-    * would be produced by the kernel at extraction time.
+    * ts_ms) rows — the explode happens on metadata only; [[extractFrames]]
+    * is the kernel that produces the real bytes.
     */
   def sampleFrames(features: DataFrame, everyMs: Int = 1000): DataFrame =
     features.where(col("kind") === "video")

@@ -1072,6 +1072,50 @@ class OpsSpec extends AnyFunSuite {
       real.feature.sameElements(stub.feature))
   }
 
+  test("multimodal: REAL video decode — animated GIF + MJPEG-AVI containers") {
+    // animated GIF: true dims, frame count, and per-frame-delay duration
+    val gif = Multimodal.syntheticGifVideoBlob("d1", "vid://g", w = 24, h = 18,
+      nFrames = 4, frameMs = 50)
+    val avi = Multimodal.syntheticAviVideoBlob("d2", "vid://a", w = 32, h = 20,
+      nFrames = 3, frameMs = 40)
+    val junk = Multimodal.syntheticBlob("d3", "vid://junk.mp4", "video")
+    val feats = Multimodal.decode(Seq(gif, avi, junk).toDS())
+      .collect().map(f => f.media_ref -> f).toMap
+    val fg = feats("vid://g")
+    assert((fg.width, fg.height, fg.n_frames, fg.duration_ms) == (24, 18, 4, 200))
+    assert(fg.feature.length == 16 && fg.feature.exists(_ > 0f))
+    val fa = feats("vid://a")
+    assert((fa.width, fa.height, fa.n_frames, fa.duration_ms) == (32, 20, 3, 120))
+    // an undecodable codec still flows through via the deterministic stub
+    val stub = Multimodal.decodeStub(junk)
+    assert((feats("vid://junk.mp4").width, feats("vid://junk.mp4").n_frames) ==
+      (stub.width, stub.n_frames))
+    // per-frame access decodes REAL distinct frames in both containers
+    val g0 = Multimodal.videoFrame(gif.bytes, 0).get
+    val g3 = Multimodal.videoFrame(gif.bytes, 3).get
+    assert(g0.getWidth == 24 && g0.getHeight == 18)
+    assert((0 until 18).exists(y => (0 until 24).exists(x =>
+      g0.getRGB(x, y) != g3.getRGB(x, y))))
+    val a2 = Multimodal.videoFrame(avi.bytes, 2).get
+    assert(a2.getWidth == 32 && a2.getHeight == 20)
+    // real frame sampling: one frame per everyMs tick of the TRUE duration,
+    // schedule positions exact, PNG payloads decodable at container dims
+    val frames = Multimodal.extractFrames(Seq(gif, avi, junk).toDS(), everyMs = 80)
+      .collect().sortBy(f => (f.doc_id, f.ts_ms))
+    val gifTicks = frames.filter(_.container == "gif")
+    // gif: duration 200ms, ticks at 0/80/160 → frames 0,1,3 (50ms schedule)
+    assert(gifTicks.map(f => (f.ts_ms, f.frame_no)).toSeq ==
+      Seq((0, 0), (80, 1), (160, 3)))
+    val aviTicks = frames.filter(_.container == "avi")
+    // avi: duration 120ms, ticks at 0/80 → frames 0,2 (40ms schedule)
+    assert(aviTicks.map(f => (f.ts_ms, f.frame_no)).toSeq == Seq((0, 0), (80, 2)))
+    assert(frames.forall(_.doc_id != "d3")) // undecodable: no frames emitted
+    frames.foreach { f =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f.png))
+      assert(img.getWidth == f.width && img.getHeight == f.height)
+    }
+  }
+
   test("markdown: html2text emission + per-URL citation dedup") {
     val html = """<h1>Doc</h1><p>See <a href="http://x.com/docs">docs</a> and """ +
       """<a href="http://x.com/docs">docs again</a> and <a href="http://ext.com">ext</a>.</p>""" +
