@@ -94,8 +94,11 @@ final class Graft(val spark: SparkSession) {
 
   /** End-to-end training-corpus curation: quality + repetition gates →
     * exact dedup → fuzzy dedup → optional span dedup → optional benchmark
-    * decontamination → deterministic sample. One lazy plan; every stage is
-    * an individually-oracled operator (see [[graft.ops.Curate]]). */
+    * decontamination → deterministic sample. One lazy plan (exception:
+    * `fuzzy = "embedding"` runs one count at build time to scale its
+    * hyperplane count to the input — documented in
+    * [[graft.ops.Dedup.embeddingNearDup]]); every stage is an
+    * individually-oracled operator (see [[graft.ops.Curate]]). */
   def curateCorpus(docs: DataFrame, idCol: String, textCol: String,
                    bench: Option[DataFrame] = None,
                    benchTextCol: String = "text",

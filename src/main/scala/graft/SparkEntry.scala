@@ -2,7 +2,7 @@ package graft
 
 import graft.core.{PageRec, Synth, Urls}
 import graft.frontier.{Crawl, CrawlConfig}
-import graft.ops.{Bm25, Bpe, Curate, CurateConfig, Dedup, Multimodal, NgramLm, Pack, QualityClassifier, RegexExtract, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Bm25, Bpe, Curate, CurateConfig, Dedup, Multimodal, NgramLm, Pack, PageRank, QualityClassifier, RegexExtract, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -728,6 +728,18 @@ object SparkEntry {
     // pure functions of doc_id; the engine must parse the containers and
     // decode frames to reproduce what DuckDB computes from the arithmetic —
     // a stubbed decoder cannot match.
+    // link-graph authority: bit-reproducible quantized PageRank over a
+    // deterministic doc-id-derived graph (hub + two rings + dangling nodes);
+    // ranks are exact longs, so the fixture compare has no float tolerance
+    "q_pagerank" -> ((s, dir) => {
+      val src = table(s, dir, "documents")
+        .where(col("doc_id") < 500 && col("doc_id") % 5 =!= 0)
+        .select(col("doc_id").cast("long").as("src"))
+      val edges = src.select(col("src"), ((col("src") * 7 + 1) % 500).as("dst"))
+        .unionByName(src.select(col("src"), ((col("src") * 13 + 3) % 500).as("dst")))
+        .unionByName(src.select(col("src"), lit(0L).as("dst")))
+      PageRank.ranks(edges, iters = 8)
+    }),
     "q_video_frames" -> ((s, dir) => {
       import s.implicits._
       val blobs = table(s, dir, "documents").where(col("doc_id") < 40)
@@ -857,6 +869,9 @@ object SparkEntry {
         |GROUP BY 1, 2
         |HAVING count(*) >= 5""".stripMargin,
     "q_media_features" -> graft.oracle.Fixtures.sql("q_media_features"),
+    // fixture: independent sequential PageRank with identical quantized long
+    // arithmetic — bit-exact, no tolerance
+    "q_pagerank" -> graft.oracle.Fixtures.sql("q_pagerank"),
     // TRUE oracle: the expected frame schedule, dims, and durations are
     // recomputed arithmetically from doc_id — matching requires the engine
     // to genuinely parse the GIF/AVI containers it generated

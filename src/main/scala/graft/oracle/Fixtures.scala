@@ -120,6 +120,17 @@ object Fixtures {
       SeqOracle.minHashLsh(docDups, k = 32, bands = 8, shingleLen = 3, minEstJaccard = 0.5)
         .toDF("id_a", "id_b", "est_jaccard"))
 
+    // link-graph authority: the same deterministic doc-id-derived edges as
+    // the driver query, ranked by the independent sequential PageRank —
+    // quantized long arithmetic on both sides makes the compare bit-exact
+    val prSrc = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where($"doc_id" < 500 && $"doc_id" % 5 =!= 0)
+      .select($"doc_id".cast("long")).as[Long].collect().toSeq
+    val prEdges = prSrc.flatMap(i =>
+      Seq((i, (i * 7 + 1) % 500), (i, (i * 13 + 3) % 500), (i, 0L)))
+    write("q_pagerank",
+      SeqOracle.pageRank(prEdges, iters = 8).toDF("id", "rank"))
+
     write("q_simhash_pairs",
       SeqOracle.simHashPairs(docDups, maxDist = 3).toDF("id_a", "id_b", "hamming"))
 

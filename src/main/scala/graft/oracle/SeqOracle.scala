@@ -348,4 +348,32 @@ object SeqOracle {
       (id, cell, comp, id == comp)
     }.sortBy(_._1)
   }
+
+  /** Sequential twin of [[graft.ops.PageRank.ranks]]: identical quantized
+    * long arithmetic (unit mass 2^massBits, damp = exact 85/100 rational,
+    * integral division everywhere), so the distributed result must match
+    * BIT-FOR-BIT — long sums are order-independent.
+    */
+  def pageRank(edges: Seq[(Long, Long)], iters: Int,
+               massBits: Int = 32): Seq[(Long, Long)] = {
+    import graft.ops.PageRank.damp
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = nodes.length.toLong
+    val deg = e.groupBy(_._1).map { case (s, es) => s -> es.length.toLong }
+    val unit = 1L << massBits
+    val teleport = unit - damp(unit)
+    var r = nodes.map(_ -> unit).toMap
+    var it = 0
+    while (it < iters) {
+      val dangTotal = nodes.iterator
+        .filter(v => !deg.contains(v)).map(v => damp(r(v))).sum
+      val share = dangTotal / n
+      val in = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      e.foreach { case (s, d) => in(d) += damp(r(s)) / deg(s) }
+      r = nodes.map(v => v -> (teleport + in(v) + share)).toMap
+      it += 1
+    }
+    nodes.map(v => (v, r(v)))
+  }
 }

@@ -1072,6 +1072,29 @@ class OpsSpec extends AnyFunSuite {
       real.feature.sameElements(stub.feature))
   }
 
+  test("pagerank: quantized long ranks — partitioning-invariant and oracle-exact") {
+    import graft.ops.PageRank
+    // hub (everyone links 0), two deterministic rings, dangling nodes (i%5==0
+    // emit nothing — including the hub itself, so both corrections are live)
+    val edges = (0L until 60L).flatMap { i =>
+      if (i % 5 == 0) Seq.empty
+      else Seq((i, (i * 7 + 1) % 60), (i, (i * 13 + 3) % 60), (i, 0L))
+    }
+    def run(parts: Int) =
+      PageRank.ranks(edges.toDF("src", "dst").repartition(parts), iters = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val r1 = run(1)
+    assert(r1 == run(16)) // bit-exact under any partitioning (pure long sums)
+    assert(r1 == graft.oracle.SeqOracle.pageRank(edges, iters = 5)) // bit-exact vs seq twin
+    val m = r1.toMap
+    // the hub out-ranks every other node; ranks are positive and distinct
+    assert(m(0L) == r1.map(_._2).max)
+    assert(r1.forall(_._2 > 0L) && r1.map(_._2).distinct.length > 1)
+    // dangling + teleport: a no-in-edge node still holds teleport-level mass
+    val unlinked = r1.filter { case (id, _) => !edges.exists(_._2 == id) }
+    assert(unlinked.forall(_._2 >= (1L << 32) - PageRank.damp(1L << 32)))
+  }
+
   test("multimodal: REAL video decode — animated GIF + MJPEG-AVI containers") {
     // animated GIF: true dims, frame count, and per-frame-delay duration
     val gif = Multimodal.syntheticGifVideoBlob("d1", "vid://g", w = 24, h = 18,
