@@ -169,7 +169,13 @@ object Dedup {
       // when the returned plan is no longer referenced. LAZY: the returned
       // plan stays a plan — callers that only build/inspect/compose it
       // (Curate.curateCorpus documents a one-lazy-plan contract) pay the
-      // band join at their first action, not here at call time.
+      // band join at their first action, not here at call time. Known
+      // trade-off: during that FIRST action the scheduler may submit the
+      // three consumer stages concurrently and partitions not yet in the
+      // block store can be computed more than once before the cache lands;
+      // every later access hits the checkpoint. Eager would guarantee
+      // exactly-once compute at the cost of running a job inside what is
+      // documented as plan construction.
       .localCheckpoint(false)
     val survivorIds = pairIds.select(col("id_a").as("id"))
       .unionByName(pairIds.select(col("id_b").as("id")))

@@ -106,6 +106,25 @@ object Multimodal {
     * ref-derived pixels, each shown `frameMs` ms (GIF stores delays in
     * centiseconds, so use multiples of 10). Decodable by any GIF codec.
     */
+  /** The ONE hash-pixel frame generator behind both video containers: the
+    * q_video_frames oracle depends on GIF and AVI producing identical pixels
+    * per (ref, frame, x, y). */
+  private def hashFrame(seed: Long, f: Int, w: Int, h: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = Xxh64.hashLong(seed, (f.toLong << 40) | (y.toLong << 20) | x.toLong)
+        img.setRGB(x, y, (v & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
   def syntheticGifVideoBlob(docId: String, ref: String, w: Int, h: Int,
                             nFrames: Int, frameMs: Int): MediaBlob = {
     val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
@@ -116,18 +135,7 @@ object Multimodal {
     val seed = Xxh64.hashString(ref)
     var f = 0
     while (f < nFrames) {
-      val img = new java.awt.image.BufferedImage(w, h,
-        java.awt.image.BufferedImage.TYPE_INT_RGB)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val v = Xxh64.hashLong(seed, (f.toLong << 40) | (y.toLong << 20) | x.toLong)
-          img.setRGB(x, y, (v & 0xffffff).toInt)
-          x += 1
-        }
-        y += 1
-      }
+      val img = hashFrame(seed, f, w, h)
       val meta = writer.getDefaultImageMetadata(
         new javax.imageio.ImageTypeSpecifier(img), writer.getDefaultWriteParam)
       val fmt = meta.getNativeMetadataFormatName
@@ -169,20 +177,8 @@ object Multimodal {
                             nFrames: Int, frameMs: Int): MediaBlob = {
     val seed = Xxh64.hashString(ref)
     val jpegs = Array.tabulate(nFrames) { f =>
-      val img = new java.awt.image.BufferedImage(w, h,
-        java.awt.image.BufferedImage.TYPE_INT_RGB)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val v = Xxh64.hashLong(seed, (f.toLong << 40) | (y.toLong << 20) | x.toLong)
-          img.setRGB(x, y, (v & 0xffffff).toInt)
-          x += 1
-        }
-        y += 1
-      }
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "jpg", bos)
+      javax.imageio.ImageIO.write(hashFrame(seed, f, w, h), "jpg", bos)
       bos.toByteArray
     }
     val out = new java.io.ByteArrayOutputStream()
@@ -337,7 +333,10 @@ object Multimodal {
               }
               j += 1
             }
-            d
+            // delay 0 means "as fast as possible" and is ubiquitous in real
+            // GIFs; normalize to the 100 ms browsers render it at, so the
+            // duration/schedule stay sane instead of collapsing to 0
+            if (d == 0) 100 else d
           }
           Some(VideoInfo("gif", r.getWidth(0), r.getHeight(0), delays.sum, n, delays))
         }
@@ -419,7 +418,7 @@ object Multimodal {
   /** REAL video decode: true dims/duration/frame count from the container,
     * features = 4×4 gray pool averaged over ≤8 evenly-sampled frames. */
   private def decodeVideoReal(b: MediaBlob): Option[MediaFeatures] =
-    videoInfo(b.bytes).map { info =>
+    videoInfo(b.bytes).flatMap { info =>
       val sampleIdx = (0 until math.min(8, info.nFrames))
         .map(k => k * info.nFrames / math.min(8, info.nFrames)).distinct
       val pooled = new Array[Float](16)
@@ -432,9 +431,15 @@ object Multimodal {
           got += 1
         }
       }
-      if (got > 0) { var j = 0; while (j < 16) { pooled(j) /= got; j += 1 } }
-      MediaFeatures(b.doc_id, b.media_ref, b.kind, b.content_hash,
-        info.width, info.height, info.durationMs, info.nFrames, pooled)
+      // a container that parses but whose frames the JVM cannot decode (e.g.
+      // H.264-in-AVI) must fall back to the stub like any other undecodable
+      // payload — an all-zero feature would alias unrelated videos as dups
+      if (got == 0) None
+      else {
+        var j = 0; while (j < 16) { pooled(j) /= got; j += 1 }
+        Some(MediaFeatures(b.doc_id, b.media_ref, b.kind, b.content_hash,
+          info.width, info.height, info.durationMs, info.nFrames, pooled))
+      }
     }
 
   /** REAL decode: JDK codecs for images (PNG/JPEG/BMP/GIF), WAV audio, and
@@ -531,34 +536,73 @@ object Multimodal {
         pmod(col("content_hash"), lit(saltBuckets)))
       .mapPartitions { it =>
         it.filter(_.kind == "video").flatMap { b =>
-          videoInfo(b.bytes).toSeq.flatMap { info =>
-            val nTicks = math.max(1, (info.durationMs + everyMs - 1) / everyMs)
-            (0 until nTicks).iterator.flatMap { k =>
-              val ts = k * everyMs
-              val fno = math.min(info.nFrames - 1, frameAt(info.delaysMs, ts))
-              videoFrame(b.bytes, fno).map { img =>
-                val bos = new java.io.ByteArrayOutputStream()
-                javax.imageio.ImageIO.write(img, "png", bos)
-                SampledFrame(b.doc_id, b.media_ref, info.container, fno, ts,
-                  info.width, info.height, info.nFrames, info.durationMs,
-                  bos.toByteArray)
-              }
-            }
-          }
+          videoInfo(b.bytes).toSeq.flatMap(info => sampledFramesOf(b, info, everyMs))
         }
       }
   }
 
-  /** Frame sampling plan for videos: every `everyMs` ms, as (blob, frame_no,
-    * ts_ms) rows — the explode happens on metadata only; [[extractFrames]]
-    * is the kernel that produces the real bytes.
+  /** One blob's sampled frames: the container is parsed ONCE and each
+    * distinct scheduled frame decoded once, ascending (GIF: one reader
+    * session, so the stream is never re-scanned per tick; AVI: one chunk
+    * walk, JPEG slices decoded directly) — linear in container size, one
+    * decoded frame resident at a time. */
+  private def sampledFramesOf(b: MediaBlob, info: VideoInfo,
+                              everyMs: Int): Seq[SampledFrame] = {
+    val nTicks = math.max(1, (info.durationMs + everyMs - 1) / everyMs)
+    val schedule = (0 until nTicks).map { k =>
+      val ts = k * everyMs
+      (ts, math.min(info.nFrames - 1, frameAt(info.delaysMs, ts)))
+    }
+    val ticksByFrame = schedule.groupBy(_._2)
+    val fnos = ticksByFrame.keys.toSeq.sorted
+    val out = Seq.newBuilder[SampledFrame]
+    def emit(fno: Int, img: java.awt.image.BufferedImage): Unit = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      val png = bos.toByteArray
+      ticksByFrame(fno).foreach { case (ts, _) =>
+        out += SampledFrame(b.doc_id, b.media_ref, info.container, fno, ts,
+          info.width, info.height, info.nFrames, info.durationMs, png)
+      }
+    }
+    try {
+      if (info.container == "gif")
+        gifReader(b.bytes).foreach { case (r, iis) =>
+          try fnos.foreach { f =>
+            (try Option(r.read(f)) catch { case _: Exception => None })
+              .foreach(emit(f, _))
+          } finally { r.dispose(); iis.close() }
+        }
+      else
+        parseAvi(b.bytes).foreach { case (_, _, _, fs) =>
+          fnos.foreach { f =>
+            if (f >= 0 && f < fs.length) {
+              val (off, len) = fs(f)
+              Option(javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(b.bytes, off, len)))
+                .foreach(emit(f, _))
+            }
+          }
+        }
+    } catch { case _: Exception => () } // corrupt mid-stream: keep what decoded
+    out.result().sortBy(_.ts_ms)
+  }
+
+  /** Frame sampling PLAN for videos: one (tick, ts_ms) row per `everyMs`
+    * tick of the decoded duration — metadata-only explode, exactly the tick
+    * schedule [[extractFrames]] (the kernel that produces the real bytes)
+    * emits: `max(1, ceil(duration_ms / everyMs))` ticks at ts = k·everyMs.
+    * Join plan to kernel output on (doc_id, media_ref, ts_ms); the kernel
+    * additionally reports which CONTAINER frame was on screen at each tick.
     */
   def sampleFrames(features: DataFrame, everyMs: Int = 1000): DataFrame =
     features.where(col("kind") === "video")
       .select(col("doc_id"), col("media_ref"), col("content_hash"),
-        explode(sequence(lit(0), (col("duration_ms") / everyMs).cast("int")))
-          .as("frame_no"))
-      .withColumn("ts_ms", col("frame_no") * everyMs)
+        explode(sequence(lit(0),
+          greatest(expr(s"(duration_ms + ${everyMs - 1}) div $everyMs"), lit(1L))
+            .cast("int") - 1))
+          .as("tick"))
+      .withColumn("ts_ms", col("tick") * everyMs)
 
   /** Resize plan: clamp longest side to `maxSide` preserving aspect ratio —
     * pure column arithmetic over the metadata (the kernel would apply it).

@@ -1,9 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
-
-import scala.jdk.CollectionConverters._
-
 import graft.ops.{CurateConfig, Dedup, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -59,27 +55,29 @@ object StreamCurate {
   /** `batch=<id>` partitions of `dir` committed BEFORE `batchId` — the state
     * a replayed batch is allowed to see. Streaming batch ids are monotonic,
     * so "before" is a simple id compare; the current batch's own partial
-    * partition from a failed attempt is excluded by construction.
+    * partition from a failed attempt is excluded by construction. Listed
+    * through the Hadoop FileSystem of the path's scheme, so the state can
+    * live on HDFS/S3 like any production checkpoint dir, not only local
+    * disk.
     */
-  private def priorBatchDirs(dir: String, batchId: Long): Seq[String] = {
-    val p = Paths.get(dir)
-    if (!Files.isDirectory(p)) Seq.empty
-    else {
-      val s = Files.list(p)
-      try s.iterator().asScala
-        .filter { sub =>
-          val name = sub.getFileName.toString
-          name.startsWith("batch=") &&
-            name.stripPrefix("batch=").toLongOption.exists(_ < batchId)
-        }
-        .map(_.toString).toList
-      finally s.close()
-    }
+  private def priorBatchDirs(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, batchId: Long): Seq[String] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith("batch=") &&
+          p.getName.stripPrefix("batch=").toLongOption.exists(_ < batchId)
+      }
+      .map(_.toString)
   }
 
   private def ledger(spark: org.apache.spark.sql.SparkSession,
                      dir: String, schema: String, batchId: Long): DataFrame = {
-    val parts = priorBatchDirs(dir, batchId)
+    val parts = priorBatchDirs(spark, dir, batchId)
     if (parts.nonEmpty) spark.read.parquet(parts: _*)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -120,11 +118,11 @@ object StreamCurate {
           .where(col("is_canonical")).select(col(idCol))
         exactKept.join(canonical, Seq(idCol), "left_semi")
       }
-      val priorBands = priorBatchDirs(bandDir, batchId)
+      val priorBands = priorBatchDirs(spark, bandDir, batchId)
       if (priorBands.nonEmpty) {
         val index = Dedup.MinHashIndex(
           spark.read.parquet(priorBands: _*),
-          spark.read.parquet(priorBatchDirs(sigDir, batchId): _*))
+          spark.read.parquet(priorBatchDirs(spark, sigDir, batchId): _*))
         val crossIds = Dedup.minHashLshAgainst(inBatch, idCol, textCol, index,
             shingleLen = cfg.fuzzyN, minEstJaccard = cfg.fuzzyThreshold)
           .select(col("new_id").as(idCol)).distinct()

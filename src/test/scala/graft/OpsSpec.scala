@@ -1026,7 +1026,8 @@ class OpsSpec extends AnyFunSuite {
 
     val frames = Multimodal.sampleFrames(feats.toDF(), everyMs = 1000)
     val v = rows.find(_.kind == "video").get
-    assert(frames.count() == v.duration_ms / 1000 + 1)
+    // tick schedule identical to extractFrames: max(1, ceil(duration/every))
+    assert(frames.count() == math.max(1L, (v.duration_ms + 999L) / 1000L))
 
     val resized = Multimodal.resizePlan(feats.toDF(), maxSide = 256).collect()
     resized.foreach { r =>
