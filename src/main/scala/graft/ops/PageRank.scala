@@ -76,28 +76,37 @@ object PageRank {
     var ranks = nodes.withColumn("rank", lit(unit)).localCheckpoint(false)
     var it = 0
     while (it < iters) {
-      val damped = ranks
-        .join(outDeg, ranks("id") === outDeg("src"), "left")
-        .select(col("id"), col("deg"), expr(dampExpr).as("damped"))
-      // dangling mass: one-row aggregate, broadcast-joined back in-plan (no
-      // driver action — the operator stays a single lazy plan)
-      val dangShare = damped.where(col("deg").isNull)
-        .agg(coalesce(sum(col("damped")), lit(0L)).as("dang_total"))
-        .crossJoin(nRow)
-        .select(expr("dang_total div n").as("dang_share"))
-      val inMass = e
-        .join(damped.where(col("deg").isNotNull).withColumnRenamed("id", "src"), Seq("src"))
-        .select(col("dst").as("id"), expr("damped div deg").as("c"))
-        .groupBy("id").agg(sum(col("c")).as("in_mass"))
-      ranks = nodes
-        .join(inMass, Seq("id"), "left")
-        .crossJoin(broadcast(dangShare))
-        .select(col("id"),
-          (lit(teleport) + coalesce(col("in_mass"), lit(0L)) + col("dang_share"))
-            .as("rank"))
-        .localCheckpoint(false)
+      ranks = step(e, nodes, outDeg, nRow, ranks, teleport).localCheckpoint(false)
       it += 1
     }
     ranks
+  }
+
+  /** One synchronous iteration as a single lazy plan — package-visible so
+    * PlanSpec can pin its physical shape (one rank shuffle + map-side
+    * partial-aggregated groupBy(dst); dangling/teleport as broadcast one-row
+    * aggregates; never a cartesian product). */
+  private[graft] def step(e: DataFrame, nodes: DataFrame, outDeg: DataFrame,
+                          nRow: DataFrame, ranks: DataFrame,
+                          teleport: Long): DataFrame = {
+    val damped = ranks
+      .join(outDeg, ranks("id") === outDeg("src"), "left")
+      .select(col("id"), col("deg"), expr(dampExpr).as("damped"))
+    // dangling mass: one-row aggregate, broadcast-joined back in-plan (no
+    // driver action — the operator stays a single lazy plan)
+    val dangShare = damped.where(col("deg").isNull)
+      .agg(coalesce(sum(col("damped")), lit(0L)).as("dang_total"))
+      .crossJoin(nRow)
+      .select(expr("dang_total div n").as("dang_share"))
+    val inMass = e
+      .join(damped.where(col("deg").isNotNull).withColumnRenamed("id", "src"), Seq("src"))
+      .select(col("dst").as("id"), expr("damped div deg").as("c"))
+      .groupBy("id").agg(sum(col("c")).as("in_mass"))
+    nodes
+      .join(inMass, Seq("id"), "left")
+      .crossJoin(broadcast(dangShare))
+      .select(col("id"),
+        (lit(teleport) + coalesce(col("in_mass"), lit(0L)) + col("dang_share"))
+          .as("rank"))
   }
 }

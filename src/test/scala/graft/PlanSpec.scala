@@ -230,6 +230,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("cell"), p) // the pair join is keyed on the quantizer cell
   }
 
+  test("pagerank step: partial-agg in-mass, broadcast dangling scalar, no cartesian") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("doc_id") < 100)
+      .select(col("doc_id").cast("long").as("src"),
+        ((col("doc_id") * 7 + 1) % 100).as("dst"))
+    val nodes = docs.select(col("src").as("id")).distinct()
+    val outDeg = docs.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nRow = nodes.agg(count(lit(1)).as("n"))
+    val ranks = nodes.withColumn("rank", lit(1L << 32))
+    val p = plan(graft.ops.PageRank.step(docs, nodes, outDeg, nRow, ranks,
+      teleport = 1L))
+    // the in-mass reduction combines map-side before the dst shuffle
+    assert(p.contains("partial_sum"), p)
+    // the dangling/teleport scalars enter as a broadcast one-row join, and
+    // nothing in the iteration is a cartesian pair generation
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("BPE word counting: map-side combine before the word shuffle") {
     val p = plan(graft.ops.Bpe.wordCounts(
       spark.read.parquet(s"$sf/documents.parquet"), "text"))
