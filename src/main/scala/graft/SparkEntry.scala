@@ -728,6 +728,26 @@ object SparkEntry {
     // pure functions of doc_id; the engine must parse the containers and
     // decode frames to reproduce what DuckDB computes from the arithmetic —
     // a stubbed decoder cannot match.
+    // C4-style line-level cleaning: one scan-stage projection, TRUE SQL twin.
+    // The synthetic corpus is single-line punctuation-free token soup, so the
+    // query derives multi-line text in-plan (identically in the DuckDB twin)
+    // to exercise every rule: kept lines, word-count/javascript line removal,
+    // and lorem-ipsum/brace whole-doc drops.
+    "q_c4_clean" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"),
+        concat(
+          col("text"), lit(".\n"),
+          lit("tiny line.\n"),
+          col("text"), lit(" and more words here!\n"),
+          when(col("doc_id") % 7 === 0,
+            lit("please enable javascript in your browser.\n")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit("lorem ipsum dolor sit amet today.\n")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            lit("function f() { return 1; }\n")).otherwise(lit("")),
+          col("text"), lit("?")).as("text"))
+      TextAnalysis.c4Clean(d, "doc_id", "text")
+    }),
     // link-graph authority: bit-reproducible quantized PageRank over a
     // deterministic doc-id-derived graph (hub + two rings + dangling nodes);
     // ranks are exact longs, so the fixture compare has no float tolerance
@@ -872,6 +892,39 @@ object SparkEntry {
     // fixture: independent sequential PageRank with identical quantized long
     // arithmetic — bit-exact, no tolerance
     "q_pagerank" -> graft.oracle.Fixtures.sql("q_pagerank"),
+    // TRUE oracle: the C4 rules expressed verbatim in DuckDB list functions,
+    // over the same in-plan derived multi-line text as the Spark query
+    "q_c4_clean" ->
+      """WITH e AS (
+        |  SELECT doc_id,
+        |    text || '.' || chr(10) ||
+        |    'tiny line.' || chr(10) ||
+        |    text || ' and more words here!' || chr(10) ||
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN 'please enable javascript in your browser.' || chr(10) ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0
+        |         THEN 'lorem ipsum dolor sit amet today.' || chr(10) ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0
+        |         THEN 'function f() { return 1; }' || chr(10) ELSE '' END ||
+        |    text || '?' AS text
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    string_split(text, chr(10)) AS lines,
+        |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+        |      t -> right(t, 1) IN ('.', '!', '?', '"')
+        |           AND len(list_filter(string_split(t, ' '), w -> w <> '')) >= 5
+        |           AND NOT contains(lower(t), 'javascript')) AS kept,
+        |    (contains(text, '{') OR contains(lower(text), 'lorem ipsum')) AS hard_drop
+        |  FROM e)
+        |SELECT doc_id,
+        |  CAST(len(lines) AS INT) AS n_lines,
+        |  CAST(len(kept) AS INT) AS n_kept,
+        |  (hard_drop OR len(kept) < 3) AS dropped,
+        |  CASE WHEN hard_drop OR len(kept) < 3 THEN ''
+        |       ELSE array_to_string(kept, chr(10)) END AS clean_text
+        |FROM d
+        |""".stripMargin,
     // TRUE oracle: the expected frame schedule, dims, and durations are
     // recomputed arithmetically from doc_id — matching requires the engine
     // to genuinely parse the GIF/AVI containers it generated

@@ -284,4 +284,40 @@ object TextAnalysis {
       d.withColumn(c.stripSuffix("_chars") + "_frac", col(c).cast("double") / denom)
     }
   }
+
+  /** C4-style line-level cleaning (Raffel et al. 2020, the C4 build rules —
+    * the most-cited web-corpus cleaning recipe): keep only lines that end in
+    * terminal punctuation (. ! ? ") and have at least `minWordsPerLine`
+    * words, drop lines mentioning "javascript" (cookie/JS boilerplate), and
+    * drop the whole document when it contains "lorem ipsum" or a curly brace
+    * (code), or when fewer than `minLines` lines survive.
+    *
+    * Everything is a single scan-stage projection of array HOFs over the
+    * line split — no shuffle, no UDF — so at 100 TB it rides the ingest scan
+    * for free and Catalyst prunes the input to (id, text). The same
+    * predicates are expressible verbatim in ANSI-ish SQL (the q_c4_clean
+    * DuckDB twin).
+    *
+    * @return one row per input doc: (id, n_lines, n_kept, dropped,
+    *         clean_text) — `clean_text` is the kept lines re-joined, empty
+    *         when `dropped`
+    */
+  def c4Clean(df: DataFrame, idCol: String, textCol: String,
+              minWordsPerLine: Int = 5, minLines: Int = 3): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(transform(lines, l => trim(l)), t =>
+      substring(t, -1, 1).isin(".", "!", "?", "\"") &&
+      size(filter(split(t, " "), w => w =!= "")) >= minWordsPerLine &&
+      !contains(lower(t), lit("javascript")))
+    val docDropped =
+      contains(col(textCol), lit("{")) ||
+      contains(lower(col(textCol)), lit("lorem ipsum")) ||
+      size(kept) < minLines
+    df.select(
+      col(idCol),
+      size(lines).as("n_lines"),
+      size(kept).as("n_kept"),
+      docDropped.as("dropped"),
+      when(docDropped, lit("")).otherwise(array_join(kept, "\n")).as("clean_text"))
+  }
 }

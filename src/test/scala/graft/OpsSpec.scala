@@ -1073,6 +1073,30 @@ class OpsSpec extends AnyFunSuite {
       real.feature.sameElements(stub.feature))
   }
 
+  test("c4 line cleaning: terminal punctuation, min words, js/lorem/brace drops") {
+    val docs = Seq(
+      (1L, "This is a good clean sentence here.\nAnother proper line with punctuation!\nAnd a third full sentence right here?"),
+      (2L, "short line.\nno terminal punctuation on this line\nok."),
+      (3L, "This line enables javascript in your browser.\nA fine sentence with enough words here.\nMore fine sentences with enough words here.\nAnd one more to clear the bar today."),
+      (4L, "Lorem ipsum dolor sit amet consectetur adipiscing elit.\nA fine sentence with enough words here.\nMore fine sentences with enough words here.\nAnd one more to clear the bar today."),
+      (5L, "A fine sentence with enough words here.\nvar x = { a: 1 };\nMore fine sentences with enough words here.\nAnd one more to clear the bar today."))
+    val out = TextAnalysis.c4Clean(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getBoolean(3), r.getString(4)))).toMap
+    // 1: all three lines survive
+    assert(out(1L) == ((3, 3, false,
+      "This is a good clean sentence here.\nAnother proper line with punctuation!\nAnd a third full sentence right here?")))
+    // 2: every line fails (words < 5 / no terminal punct) → dropped
+    assert(out(2L)._2 == 0 && out(2L)._3)
+    // 3: the javascript line is removed, the other three survive → kept
+    assert(out(3L) == ((4, 3, false,
+      "A fine sentence with enough words here.\nMore fine sentences with enough words here.\nAnd one more to clear the bar today.")))
+    // 4: lorem ipsum → whole doc dropped despite enough clean lines
+    assert(out(4L)._3 && out(4L)._4 == "")
+    // 5: curly brace → whole doc dropped (code page)
+    assert(out(5L)._3 && out(5L)._4 == "")
+  }
+
   test("pagerank: quantized long ranks — partitioning-invariant and oracle-exact") {
     import graft.ops.PageRank
     // hub (everyone links 0), two deterministic rings, dangling nodes (i%5==0
