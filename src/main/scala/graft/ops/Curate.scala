@@ -16,8 +16,14 @@ import org.apache.spark.sql.functions._
   * @param spanK corpus-level substring dedup gram size (Lee et al. 2021);
   *              when > 0 the text column is REPLACED by the normalized
   *              reassembled `clean_text` (lowercased, letter tokens)
+  * @param c4Lines when true, stage 0 applies the C4 line rules
+  *                ([[TextAnalysis.c4Clean]]): boilerplate lines are stripped
+  *                from the text (which all later gates then see) and
+  *                lorem-ipsum/brace/too-few-line documents are dropped —
+  *                a pure scan-stage projection, fused into the gate scan
   */
 final case class CurateConfig(
+    c4Lines: Boolean = false,
     minQuality: Double = 0.5,
     maxDupLineFrac: Double = 0.5,
     maxTopGramFrac: Double = 0.3,
@@ -33,6 +39,8 @@ final case class CurateConfig(
 /** The end-to-end training-corpus curation pipeline, composed from the
   * individually-oracled operators in declared order:
   *
+  *   0. optional C4 line cleaning — boilerplate lines stripped, code/lorem
+  *      docs dropped (scan-stage projection, fused with stage 1)
   *   1. scan gates — quality score + Gopher repetition signals
   *      (dup-line / top-2-gram / dup-10-gram char fractions)
   *   2. exact dedup — smallest id per identical content survives
@@ -61,12 +69,24 @@ object Curate {
                    benchTextCol: String = "text",
                    cfg: CurateConfig = CurateConfig(),
                    embedder: Embedder = Embedder.default): DataFrame = {
+    // 0. optional C4 line cleaning — a projection, not a join: the kept
+    // lines rebuild the text column in place and dropped docs filter out,
+    // all inside the same scan Catalyst fuses with the stage-1 gates
+    val base =
+      if (cfg.c4Lines) {
+        val kept = TextAnalysis.c4KeptLines(col(textCol))
+        docs.withColumn("__c4_kept", kept)
+          .where(!TextAnalysis.c4DocDropped(col(textCol), col("__c4_kept")))
+          .withColumn(textCol, array_join(col("__c4_kept"), "\n"))
+          .drop("__c4_kept")
+      } else docs
+
     // 1. scan-stage gates
-    val rep = TextAnalysis.repetitionSignals(docs, idCol, textCol,
+    val rep = TextAnalysis.repetitionSignals(base, idCol, textCol,
         topNs = Seq(2), dupNs = Seq(10))
       .select(col(idCol), col("dup_line_frac"), col("top2_gram_frac"),
         col("dup10_gram_frac"))
-    val gated = docs
+    val gated = base
       .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
       .join(rep, Seq(idCol))
       .where(col("quality") >= cfg.minQuality &&

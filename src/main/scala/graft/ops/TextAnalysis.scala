@@ -305,14 +305,8 @@ object TextAnalysis {
   def c4Clean(df: DataFrame, idCol: String, textCol: String,
               minWordsPerLine: Int = 5, minLines: Int = 3): DataFrame = {
     val lines = split(col(textCol), "\n")
-    val kept = filter(transform(lines, l => trim(l)), t =>
-      substring(t, -1, 1).isin(".", "!", "?", "\"") &&
-      size(filter(split(t, " "), w => w =!= "")) >= minWordsPerLine &&
-      !contains(lower(t), lit("javascript")))
-    val docDropped =
-      contains(col(textCol), lit("{")) ||
-      contains(lower(col(textCol)), lit("lorem ipsum")) ||
-      size(kept) < minLines
+    val kept = c4KeptLines(col(textCol), minWordsPerLine)
+    val docDropped = c4DocDropped(col(textCol), kept, minLines)
     df.select(
       col(idCol),
       size(lines).as("n_lines"),
@@ -320,4 +314,19 @@ object TextAnalysis {
       docDropped.as("dropped"),
       when(docDropped, lit("")).otherwise(array_join(kept, "\n")).as("clean_text"))
   }
+
+  /** The C4 line keep-rule as a Column (surviving trimmed lines), reusable
+    * inside other scan-stage projections ([[graft.ops.Curate]]'s optional
+    * stage-0 gate composes it without a join). */
+  def c4KeptLines(text: Column, minWordsPerLine: Int = 5): Column =
+    filter(transform(split(text, "\n"), l => trim(l)), t =>
+      substring(t, -1, 1).isin(".", "!", "?", "\"") &&
+      size(filter(split(t, " "), w => w =!= "")) >= minWordsPerLine &&
+      !contains(lower(t), lit("javascript")))
+
+  /** The C4 whole-document drop rule as a Column over (text, kept lines). */
+  def c4DocDropped(text: Column, kept: Column, minLines: Int = 3): Column =
+    contains(text, lit("{")) ||
+    contains(lower(text), lit("lorem ipsum")) ||
+    size(kept) < minLines
 }

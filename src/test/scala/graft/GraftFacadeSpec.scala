@@ -84,6 +84,25 @@ class GraftFacadeSpec extends AnyFunSuite {
     val s2 = g.curateCorpus(docs, "doc_id", "text", Some(bench), "text",
       cfg.copy(sampleFraction = 0.5)).select("doc_id").as[Long].collect().toSet
     assert(s1 == s2 && s1.subsetOf(Set(1L, 7L)))
+    // the optional C4 stage-0 gate: a lorem-ipsum doc is dropped before the
+    // gates, a javascript boilerplate line is stripped from the text the
+    // later stages see, and terminal-punctuation/word-count rules bind
+    val c4docs = Seq(
+      (1L, "This article has a proper first sentence for the corpus here.\n" +
+           "please enable javascript to continue reading this page.\n" +
+           "It also keeps a second real sentence with enough words.\n" +
+           "And finally a third good sentence closes the document here."),
+      (2L, "Lorem ipsum dolor sit amet consectetur adipiscing elit today.\n" +
+           "A fine sentence with plenty of words to pass the gate.\n" +
+           "Another fine sentence with plenty of words right here.\n" +
+           "And one more full sentence to clear the line minimum.")
+    ).toDF("doc_id", "text")
+    val c4out = g.curateCorpus(c4docs, "doc_id", "text", None, "text",
+      cfg.copy(c4Lines = true, fuzzy = "none"))
+    val kept = c4out.select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(kept.keySet == Set(1L))
+    assert(!kept(1L).toLowerCase.contains("javascript"))
+    assert(kept(1L).linesIterator.size == 3)
   }
 
   test("curateCorpus: embedding fuzzy stage dedups semantically via the Embedder seam") {
