@@ -1164,6 +1164,38 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: cross-container video near-dup through decode features") {
+    // the SAME content rendered as GIF and as MJPEG-AVI: palette vs JPEG
+    // quantization perturb the pixels slightly, so only the decode→feature→
+    // embeddingNearDup chain (not a byte hash) can pair them
+    import graft.ops.{Dedup => D}
+    val blobs = Seq(
+      Multimodal.syntheticGifVideoBlob("1", "vid://x", 32, 24, nFrames = 3, frameMs = 50),
+      Multimodal.syntheticAviVideoBlob("2", "vid://x", 32, 24, nFrames = 3, frameMs = 50),
+      Multimodal.syntheticGifVideoBlob("3", "vid://other", 32, 24, nFrames = 3, frameMs = 50))
+    val collected = Multimodal.decode(blobs.toDS()).collect()
+      .map(f => f.doc_id -> f.feature.map(_.toDouble)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val same = cos(collected("1"), collected("2"))
+    val diff = math.max(cos(collected("1"), collected("3")),
+      cos(collected("2"), collected("3")))
+    // hash-pixel videos pool toward uniform gray, so ALL pairs are cosine-
+    // close — but the same content through two lossy codecs must still be
+    // measurably closer than different content
+    assert(same > diff, s"same=$same diff=$diff")
+    // with the threshold between the two, the distributed chain finds
+    // exactly the cross-container duplicate
+    val feats = Multimodal.decode(blobs.toDS()).toDF()
+      .select(col("doc_id").cast("long").as("doc_id"), col("feature"))
+    val pairs = D.embeddingNearDup(feats, "doc_id", "feature",
+        planes = 2, minCosine = (same + diff) / 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"same=$same diff=$diff pairs=$pairs")
+  }
+
   test("markdown: html2text emission + per-URL citation dedup") {
     val html = """<h1>Doc</h1><p>See <a href="http://x.com/docs">docs</a> and """ +
       """<a href="http://x.com/docs">docs again</a> and <a href="http://ext.com">ext</a>.</p>""" +
