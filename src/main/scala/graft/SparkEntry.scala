@@ -910,10 +910,10 @@ object SparkEntry {
         |  FROM documents),
         |d AS (
         |  SELECT doc_id,
-        |    string_split(text, chr(10)) AS lines,
-        |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+        |    string_split_regex(text, '\r?\n') AS lines,
+        |    list_filter(list_transform(string_split_regex(text, '\r?\n'), x -> trim(x)),
         |      t -> right(t, 1) IN ('.', '!', '?', '"')
-        |           AND len(list_filter(string_split(t, ' '), w -> w <> '')) >= 5
+        |           AND len(list_filter(string_split_regex(t, '\s+'), w -> w <> '')) >= 5
         |           AND NOT contains(lower(t), 'javascript')) AS kept,
         |    (contains(text, '{') OR contains(lower(text), 'lorem ipsum')) AS hard_drop
         |  FROM e)

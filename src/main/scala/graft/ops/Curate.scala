@@ -24,6 +24,8 @@ import org.apache.spark.sql.functions._
   */
 final case class CurateConfig(
     c4Lines: Boolean = false,
+    c4MinWordsPerLine: Int = 5,
+    c4MinLines: Int = 3,
     minQuality: Double = 0.5,
     maxDupLineFrac: Double = 0.5,
     maxTopGramFrac: Double = 0.3,
@@ -74,9 +76,10 @@ object Curate {
     // all inside the same scan Catalyst fuses with the stage-1 gates
     val base =
       if (cfg.c4Lines) {
-        val kept = TextAnalysis.c4KeptLines(col(textCol))
+        val kept = TextAnalysis.c4KeptLines(col(textCol), cfg.c4MinWordsPerLine)
         docs.withColumn("__c4_kept", kept)
-          .where(!TextAnalysis.c4DocDropped(col(textCol), col("__c4_kept")))
+          .where(!TextAnalysis.c4DocDropped(col(textCol), col("__c4_kept"),
+            cfg.c4MinLines))
           .withColumn(textCol, array_join(col("__c4_kept"), "\n"))
           .drop("__c4_kept")
       } else docs

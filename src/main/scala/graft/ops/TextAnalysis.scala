@@ -304,7 +304,7 @@ object TextAnalysis {
     */
   def c4Clean(df: DataFrame, idCol: String, textCol: String,
               minWordsPerLine: Int = 5, minLines: Int = 3): DataFrame = {
-    val lines = split(col(textCol), "\n")
+    val lines = split(col(textCol), "\r?\n")
     val kept = c4KeptLines(col(textCol), minWordsPerLine)
     val docDropped = c4DocDropped(col(textCol), kept, minLines)
     df.select(
@@ -317,11 +317,14 @@ object TextAnalysis {
 
   /** The C4 line keep-rule as a Column (surviving trimmed lines), reusable
     * inside other scan-stage projections ([[graft.ops.Curate]]'s optional
-    * stage-0 gate composes it without a join). */
+    * stage-0 gate composes it without a join). Lines split on `\r?\n` (CRLF
+    * web text must not mass-fail the terminal-punctuation check on a
+    * trailing `\r`) and words on whitespace runs, the same convention as
+    * [[wordCount]]. */
   def c4KeptLines(text: Column, minWordsPerLine: Int = 5): Column =
-    filter(transform(split(text, "\n"), l => trim(l)), t =>
+    filter(transform(split(text, "\r?\n"), l => trim(l)), t =>
       substring(t, -1, 1).isin(".", "!", "?", "\"") &&
-      size(filter(split(t, " "), w => w =!= "")) >= minWordsPerLine &&
+      size(filter(split(t, "\\s+"), w => w =!= "")) >= minWordsPerLine &&
       !contains(lower(t), lit("javascript")))
 
   /** The C4 whole-document drop rule as a Column over (text, kept lines). */

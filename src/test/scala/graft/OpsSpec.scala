@@ -1079,7 +1079,10 @@ class OpsSpec extends AnyFunSuite {
       (2L, "short line.\nno terminal punctuation on this line\nok."),
       (3L, "This line enables javascript in your browser.\nA fine sentence with enough words here.\nMore fine sentences with enough words here.\nAnd one more to clear the bar today."),
       (4L, "Lorem ipsum dolor sit amet consectetur adipiscing elit.\nA fine sentence with enough words here.\nMore fine sentences with enough words here.\nAnd one more to clear the bar today."),
-      (5L, "A fine sentence with enough words here.\nvar x = { a: 1 };\nMore fine sentences with enough words here.\nAnd one more to clear the bar today."))
+      (5L, "A fine sentence with enough words here.\nvar x = { a: 1 };\nMore fine sentences with enough words here.\nAnd one more to clear the bar today."),
+      // CRLF line endings and tab word separators — real web text — must not
+      // mass-fail the terminal-punctuation or word-count rules
+      (6L, "This is a good clean sentence here.\r\nAnother\tproper\tline\twith\tpunctuation!\r\nAnd a third full sentence right here?"))
     val out = TextAnalysis.c4Clean(docs.toDF("doc_id", "text"), "doc_id", "text")
       .collect().map(r => r.getLong(0) ->
         ((r.getInt(1), r.getInt(2), r.getBoolean(3), r.getString(4)))).toMap
@@ -1095,6 +1098,8 @@ class OpsSpec extends AnyFunSuite {
     assert(out(4L)._3 && out(4L)._4 == "")
     // 5: curly brace → whole doc dropped (code page)
     assert(out(5L)._3 && out(5L)._4 == "")
+    // 6: CRLF endings stripped by the split, tabs count as word separators
+    assert(out(6L)._1 == 3 && out(6L)._2 == 3 && !out(6L)._3)
   }
 
   test("pagerank: quantized long ranks — partitioning-invariant and oracle-exact") {
