@@ -728,6 +728,14 @@ object SparkEntry {
     // pure functions of doc_id; the engine must parse the containers and
     // decode frames to reproduce what DuckDB computes from the arithmetic —
     // a stubbed decoder cannot match.
+    // blocklist document flag: per-token membership (word-boundary rule),
+    // TRUE SQL twin via list intersection over the same tokenizer
+    "q_blocklist" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      d.select(col("doc_id"),
+        TextAnalysis.blocklistHit(col("text"),
+          Seq("spark", "window", "nonexistentterm")).as("blocked"))
+    }),
     // C4-style line-level cleaning: one scan-stage projection, TRUE SQL twin.
     // The synthetic corpus is single-line punctuation-free token soup, so the
     // query derives multi-line text in-plan (identically in the DuckDB twin)
@@ -892,6 +900,15 @@ object SparkEntry {
     // fixture: independent sequential PageRank with identical quantized long
     // arithmetic — bit-exact, no tolerance
     "q_pagerank" -> graft.oracle.Fixtures.sql("q_pagerank"),
+    // TRUE oracle: token-set overlap over the same lowercase letter-run
+    // tokenizer — substring hits must NOT count
+    "q_blocklist" ->
+      """SELECT doc_id,
+        |  len(list_intersect(
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> ''),
+        |    ['spark', 'window', 'nonexistentterm'])) > 0 AS blocked
+        |FROM documents
+        |""".stripMargin,
     // TRUE oracle: the C4 rules expressed verbatim in DuckDB list functions,
     // over the same in-plan derived multi-line text as the Spark query
     "q_c4_clean" ->

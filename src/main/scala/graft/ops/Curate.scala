@@ -26,6 +26,7 @@ final case class CurateConfig(
     c4Lines: Boolean = false,
     c4MinWordsPerLine: Int = 5,
     c4MinLines: Int = 3,
+    blockTerms: Seq[String] = Nil,
     minQuality: Double = 0.5,
     maxDupLineFrac: Double = 0.5,
     maxTopGramFrac: Double = 0.3,
@@ -41,8 +42,9 @@ final case class CurateConfig(
 /** The end-to-end training-corpus curation pipeline, composed from the
   * individually-oracled operators in declared order:
   *
-  *   0. optional C4 line cleaning — boilerplate lines stripped, code/lorem
-  *      docs dropped (scan-stage projection, fused with stage 1)
+  *   0. optional blocklist drop (per-token membership, C4's word-boundary
+  *      rule) + optional C4 line cleaning — boilerplate lines stripped,
+  *      code/lorem docs dropped (scan-stage projections, fused with stage 1)
   *   1. scan gates — quality score + Gopher repetition signals
   *      (dup-line / top-2-gram / dup-10-gram char fractions)
   *   2. exact dedup — smallest id per identical content survives
@@ -74,15 +76,19 @@ object Curate {
     // 0. optional C4 line cleaning — a projection, not a join: the kept
     // lines rebuild the text column in place and dropped docs filter out,
     // all inside the same scan Catalyst fuses with the stage-1 gates
+    val blocked =
+      if (cfg.blockTerms.nonEmpty)
+        docs.where(!TextAnalysis.blocklistHit(col(textCol), cfg.blockTerms))
+      else docs
     val base =
       if (cfg.c4Lines) {
         val kept = TextAnalysis.c4KeptLines(col(textCol), cfg.c4MinWordsPerLine)
-        docs.withColumn("__c4_kept", kept)
+        blocked.withColumn("__c4_kept", kept)
           .where(!TextAnalysis.c4DocDropped(col(textCol), col("__c4_kept"),
             cfg.c4MinLines))
           .withColumn(textCol, array_join(col("__c4_kept"), "\n"))
           .drop("__c4_kept")
-      } else docs
+      } else blocked
 
     // 1. scan-stage gates
     val rep = TextAnalysis.repetitionSignals(base, idCol, textCol,

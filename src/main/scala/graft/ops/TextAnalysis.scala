@@ -332,4 +332,16 @@ object TextAnalysis {
     contains(text, lit("{")) ||
     contains(lower(text), lit("lorem ipsum")) ||
     size(kept) < minLines
+
+  /** Blocklist document flag — the C4 recipe's other half (C4 drops any page
+    * containing a word from a blocklist). TRUE per-token membership over the
+    * standard pipeline tokens, not a substring scan: "grass" does not match
+    * a blocklisted "ass", exactly like C4's word-boundary rule. A pure
+    * scan-stage Column (array overlap against a literal), trivially
+    * SQL-twinnable and fused into whatever projection carries it.
+    */
+  def blocklistHit(text: Column, terms: Seq[String]): Column =
+    if (terms.isEmpty) lit(false)
+    else arrays_overlap(tokens(text),
+      lit(terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct.toArray))
 }

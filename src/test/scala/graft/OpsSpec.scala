@@ -1102,6 +1102,21 @@ class OpsSpec extends AnyFunSuite {
     assert(out(6L)._1 == 3 && out(6L)._2 == 3 && !out(6L)._3)
   }
 
+  test("blocklist: per-token word-boundary membership, not substring scan") {
+    val docs = Seq(
+      (1L, "the grass is green near the classroom"), // substrings only → clean
+      (2L, "an ass walked into the field"),          // exact token → blocked
+      (3L, "BADWORD shouts in caps"),                // case-folds → blocked
+      (4L, "perfectly ordinary prose here"))
+    val out = TextAnalysis.blocklistHit(col("text"), Seq("ass", "badword"))
+    val flags = docs.toDF("doc_id", "text").select(col("doc_id"), out.as("b"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags == Map(1L -> false, 2L -> true, 3L -> true, 4L -> false))
+    // empty blocklist flags nothing
+    assert(docs.toDF("doc_id", "text")
+      .where(TextAnalysis.blocklistHit(col("text"), Nil)).count() == 0)
+  }
+
   test("pagerank: quantized long ranks — partitioning-invariant and oracle-exact") {
     import graft.ops.PageRank
     // hub (everyone links 0), two deterministic rings, dangling nodes (i%5==0
