@@ -17,10 +17,11 @@ import org.apache.spark.sql.functions._
   *  2. Headline operator timings from SparkEntry.queries on
   *     $SPARK_GRAFT_SF_DIR at local[$SPARK_GRAFT_CPUS].
   *
-  * Prints ONE JSON line:
+  * Prints THREE JSON lines — per-query detail, scaling detail, then a SHORT
+  * headline line LAST (the round driver captures a bounded stdout tail; the
+  * r3 single giant line outgrew it and the record lost its "value"):
   * {"metric":"urls_fetched_deduped_per_sec","value":…,"unit":"urls/sec",
-  *  "queries":{…,sec},"sf":…,"scaling":{"throughput_8":…,"throughput_32":…,
-  *  "efficiency":…},"total_sec":…}
+  *  "sf":…,"throughput_n2":…,"throughput_n8":…,"efficiency":…,"total_sec":…}
   */
 object Bench {
 
@@ -150,16 +151,21 @@ object Bench {
     // idle — a burst-credit cap). The N→4N demonstration therefore uses
     // 2 vs 8 cores, both under the sustained cap; work scales with cores
     // (weak scaling) so each trial sees identical wall-clock throttle
-    // exposure, and the best of `trials` interleaved runs is reported to
-    // reject noisy-neighbor interference. See BENCH.md.
-    val levels = Seq(2, 8)
-    // FIXED trial budget per level, every attempt reported (throughput +
-    // delivered-CPU + ambient busy), efficiency from the per-level max: no
-    // result-conditioned retries anywhere — gating happens only on BEGIN
-    // conditions (the quiet-window wait), so the protocol cannot select
-    // toward the target.
+    // exposure. See BENCH.md.
+    // FIXED trial budget, every attempt reported (throughput + delivered-CPU
+    // + ambient busy). Round-3 lesson (VERDICT r3 #1): efficiency from the
+    // PER-LEVEL MAX over temporally-separated attempt pools is not robust to
+    // hypervisor burst-credit volatility — one N=2 attempt caught a credit
+    // burst no N=8 attempt saw, and the ratio compared two different
+    // machines (driver record 0.204 vs exclusive 0.95+). Fix: run each
+    // attempt as a BACK-TO-BACK PAIR (N then 4N inside the same ~30 s
+    // window, alternating order per pair to cancel first-position drift) and
+    // report the MEDIAN of per-pair efficiency ratios — credit state cancels
+    // within each pair instead of selecting across pools. Still no
+    // result-conditioned retries: gating happens only on BEGIN conditions.
     final case class Attempt(cores: Int, thr: Double, delivered: Double, busy: Double)
     val attempts = scala.collection.mutable.ArrayBuffer.empty[Attempt]
+    val pairRatios = scala.collection.mutable.ArrayBuffer.empty[Double]
     var contendedTrials = 0
     var pinnedOk = true
     // Global JIT warmup, unpinned and full-size, BEFORE any timed trial:
@@ -173,11 +179,7 @@ object Bench {
     def processCpuNs(): Long =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .asInstanceOf[com.sun.management.OperatingSystemMXBean].getProcessCpuTime
-    def runTrial(cores: Int): Unit = {
-      // gate each trial on a quiet window — a contended trial measures the
-      // neighbors, not the engine's scaling
-      val busy = waitForQuiet(maxWaitSec = 45, maxOtherCores = 1.5)
-      if (busy > 1.5) contendedTrials += 1
+    def runTrial(cores: Int, busy: Double): Attempt = {
       pinnedOk &= pinCpus(cores) // confine the whole JVM to exactly N cores
       val s = session(cores)
       try {
@@ -186,16 +188,32 @@ object Bench {
         val c0 = processCpuNs()
         val (_, sec) = timeIt(epochJob(s, n))
         val delivered = (processCpuNs() - c0) / 1e9 / sec / cores
-        attempts += Attempt(cores, n / sec, delivered, busy)
+        val a = Attempt(cores, n / sec, delivered, busy)
+        attempts += a
+        a
       } finally { s.stop(); pinCpus(allCpus) }
     }
-    (0 until trials).foreach { _ => levels.foreach(runTrial) }
-    def bestOf(cores: Int): Double =
-      attempts.filter(_.cores == cores).map(_.thr).max
+    // one quiet-window gate PER PAIR (begin-condition only), then the two
+    // levels run immediately back-to-back inside the same credit window
+    def runPair(order: Seq[Int]): Unit = {
+      val busy = waitForQuiet(maxWaitSec = 45, maxOtherCores = 1.5)
+      if (busy > 1.5) contendedTrials += 1
+      val byCores = order.map(c => c -> runTrial(c, busy)).toMap
+      pairRatios += (byCores(8).thr / byCores(2).thr) / 4.0
+    }
+    (0 until trials).foreach { i =>
+      runPair(if (i % 2 == 0) Seq(2, 8) else Seq(8, 2)) // alternate order
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    def medianOf(cores: Int): Double =
+      median(attempts.filter(_.cores == cores).map(_.thr).toSeq)
     val throttledTrials = attempts.count(_.delivered < 0.85)
-    val thrN = bestOf(2)
-    val thr4N = bestOf(8)
-    val efficiency = (thr4N / thrN) / 4.0
+    val thrN = medianOf(2)
+    val thr4N = medianOf(8)
+    val efficiency = median(pairRatios.toSeq)
     def attemptsJson(cores: Int): String =
       attempts.filter(_.cores == cores)
         .map(a => f"""{"thr":${a.thr}%.1f,"delivered":${a.delivered}%.3f,"busy":${a.busy}%.2f}""")
@@ -234,7 +252,15 @@ object Bench {
     val pinNote =
       if (pinnedOk) "JVM taskset-pinned to exactly N cores per trial (cgroup-executor emulation)"
       else "UNPINNED (taskset unavailable/failed) — scaling numbers measured without core confinement"
+    val ratiosJson = pairRatios.map(r => f"$r%.3f").mkString("[", ",", "]")
+    // Full detail first, then a SHORT headline line LAST: the round driver
+    // captures a bounded tail of stdout and the r3 detail line outgrew it
+    // (the record lost its "value"). The final line must stay small enough
+    // to always survive tail capture.
+    println(f"""{"detail":"queries","sf":"$sfDir","queries":$qs,"total_sec":$total%.2f}""")
     println(
-      f"""{"metric":"urls_fetched_deduped_per_sec","value":$fullThr%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","scaling":{"pages_per_core":$pagesPerCore,"trials":$trials,"contended_trials":$contendedTrials,"throttled_trials":$throttledTrials,"pinned":$pinnedOk,"attempts_n2":${attemptsJson(2)},"attempts_n8":${attemptsJson(8)},"throughput_n2":$thrN%.1f,"throughput_n8":$thr4N%.1f,"efficiency":$efficiency%.3f,"note":"N=2 vs 4N=8 cores, weak scaling, $pinNote, fixed trial budget with every attempt reported, efficiency from per-level max; hypervisor sustains ~11 of 32 advertised vCPUs (see BENCH.md)"},"total_sec":$total%.2f}""")
+      f"""{"detail":"scaling","pages_per_core":$pagesPerCore,"trials":$trials,"contended_trials":$contendedTrials,"throttled_trials":$throttledTrials,"pinned":$pinnedOk,"attempts_n2":${attemptsJson(2)},"attempts_n8":${attemptsJson(8)},"pair_ratios":$ratiosJson,"note":"N=2 vs 4N=8 cores, weak scaling, $pinNote; back-to-back N/4N pairs (alternating order) gated once per pair, efficiency = median of per-pair ratios so burst-credit state cancels within each pair (r3 fix); per-level throughputs are medians; hypervisor sustains ~11 of 32 advertised vCPUs (see BENCH.md)"}""")
+    println(
+      f"""{"metric":"urls_fetched_deduped_per_sec","value":$fullThr%.1f,"unit":"urls/sec","sf":"$sfDir","throughput_n2":$thrN%.1f,"throughput_n8":$thr4N%.1f,"efficiency":$efficiency%.3f,"pinned":$pinnedOk,"total_sec":$total%.2f}""")
   }
 }

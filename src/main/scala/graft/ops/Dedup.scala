@@ -695,6 +695,11 @@ object Dedup {
     * [[embeddingNearDup]]'s banding — the price of the bound, documented
     * here rather than discovered at 3 a.m. over 100 TB.
     *
+    * Id convention: `idCol` must be non-null and long-castable (the
+    * component labeling runs on long keys). Enforced with an in-plan
+    * `raise_error` — a silently-nulled id would corrupt cell assignment and
+    * component labels, the hazard spanDedup avoids by leaving ids untouched.
+    *
     * @return one row per input doc: (id, cell, component, is_canonical) —
     *         `is_canonical = false` rows are the semantic duplicates to drop
     */
@@ -713,8 +718,14 @@ object Dedup {
     // materializes it once and the sub-block key is derived from cached
     // blocks (signBucketFast over the few oversized cells is cheap enough to
     // re-evaluate per consumer; re-running the argmin per consumer is not)
+    val idLong = col(idCol).cast("long")
     val assignedRaw = df
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .select(
+        when(idLong.isNull, raise_error(concat(
+            lit("semDedup requires non-null long-castable ids; got: "),
+            coalesce(col(idCol).cast("string"), lit("null")))))
+          .otherwise(idLong).as("id"),
+        col(vecCol).as("v"))
       .withColumn("cell", cellOf(col("v").cast("array<double>")))
       .localCheckpoint(false)
     val assigned =

@@ -151,6 +151,9 @@ object Sampling {
                   splits: Seq[(String, Double)], salt: String = ""): DataFrame = {
     require(splits.nonEmpty && splits.forall(_._2 >= 0.0), "weights must be >= 0")
     val total = splits.map(_._2).sum
+    // all-zero weights would make every cut NaN and silently label every row
+    // with the last split name
+    require(total > 0.0, "split weights must sum to > 0")
     val cuts = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }.tail
     val h60 = conv(substring(hashOf(col(keyCol), salt), 1, 15), 16, 10).cast("long")
     // fixed parenthesization: floor(cum · 2^60), mirrored by SQL twins

@@ -57,7 +57,11 @@ object Similarity {
     * boxes every element access).
     */
   def cosineKernel(a: Column, b: Column): Column =
-    udf((x: Array[Float], y: Array[Float]) => cosineFast(x, y)).apply(a, b)
+    udf((x: Array[Float], y: Array[Float]) =>
+      // null-propagate like the Column-form cosine it replaced: one null
+      // embedding must drop the pair, not NPE the whole job
+      if (x == null || y == null) Option.empty[Double] else Some(cosineFast(x, y))
+    ).apply(a, b)
 
   /** Exact top-k by cosine against one query vector (a literal — the plan is
     * scan → project → TakeOrdered; no shuffle beyond the final k).

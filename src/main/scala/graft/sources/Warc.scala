@@ -101,7 +101,10 @@ object Warc {
           val header = new String(bytes, i, hEnd - i, UTF_8)
           val fields = header.split("\r?\n").drop(1).iterator
             .map(_.split(":", 2))
-            .collect { case Array(k, v) => k.trim.toLowerCase -> v.trim }
+            .collect { case Array(k, v) =>
+              // Locale.ROOT: default-locale lowercasing breaks the
+              // 'warc-target-uri' lookup on Turkish/Azeri JVMs (dotless ı)
+              k.trim.toLowerCase(java.util.Locale.ROOT) -> v.trim }
             .toMap
           // tolerate a malformed Content-Length (skip the record's payload
           // rather than failing the whole segment's task)

@@ -35,14 +35,30 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamCurate {
 
-  /** Stream-safe scan gates: quality score + per-row Gopher repetition
-    * signals, same thresholds as the batch pipeline's stage 1. Works on a
-    * streaming OR batch DataFrame (pure projection + filter).
+  /** Stream-safe scan gates: the batch pipeline's stage 0 (blocklist drop +
+    * C4 line cleaning — dropped docs filter out, kept lines rebuild the text
+    * column the later gates see) followed by stage 1 (quality score +
+    * per-row Gopher repetition signals), same thresholds and order as
+    * [[graft.ops.Curate.curateCorpus]]. All stateless scan-stage columns, so
+    * they work on a streaming OR batch DataFrame (pure projection + filter).
     */
   def gate(docs: DataFrame, textCol: String, cfg: CurateConfig): DataFrame = {
+    val blocked =
+      if (cfg.blockTerms.nonEmpty)
+        docs.where(!TextAnalysis.blocklistHit(col(textCol), cfg.blockTerms))
+      else docs
+    val base =
+      if (cfg.c4Lines) {
+        val kept = TextAnalysis.c4KeptLines(col(textCol), cfg.c4MinWordsPerLine)
+        blocked.withColumn("__c4_kept", kept)
+          .where(!TextAnalysis.c4DocDropped(col(textCol), col("__c4_kept"),
+            cfg.c4MinLines))
+          .withColumn(textCol, array_join(col("__c4_kept"), "\n"))
+          .drop("__c4_kept")
+      } else blocked
     val rep = udf((t: String) =>
       TextAnalysis.repetitionSignalsFast(t, topNs = Seq(2), dupNs = Seq(10)))
-    docs
+    base
       .withColumn("__rep", rep(col(textCol)))
       .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
       .where(col("quality") >= cfg.minQuality &&
