@@ -705,6 +705,28 @@ object SparkEntry {
         .select(col("doc_id"), col("n_kept"),
           concat_ws("||", col("fit_chunks")).as("fit_text"))
     }),
+    // SlidingWindowChunking (chunking_strategy.py:175-213) as the alternative
+    // chunker feeding the same BM25 chunk-filter pipeline — window/step/tail
+    // arithmetic mirrored exactly by the DuckDB twin
+    "q_chunk_window" -> ((s, dir) => {
+      val d = table(s, dir, "documents").where(col("doc_id") < 300)
+        .withColumn("chunks",
+          TextAnalysis.slidingWindowChunks(col("text"), window = 12, step = 5))
+      graft.scrape.ContentFilter.bm25ChunkPipeline(d, "doc_id", "chunks",
+          Seq("spark", "window"), 1.0)
+        .select(col("doc_id"), col("n_kept"),
+          concat_ws("||", col("fit_chunks")).as("fit_text"))
+    }),
+    // OverlappingWindowChunking (chunking_strategy.py:216-256): raw chunk
+    // emission under a TRUE window-arithmetic oracle
+    "q_chunk_overlap" -> ((s, dir) => {
+      table(s, dir, "documents").where(col("doc_id") < 300)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.overlappingWindowChunks(col("text"),
+            window = 15, overlap = 5)).as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx"),
+          TextAnalysis.wordCount(col("chunk")).as("n_words"), col("chunk"))
+    }),
 
     // ---- multimodal: REAL JDK codecs for image (PNG) and audio (WAV),
     // deterministic stub for video (no JDK video codec) --------------------
@@ -1605,6 +1627,58 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_kept,
         |       string_agg(chunk, '||' ORDER BY idx) AS fit_text
         |FROM s WHERE score >= 1 GROUP BY doc_id""".stripMargin,
+    // sliding-window chunker (window=12, step=5): main windows at i*5, plus a
+    // trailing last-12-words window when the end is misaligned; <=12-word
+    // texts pass through whole — then the same BM25 chunk filter
+    "q_chunk_window" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+        |  FROM documents WHERE doc_id < 300),
+        |c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) <= 12 THEN [text]
+        |    ELSE list_concat(
+        |      list_transform(range(0, ((len(tk) - 12) // 5) + 1),
+        |        i -> array_to_string(tk[i*5+1 : i*5+12], ' ')),
+        |      CASE WHEN ((len(tk) - 12) // 5) * 5 + 12 < len(tk)
+        |           THEN [array_to_string(tk[len(tk)-11 : len(tk)], ' ')]
+        |           ELSE [] END) END AS chunks
+        |  FROM t),
+        |e AS (
+        |  SELECT doc_id, unnest(list_transform(range(0, len(chunks)),
+        |           i -> {'idx': i, 'chunk': chunks[i+1]})) AS u
+        |  FROM c),
+        |s AS (
+        |  SELECT doc_id, u.idx AS idx, u.chunk AS chunk,
+        |    len(list_filter(list_filter(string_split_regex(lower(u.chunk), '[^a-z]+'),
+        |          x -> x <> ''), x -> x = 'spark')) +
+        |    len(list_filter(list_filter(string_split_regex(lower(u.chunk), '[^a-z]+'),
+        |          x -> x <> ''), x -> x = 'window')) AS score
+        |  FROM e)
+        |SELECT doc_id, count(*) AS n_kept,
+        |       string_agg(chunk, '||' ORDER BY idx) AS fit_text
+        |FROM s WHERE score >= 1 GROUP BY doc_id""".stripMargin,
+    // overlapping-window chunker (window=15, overlap=5 -> stride 10): final
+    // chunk is the short remainder; <=15-word texts pass through whole
+    "q_chunk_overlap" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+        |  FROM documents WHERE doc_id < 300),
+        |c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) <= 15 THEN [text]
+        |    ELSE list_transform(range(0, ((len(tk) - 15 + 9) // 10) + 1),
+        |           i -> array_to_string(tk[i*10+1 : i*10+15], ' ')) END AS chunks
+        |  FROM t)
+        |SELECT doc_id, CAST(u.idx AS INTEGER) AS chunk_idx,
+        |       CAST(len(list_filter(string_split_regex(u.chunk, '\s+'), x -> x <> ''))
+        |            AS INTEGER) AS n_words,
+        |       u.chunk AS chunk
+        |FROM (SELECT doc_id, unnest(list_transform(range(0, len(chunks)),
+        |        i -> {'idx': i, 'chunk': chunks[i+1]})) AS u
+        |      FROM c) q""".stripMargin,
     "q_link_score" ->
       """WITH l AS (
         |  SELECT p_partkey, p_name AS text,

@@ -126,15 +126,43 @@ object TextAnalysis {
   def regexChunks(text: Column, pattern: String = "\\n\\n"): Column =
     filter(split(text, pattern), c => trim(c) =!= "")
 
-  /** SlidingWindowChunking: word windows of `window` tokens advancing by
-    * `step` (overlapping when step < window).
+  /** SlidingWindowChunking (chunking_strategy.py:175-213), reference-exact:
+    * word windows of `window` tokens advancing by `step`; a text of ≤ window
+    * words is returned whole (the ORIGINAL text, whitespace preserved);
+    * when the last step-aligned window doesn't reach the end, one extra
+    * chunk of the LAST `window` words is appended (`words[-window:]`, not a
+    * short remainder). Pure array HOFs — one scan-stage projection.
     */
   def slidingWindowChunks(text: Column, window: Int = 100, step: Int = 50): Column = {
+    require(window > 0 && step > 0, "window and step must be > 0")
     val toks = filter(split(text, "\\s+"), t => t =!= "")
-    when(size(toks) <= window, array(concat_ws(" ", toks)))
-      .otherwise(transform(
-        sequence(lit(0), ((size(toks) - window + step - 1) / step).cast("int")),
-        i => concat_ws(" ", slice(toks, i * step + 1, lit(window)))))
+    val n = size(toks)
+    // main windows: i in [0, floor((n-window)/step)]; tail iff misaligned
+    val lastMain = ((n - window) / step).cast("int")
+    val main = transform(sequence(lit(0), lastMain),
+      i => concat_ws(" ", slice(toks, i * step + 1, lit(window))))
+    val tail = slice(
+      array(concat_ws(" ", slice(toks, n - window + 1, lit(window)))),
+      lit(1), when(lastMain * step + window < n, 1).otherwise(0))
+    when(n <= window, array(text)).otherwise(concat(main, tail))
+  }
+
+  /** OverlappingWindowChunking (chunking_strategy.py:216-256), reference-
+    * exact: windows of `window` words whose start advances by
+    * `window - overlap`; the final chunk is the (possibly shorter) remainder
+    * and a text of ≤ window words is returned whole (original text).
+    */
+  def overlappingWindowChunks(text: Column, window: Int = 1000,
+                              overlap: Int = 100): Column = {
+    require(overlap >= 0 && overlap < window, "need 0 <= overlap < window")
+    val stride = window - overlap
+    val toks = filter(split(text, "\\s+"), t => t =!= "")
+    val n = size(toks)
+    // k in [0, K] with K = smallest k where k*stride + window >= n
+    val k = ((n - window + stride - 1) / stride).cast("int")
+    when(n <= window, array(text))
+      .otherwise(transform(sequence(lit(0), k),
+        i => concat_ws(" ", slice(toks, i * stride + 1, lit(window)))))
   }
 
   /** Compiled twin of the fixed-width chunking Column form

@@ -173,8 +173,28 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(rx(0) == Seq("para one here", "para two there"))
     val sw = df.select(TextAnalysis.slidingWindowChunks(col("text"), 4, 2).as("c"))
       .as[Seq[String]].collect()
-    assert(sw(1).head == "w1 w2 w3 w4")
-    assert(sw(1)(1) == "w3 w4 w5 w6")
-    assert(sw(1).last.contains("w7"))
+    // reference-exact: misaligned end appends the LAST `window` words
+    assert(sw(1) == Seq("w1 w2 w3 w4", "w3 w4 w5 w6", "w4 w5 w6 w7"))
+    // 6 words in a 4-window: two step-aligned windows, aligned end -> no tail
+    assert(sw(0) == Seq("para one here para", "here para two there"))
+    val ow = df.select(TextAnalysis.overlappingWindowChunks(col("text"), 3, 1).as("c"))
+      .as[Seq[String]].collect()
+    // starts advance by window-overlap=2; final chunk is the short remainder
+    assert(ow(1) == Seq("w1 w2 w3", "w3 w4 w5", "w5 w6 w7"))
+    assert(ow(0) == Seq("para one here", "here para two", "two there"))
+    // a text of <= window words comes back whole, whitespace preserved
+    val whole = Seq("one\n\ntwo three").toDF("text")
+    assert(whole.select(TextAnalysis.slidingWindowChunks(col("text"), 4, 2).as("c"))
+      .as[Seq[String]].head() == Seq("one\n\ntwo three"))
+    assert(whole.select(TextAnalysis.overlappingWindowChunks(col("text"), 3, 1).as("c"))
+      .as[Seq[String]].head() == Seq("one\n\ntwo three"))
+    // aligned end: no extra tail window
+    val aligned = Seq("a b c d e f").toDF("text")
+    val swa = aligned.select(TextAnalysis.slidingWindowChunks(col("text"), 4, 2).as("c"))
+      .as[Seq[String]].collect()
+    assert(swa(0) == Seq("a b c d", "c d e f"))
+    val owa = aligned.select(TextAnalysis.overlappingWindowChunks(col("text"), 4, 2).as("c"))
+      .as[Seq[String]].collect()
+    assert(owa(0) == Seq("a b c d", "c d e f"))
   }
 }
