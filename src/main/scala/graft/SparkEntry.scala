@@ -658,6 +658,51 @@ object SparkEntry {
           col("text"), col("url"), col("title_attr"), col("class_attr"),
           col("rel_attr"), typedLit(Seq.empty[String]), lit(false)), 4).as("link_score"))
     }),
+    // link-head enrichment (link_preview.py:75-394): extracted links →
+    // side/pattern/cap filter → TTL head store (fresh hits served, misses
+    // fetched) → BM25 contextual score over valid head text → total_score =
+    // 0.7·intrinsic + 0.3·min(contextual·10, 10), clamped (utils.py:3238)
+    "q_link_head" -> ((s, dir) => {
+      val now = 1700000000000L
+      val ttl = graft.sources.Seeder.HeadTtlMs
+      val base = table(s, dir, "part").where(col("p_partkey") < 400)
+      def href = concat(
+        when(col("p_partkey") % 3 === 0, "https://x.com/docs/guide/")
+          .when(col("p_partkey") % 3 === 1, "https://x.com/blog/")
+          .otherwise("http://x.com/cart/checkout/a/b/c/d/"),
+        col("p_partkey"))
+      val links = base.select(
+          col("p_partkey"),
+          concat(lit("http://x.com/page/"), col("p_partkey") % 20).as("page_url"),
+          href.as("href"),
+          col("p_name").as("text"),
+          col("p_partkey").as("link_pos"),
+          (col("p_partkey") % 4 =!= 0).as("is_internal"),
+          when(col("p_partkey") % 2 === 0, "Part details page").otherwise("").as("title_attr"),
+          when(col("p_partkey") % 5 === 0, "nav-menu").otherwise("item").as("class_attr"),
+          when(col("p_partkey") % 7 === 0, "nofollow").otherwise("").as("rel_attr"))
+        .withColumn("intrinsic_score", graft.functions.LinkScore.intrinsic(
+          col("text"), col("href"), col("title_attr"), col("class_attr"),
+          col("rel_attr"), typedLit(Seq.empty[String]), lit(false)))
+        .select("p_partkey", "page_url", "href", "link_pos", "is_internal",
+          "intrinsic_score")
+      val store = base.where(col("p_partkey") % 5 === 0).select(
+        href.as("url"), lit("valid").as("status"),
+        concat(col("p_name"), lit(" spark partition window text")).as("head"),
+        when(col("p_partkey") % 2 === 0, now - 1000L)
+          .otherwise(now - ttl - 1L).as("fetched_at"))
+      val fetch = base.where(col("p_partkey") % 3 === 0).select(
+        href.as("url"), lit("valid").as("status"),
+        concat(lit("executor spark "), col("p_name")).as("head"))
+      val (enriched, _) = graft.sources.LinkPreview.enrich(links, store, fetch,
+        graft.sources.LinkPreview.Config(
+          includeInternal = true, includeExternal = false,
+          excludePatterns = Seq("*checkout*"), maxLinks = 150,
+          query = Seq("spark", "window"), nowMs = now))
+      enriched.select(col("p_partkey"), col("head_status"),
+        round(col("contextual_score"), 4).as("contextual_score"),
+        round(col("total_score"), 4).as("total_score"))
+    }),
 
     // composite URL scorers (freshness/path-depth/keyword, reference lookup
     // tables — SQL-mirrorable on constructed URLs)
@@ -880,6 +925,46 @@ object SparkEntry {
         |  coalesce(a.score_q9, 0) AS score_q9
         |FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
         |LEFT JOIN agg a USING (doc_id)""".stripMargin
+
+  /** Shared link-row attribute columns (url/title/class/rel from `part`) and
+    * the raw intrinsic-score expression (utils.py:3123-3235) — interpolated
+    * into BOTH the q_link_score and q_link_head twins so they cannot drift.
+    */
+  private val linkRowAttrsSql: String =
+    """    CASE WHEN p_partkey % 3 = 0 THEN 'https://x.com/docs/guide/' || p_partkey
+      |         WHEN p_partkey % 3 = 1 THEN 'https://x.com/blog/' || p_partkey
+      |         ELSE 'http://x.com/cart/checkout/a/b/c/d/' || p_partkey END AS url,
+      |    CASE WHEN p_partkey % 2 = 0 THEN 'Part details page' ELSE '' END AS title_attr,
+      |    CASE WHEN p_partkey % 5 = 0 THEN 'nav-menu' ELSE 'item' END AS class_attr,
+      |    CASE WHEN p_partkey % 7 = 0 THEN 'nofollow' ELSE '' END AS rel_attr""".stripMargin
+
+  private val linkRawScoreSql: String =
+    """      (CASE WHEN length(trim(title_attr)) > 3 THEN 1.0 ELSE 0.0 END)
+      |    + (CASE WHEN lower(class_attr) LIKE '%nav%' OR lower(class_attr) LIKE '%menu%'
+      |              OR lower(class_attr) LIKE '%primary%' OR lower(class_attr) LIKE '%main%'
+      |              OR lower(class_attr) LIKE '%important%' THEN 1.5 ELSE 0.0 END)
+      |    + (CASE WHEN lower(class_attr) LIKE '%ad%' OR lower(class_attr) LIKE '%sponsor%'
+      |              OR lower(class_attr) LIKE '%track%' OR lower(class_attr) LIKE '%promo%'
+      |              OR lower(class_attr) LIKE '%banner%' THEN -1.0 ELSE 0.0 END)
+      |    + (CASE WHEN lower(rel_attr) LIKE '%canonical%' OR lower(rel_attr) LIKE '%next%'
+      |              OR lower(rel_attr) LIKE '%prev%' OR lower(rel_attr) LIKE '%chapter%' THEN 1.0 ELSE 0.0 END)
+      |    + (CASE WHEN lower(rel_attr) LIKE '%nofollow%' OR lower(rel_attr) LIKE '%sponsored%'
+      |              OR lower(rel_attr) LIKE '%ugc%' THEN -0.5 ELSE 0.0 END)
+      |    + (CASE WHEN lower(url) LIKE '%/docs/%' OR lower(url) LIKE '%/api/%'
+      |              OR lower(url) LIKE '%/guide/%' OR lower(url) LIKE '%/tutorial/%'
+      |              OR lower(url) LIKE '%/reference/%' OR lower(url) LIKE '%/manual/%' THEN 2.0
+      |            WHEN lower(url) LIKE '%/blog/%' OR lower(url) LIKE '%/article/%'
+      |              OR lower(url) LIKE '%/post/%' OR lower(url) LIKE '%/news/%' THEN 1.0 ELSE 0.0 END)
+      |    + (CASE WHEN lower(url) LIKE '%/admin/%' OR lower(url) LIKE '%/login/%'
+      |              OR lower(url) LIKE '%/cart/%' OR lower(url) LIKE '%/checkout/%'
+      |              OR lower(url) LIKE '%/track/%' OR lower(url) LIKE '%/click/%' THEN -1.5 ELSE 0.0 END)
+      |    + (CASE WHEN length(lower(url)) - length(replace(lower(url), '/', '')) - 2 <= 2 THEN 1.0
+      |            WHEN length(lower(url)) - length(replace(lower(url), '/', '')) - 2 > 5 THEN -0.5 ELSE 0.0 END)
+      |    + (CASE WHEN lower(url) LIKE 'https://%' THEN 0.5 ELSE 0.0 END)
+      |    + (CASE WHEN length(trim(text)) > 3 THEN 1.0 ELSE 0.0 END)
+      |    + (CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) >= 2 THEN 0.5 ELSE 0.0 END)
+      |    + (CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) >= 4 THEN 0.5 ELSE 0.0 END)
+      |    + (CASE WHEN lower(trim(text)) IN ('click here','read more','more info','link','here') THEN -1.0 ELSE 0.0 END)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // ---- expected-result fixtures (sequential oracles / generator intent /
@@ -1680,46 +1765,94 @@ object SparkEntry {
         |        i -> {'idx': i, 'chunk': chunks[i+1]})) AS u
         |      FROM c) q""".stripMargin,
     "q_link_score" ->
-      """WITH l AS (
+      s"""WITH l AS (
         |  SELECT p_partkey, p_name AS text,
-        |    CASE WHEN p_partkey % 3 = 0 THEN 'https://x.com/docs/guide/' || p_partkey
-        |         WHEN p_partkey % 3 = 1 THEN 'https://x.com/blog/' || p_partkey
-        |         ELSE 'http://x.com/cart/checkout/a/b/c/d/' || p_partkey END AS url,
-        |    CASE WHEN p_partkey % 2 = 0 THEN 'Part details page' ELSE '' END AS title_attr,
-        |    CASE WHEN p_partkey % 5 = 0 THEN 'nav-menu' ELSE 'item' END AS class_attr,
-        |    CASE WHEN p_partkey % 7 = 0 THEN 'nofollow' ELSE '' END AS rel_attr
+        |$linkRowAttrsSql
         |  FROM part),
         |s AS (
         |  SELECT p_partkey,
-        |      (CASE WHEN length(trim(title_attr)) > 3 THEN 1.0 ELSE 0.0 END)
-        |    + (CASE WHEN lower(class_attr) LIKE '%nav%' OR lower(class_attr) LIKE '%menu%'
-        |              OR lower(class_attr) LIKE '%primary%' OR lower(class_attr) LIKE '%main%'
-        |              OR lower(class_attr) LIKE '%important%' THEN 1.5 ELSE 0.0 END)
-        |    + (CASE WHEN lower(class_attr) LIKE '%ad%' OR lower(class_attr) LIKE '%sponsor%'
-        |              OR lower(class_attr) LIKE '%track%' OR lower(class_attr) LIKE '%promo%'
-        |              OR lower(class_attr) LIKE '%banner%' THEN -1.0 ELSE 0.0 END)
-        |    + (CASE WHEN lower(rel_attr) LIKE '%canonical%' OR lower(rel_attr) LIKE '%next%'
-        |              OR lower(rel_attr) LIKE '%prev%' OR lower(rel_attr) LIKE '%chapter%' THEN 1.0 ELSE 0.0 END)
-        |    + (CASE WHEN lower(rel_attr) LIKE '%nofollow%' OR lower(rel_attr) LIKE '%sponsored%'
-        |              OR lower(rel_attr) LIKE '%ugc%' THEN -0.5 ELSE 0.0 END)
-        |    + (CASE WHEN lower(url) LIKE '%/docs/%' OR lower(url) LIKE '%/api/%'
-        |              OR lower(url) LIKE '%/guide/%' OR lower(url) LIKE '%/tutorial/%'
-        |              OR lower(url) LIKE '%/reference/%' OR lower(url) LIKE '%/manual/%' THEN 2.0
-        |            WHEN lower(url) LIKE '%/blog/%' OR lower(url) LIKE '%/article/%'
-        |              OR lower(url) LIKE '%/post/%' OR lower(url) LIKE '%/news/%' THEN 1.0 ELSE 0.0 END)
-        |    + (CASE WHEN lower(url) LIKE '%/admin/%' OR lower(url) LIKE '%/login/%'
-        |              OR lower(url) LIKE '%/cart/%' OR lower(url) LIKE '%/checkout/%'
-        |              OR lower(url) LIKE '%/track/%' OR lower(url) LIKE '%/click/%' THEN -1.5 ELSE 0.0 END)
-        |    + (CASE WHEN length(lower(url)) - length(replace(lower(url), '/', '')) - 2 <= 2 THEN 1.0
-        |            WHEN length(lower(url)) - length(replace(lower(url), '/', '')) - 2 > 5 THEN -0.5 ELSE 0.0 END)
-        |    + (CASE WHEN lower(url) LIKE 'https://%' THEN 0.5 ELSE 0.0 END)
-        |    + (CASE WHEN length(trim(text)) > 3 THEN 1.0 ELSE 0.0 END)
-        |    + (CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) >= 2 THEN 0.5 ELSE 0.0 END)
-        |    + (CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) >= 4 THEN 0.5 ELSE 0.0 END)
-        |    + (CASE WHEN lower(trim(text)) IN ('click here','read more','more info','link','here') THEN -1.0 ELSE 0.0 END)
+        |$linkRawScoreSql
         |    AS raw
         |  FROM l)
         |SELECT p_partkey, round(greatest(0.0, least(raw, 10.0)), 4) AS link_score FROM s""".stripMargin,
+    "q_link_head" ->
+      s"""WITH l AS (
+        |  SELECT p_partkey, p_name AS text,
+        |    'http://x.com/page/' || (p_partkey % 20) AS page_url,
+        |    p_partkey AS link_pos,
+        |    (p_partkey % 4) <> 0 AS is_internal,
+        |$linkRowAttrsSql
+        |  FROM part WHERE p_partkey < 400),
+        |intr AS (
+        |  SELECT p_partkey, greatest(0.0, least(
+        |$linkRawScoreSql
+        |  , 10.0)) AS intrinsic
+        |  FROM l),
+        |cand AS (
+        |  SELECT * FROM l WHERE is_internal AND url NOT LIKE '%checkout%'
+        |  QUALIFY row_number() OVER (ORDER BY page_url, link_pos) <= 150),
+        |req AS (SELECT DISTINCT url FROM cand),
+        |store AS (
+        |  SELECT
+        |    CASE WHEN p_partkey % 3 = 0 THEN 'https://x.com/docs/guide/' || p_partkey
+        |         WHEN p_partkey % 3 = 1 THEN 'https://x.com/blog/' || p_partkey
+        |         ELSE 'http://x.com/cart/checkout/a/b/c/d/' || p_partkey END AS url,
+        |    'valid' AS status,
+        |    p_name || ' spark partition window text' AS head,
+        |    CASE WHEN p_partkey % 2 = 0 THEN 1700000000000 - 1000
+        |         ELSE 1700000000000 - 604800000 - 1 END AS fetched_at
+        |  FROM part WHERE p_partkey < 400 AND p_partkey % 5 = 0),
+        |fx AS (
+        |  SELECT
+        |    CASE WHEN p_partkey % 3 = 0 THEN 'https://x.com/docs/guide/' || p_partkey
+        |         WHEN p_partkey % 3 = 1 THEN 'https://x.com/blog/' || p_partkey
+        |         ELSE 'http://x.com/cart/checkout/a/b/c/d/' || p_partkey END AS url,
+        |    'valid' AS status, 'executor spark ' || p_name AS head
+        |  FROM part WHERE p_partkey < 400 AND p_partkey % 3 = 0),
+        |fresh AS (
+        |  SELECT r.url, s.status, s.head FROM req r JOIN store s USING (url)
+        |  WHERE 1700000000000 - s.fetched_at <= 604800000),
+        |fetched AS (
+        |  SELECT m.url, coalesce(f.status, 'not_valid') AS status,
+        |         coalesce(f.head, '') AS head
+        |  FROM (SELECT url FROM req WHERE url NOT IN (SELECT url FROM fresh)) m
+        |  LEFT JOIN fx f USING (url)),
+        |served AS (
+        |  SELECT url, status, head FROM fresh
+        |  UNION ALL SELECT url, status, head FROM fetched),
+        |corpus AS (
+        |  SELECT url,
+        |    list_filter(string_split_regex(lower(head), '[^a-z]+'), x -> x <> '') AS tk
+        |  FROM served WHERE status = 'valid' AND head <> ''),
+        |lens AS (SELECT url, len(tk) * 1.0 AS dl FROM corpus),
+        |nn AS (SELECT count(*) AS n FROM corpus),
+        |ad AS (SELECT avg(dl) AS avgdl FROM lens),
+        |tf AS (
+        |  SELECT url, term, count(*) AS tf
+        |  FROM (SELECT url, unnest(tk) AS term FROM corpus)
+        |  WHERE term IN ('spark', 'window') GROUP BY url, term),
+        |idf AS (
+        |  SELECT term, ln((nn.n - df + 0.5) / (df + 0.5) + 1.0) AS idf
+        |  FROM (SELECT term, count(*) AS df FROM tf GROUP BY term), nn),
+        |bm AS (
+        |  SELECT tf.url,
+        |         sum(idf.idf * tf.tf * 2.5 /
+        |             (tf.tf + 1.5 * (0.25 + 0.75 * lens.dl / ad.avgdl))) AS score
+        |  FROM tf JOIN idf USING (term) JOIN lens ON tf.url = lens.url, ad
+        |  GROUP BY tf.url),
+        |ctx AS (
+        |  SELECT served.url, served.status,
+        |    CASE WHEN served.status = 'valid' AND served.head <> ''
+        |         THEN coalesce(bm.score, 0.0) END AS contextual
+        |  FROM served LEFT JOIN bm USING (url))
+        |SELECT l.p_partkey,
+        |  coalesce(ctx.status, 'not_requested') AS head_status,
+        |  round(ctx.contextual, 4) AS contextual_score,
+        |  round(CASE WHEN ctx.contextual IS NULL
+        |        THEN greatest(0.0, least(intr.intrinsic, 10.0))
+        |        ELSE greatest(0.0, least(10.0, intr.intrinsic * 0.7
+        |             + least(ctx.contextual * 10.0, 10.0) * 0.3)) END, 4) AS total_score
+        |FROM l JOIN intr USING (p_partkey) LEFT JOIN ctx ON l.url = ctx.url""".stripMargin,
     "q_cosine_filter" ->
       """WITH tk AS (
         |  SELECT doc_id,

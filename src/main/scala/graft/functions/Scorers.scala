@@ -111,9 +111,12 @@ object Scorers {
   /** Total link score = 0.7·intrinsic + 0.3·(contextual·10), neutral 5.0
     * fallback (utils.py:3238-3283).
     */
-  def totalLinkScore(intrinsic: Column, contextual: Column): Column =
-    when(intrinsic.isNull && contextual.isNull, 5.0)
-      .when(contextual.isNull, intrinsic)
-      .when(intrinsic.isNull, contextual * 10.0)
-      .otherwise(intrinsic * 0.7 + contextual * 10.0 * 0.3)
+  def totalLinkScore(intrinsic: Column, contextual: Column): Column = {
+    val scaled = least(contextual * 10.0, lit(10.0)) // contextual_scaled cap
+    greatest(lit(0.0), least(lit(10.0),               // final [0,10] clamp
+      when(intrinsic.isNull && contextual.isNull, 5.0)
+        .when(contextual.isNull, intrinsic)
+        // both-present branch: a null intrinsic is 0.0 (utils.py:3267)
+        .otherwise(coalesce(intrinsic, lit(0.0)) * 0.7 + scaled * 0.3)))
+  }
 }

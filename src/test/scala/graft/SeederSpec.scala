@@ -158,4 +158,44 @@ class SeederSpec extends AnyFunSuite {
       store, Seq("http://a/missing").toDF("url"), fetch.limit(0), nowMs = 10000L, ttlMs = ttl)
     assert(served2.collect().head.getString(1) == "not_valid")
   }
+
+  test("link preview: head data + scores land on the enriched link rows") {
+    import graft.sources.LinkPreview
+    // (page_url, href, link_pos, is_internal, intrinsic_score)
+    val links = Seq(
+      ("http://p/1", "http://a/docs", 0, true, 4.0),   // fetch hit, scored
+      ("http://p/1", "http://a/cached", 1, true, 2.0), // fresh store hit
+      ("http://p/1", "http://a/miss", 2, true, 6.0),   // head fetch fails
+      ("http://p/1", "http://x.ad/z", 3, true, 1.0),   // excluded by pattern
+      ("http://p/2", "http://b/ext", 0, false, 3.0))   // external: filtered
+      .toDF("page_url", "href", "link_pos", "is_internal", "intrinsic_score")
+    val store = Seq(("http://a/cached", "valid", "spark spark guide", 9500L))
+      .toDF("url", "status", "head", "fetched_at")
+    val fetch = Seq(("http://a/docs", "valid", "spark tutorial"))
+      .toDF("url", "status", "head")
+    val (out, newStore) = LinkPreview.enrich(links, store, fetch,
+      LinkPreview.Config(includeInternal = true, includeExternal = false,
+        excludePatterns = Seq("*.ad/*"), query = Seq("spark"),
+        nowMs = 10000L, ttlMs = 5000L))
+    val m = out.collect().map(r => r.getAs[String]("href") ->
+      ((r.getAs[String]("head_status"), r.getAs[String]("head"),
+        Option(r.getAs[java.lang.Double]("contextual_score")).map(_.doubleValue),
+        r.getAs[Double]("total_score")))).toMap
+    // head_data lands on the requested rows; the rest stay not_requested
+    assert(m("http://a/docs")._1 == "valid" && m("http://a/docs")._2 == "spark tutorial")
+    assert(m("http://a/cached")._1 == "valid" && m("http://a/cached")._2 == "spark spark guide")
+    // failed head extraction: no contextual score, total falls back to
+    // intrinsic (calculate_total_score case 2)
+    assert(m("http://a/miss") == (("not_valid", "", None, 6.0)))
+    assert(m("http://x.ad/z") == (("not_requested", "", None, 1.0)))
+    assert(m("http://b/ext") == (("not_requested", "", None, 3.0)))
+    // contextual BM25 > 0 on both valid heads; total = 0.7·i + 0.3·min(10c,10)
+    val (_, _, Some(cDocs), tDocs) = m("http://a/docs")
+    assert(cDocs > 0.0)
+    assert(math.abs(tDocs - (4.0 * 0.7 + math.min(cDocs * 10, 10.0) * 0.3)) < 1e-9)
+    // the store delta recorded the fetched + failed heads
+    val st = newStore.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(st("http://a/docs") == "valid" && st("http://a/miss") == "not_valid")
+    assert(st("http://a/cached") == "valid")
+  }
 }
