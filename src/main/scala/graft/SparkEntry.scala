@@ -101,6 +101,64 @@ object SparkEntry {
   private def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** q_stream_curate: REAL Structured-Streaming run of
+    * [[graft.streaming.StreamCurate.curateStream]] over a file source — four
+    * deterministic arrival batches (bases 0-99, bases 100-199, exact copies,
+    * edited near-dups) written as json files with increasing mod-times and
+    * consumed one-per-trigger, oldest first. The md5 minhash basis makes the
+    * whole acceptance chain SQL-derivable, and the batch split is monotone
+    * in doc id (a cluster's canonical min-id member never arrives after the
+    * members it should displace), so the stream's accepted set equals the
+    * batch [[graft.ops.Curate.curateCorpus]] twin — which is what the DuckDB
+    * oracle recomputes from first principles (gates → exact → md5
+    * sigs/bands/est-Jaccard → recursive components → canonical survivors).
+    * The accepting batch id rides along as the `batch` partition column and
+    * is itself oracled (= the arrival batch of each surviving doc).
+    */
+  @volatile private var streamCurateOut: String = null
+  private def runStreamCurate(s: SparkSession, dir: String): DataFrame = {
+    synchronized {
+      if (streamCurateOut == null) {
+        val base = table(s, dir, "documents").where(col("doc_id") < 200)
+          .select(col("doc_id"), col("text"))
+        val batches = Seq(
+          base.where(col("doc_id") < 100),
+          base.where(col("doc_id") >= 100),
+          base.where(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 100000).as("doc_id"), col("text")),
+          base.where(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 200000).as("doc_id"),
+              concat(col("text"), lit(" stream curated trailing marker")).as("text")))
+        val root = java.nio.file.Files.createTempDirectory("graft-stream")
+        val watch = root.resolve("in")
+        java.nio.file.Files.createDirectories(watch)
+        batches.zipWithIndex.foreach { case (df, i) =>
+          val f = watch.resolve(s"batch$i.json")
+          java.nio.file.Files.write(f,
+            df.toJSON.collect().mkString("\n").getBytes("UTF-8"))
+          // distinct mod-times pin the file-source arrival order
+          f.toFile.setLastModified(1000000000L + i * 60000L)
+        }
+        val docsStream = s.readStream
+          .schema("doc_id BIGINT, text STRING")
+          .option("maxFilesPerTrigger", 1)
+          .json(watch.toString)
+        val q = graft.streaming.StreamCurate.curateStream(docsStream,
+          "doc_id", "text",
+          CurateConfig(minQuality = 0.3, maxDupLineFrac = 0.9,
+            maxTopGramFrac = 0.9, maxDupGramFrac = 0.9,
+            fuzzyThreshold = 0.8, fuzzyN = 2, minhashBasis = "md5"),
+          root.resolve("state").toString, root.resolve("out").toString,
+          root.resolve("ckpt").toString)
+        try q.processAllAvailable() finally q.stop()
+        streamCurateOut = root.resolve("out").toString
+      }
+    }
+    s.read.parquet(streamCurateOut)
+      .select(col("doc_id"), col("batch").cast("int").as("batch"),
+        round(col("quality"), 4).as("quality"))
+  }
+
   /** Flagship: full BFS crawl of the synthetic site → interleaved span docs.
     * Driver smoke-checks rows > 0 on sf0.001.
     */
@@ -362,6 +420,11 @@ object SparkEntry {
             spanK = 0, benchK = 13, sampleFraction = 0.5, salt = "r3"))
         .select(col("doc_id"), round(col("quality"), 4).as("quality"))
     }),
+
+    // continuous curation through a REAL file-source stream (see
+    // runStreamCurate): gates → exact ledger → persisted md5-minhash LSH
+    // index, four deterministic arrival batches, replay-idempotent state
+    "q_stream_curate" -> ((s, dir) => runStreamCurate(s, dir)),
 
     // ---- training-data pipeline: text analysis ----------------------------
     "q_ngram_lm" -> ((s, dir) => {
@@ -1455,6 +1518,120 @@ object SparkEntry {
         |SELECT doc_id, round(quality, 4) AS quality
         |FROM clean
         |WHERE md5('r3|' || CAST(doc_id AS VARCHAR)) < '80000000000000000000000000000000'""".stripMargin,
+    // STREAMING curation oracled from first principles: the batch twin of
+    // the stream's acceptance chain — same gates as q_curate, exact dedup,
+    // then md5-basis MinHash (k=32, 8 bands × 4 rows, 2-shingles, est ≥ 0.8)
+    // with recursive-CTE connected components; the monotone batch split
+    // makes stream == batch (see runStreamCurate), and the accepting batch
+    // id is re-derived from the doc-id ranges
+    "q_stream_curate" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 200 AND doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text || ' stream curated trailing marker'
+        |  FROM documents WHERE doc_id < 200 AND doc_id % 7 = 0),
+        |t AS (
+        |  SELECT doc_id, text, length(text) AS n_chars,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS wtoks,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS atoks
+        |  FROM corpus),
+        |m AS (
+        |  SELECT doc_id, text, n_chars, len(wtoks) AS n_words,
+        |    CASE WHEN len(wtoks) = 0 THEN 0.0
+        |         ELSE list_sum(list_transform(wtoks, x -> length(x))) * 1.0 / len(wtoks) END AS mwl,
+        |    length(regexp_replace(text, '[^!?.,;:]', '', 'g')) * 1.0 / greatest(length(text), 1) AS punct,
+        |    len(list_filter(atoks, x -> list_contains(['the','a','and','of','to','in','is','it','that','was'], x))) * 1.0
+        |      / greatest(len(atoks), 1) AS stopr
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id, text,
+        |    (CASE WHEN n_chars BETWEEN 200 AND 20000 THEN 1.0
+        |          WHEN n_chars BETWEEN 50 AND 199 THEN 0.5 ELSE 0.0 END) * 0.25
+        |  + (CASE WHEN n_words >= 30 THEN 1.0 WHEN n_words >= 10 THEN 0.5 ELSE 0.0 END) * 0.25
+        |  + (CASE WHEN stopr > 0.02 THEN 1.0 ELSE 0.0 END) * 0.2
+        |  + (CASE WHEN punct <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.15
+        |  + (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) * 0.15 AS quality
+        |  FROM m),
+        |rls AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(coalesce(list_sum(list_transform(lines, x -> length(x))), 0) AS BIGINT) AS line_chars,
+        |    CAST(coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
+        |       - coalesce(list_sum(list_transform(list_distinct(lines), x -> length(x))), 0) AS BIGINT) AS dup_line_chars,
+        |    toks
+        |  FROM (SELECT doc_id, text,
+        |          list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS lines,
+        |          list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+        |        FROM corpus)),
+        |rg AS (
+        |  SELECT doc_id, n,
+        |    unnest(list_transform(generate_series(1, len(toks) - (n - 1)),
+        |                          i -> array_to_string(toks[i:i+n-1], ' '))) AS g
+        |  FROM rls, (SELECT unnest([2,10]) AS n) ns
+        |  WHERE len(toks) >= n),
+        |rcnt AS (SELECT doc_id, n, g, count(*) AS cnt FROM rg GROUP BY doc_id, n, g),
+        |rga AS (
+        |  SELECT doc_id,
+        |    CAST(coalesce(max(CASE WHEN n=2 THEN cnt*length(g) END), 0) AS BIGINT) AS top2,
+        |    CAST(coalesce(sum(CASE WHEN n=10 AND cnt>1 THEN (cnt-1)*length(g) ELSE 0 END), 0) AS BIGINT) AS dup10
+        |  FROM rcnt GROUP BY doc_id),
+        |rfrac AS (
+        |  SELECT l.doc_id,
+        |    l.dup_line_chars * 1.0 / greatest(l.line_chars, 1) AS dup_line_frac,
+        |    coalesce(g2.top2, 0) * 1.0 / greatest(l.n_chars, 1) AS top2_frac,
+        |    coalesce(g2.dup10, 0) * 1.0 / greatest(l.n_chars, 1) AS dup10_frac
+        |  FROM rls l LEFT JOIN rga g2 USING (doc_id)),
+        |gated AS (
+        |  SELECT q.doc_id, q.text, q.quality
+        |  FROM q JOIN rfrac r USING (doc_id)
+        |  WHERE q.quality >= 0.3 AND r.dup_line_frac <= 0.9
+        |    AND r.top2_frac <= 0.9 AND r.dup10_frac <= 0.9),
+        |exact AS (
+        |  SELECT g.doc_id, g.text, g.quality FROM gated g
+        |  JOIN (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text) s USING (doc_id)),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) >= 2
+        |         THEN list_transform(generate_series(1, len(tk) - 1), i -> array_to_string(tk[i:i+1], ' '))
+        |         ELSE [array_to_string(tk, ' ')] END AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS tk
+        |        FROM exact)),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 32),
+        |      i -> list_min(list_transform(s, x -> md5(CAST(i AS VARCHAR) || '|' || x)))) AS sig
+        |  FROM sh),
+        |bnd AS (
+        |  SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS bkey
+        |  FROM sigs, (SELECT unnest(range(0, 8)) AS b) bs),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        |  FROM bnd a JOIN bnd c ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT cand.id_a, cand.id_b,
+        |      list_sum(list_transform(range(1, 33),
+        |        i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 32.0 AS est
+        |    FROM cand JOIN sigs sa ON cand.id_a = sa.doc_id
+        |              JOIN sigs sb ON cand.id_b = sb.doc_id)
+        |  WHERE est >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT doc_id AS src, doc_id AS dst FROM exact
+        |  UNION
+        |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+        |comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src)
+        |SELECT e.doc_id,
+        |  CAST(CASE WHEN e.doc_id < 100 THEN 0 WHEN e.doc_id < 200 THEN 1
+        |            WHEN e.doc_id < 200000 THEN 2 ELSE 3 END AS INTEGER) AS batch,
+        |  round(e.quality, 4) AS quality
+        |FROM exact e JOIN comp c USING (doc_id)
+        |WHERE c.component = e.doc_id""".stripMargin,
     // stupid-backoff trigram LM scoring: per-token S quantized to integer
     // billionths (floor(S*1e9)) and summed as BIGINT — bit-exact across
     // engines, no float-sum nondeterminism (IEEE division + 0.4 literal only)

@@ -34,6 +34,9 @@ final case class CurateConfig(
     fuzzy: String = "minhash",
     fuzzyThreshold: Double = 0.8,
     fuzzyN: Int = 3,
+    /** MinHash signature basis: "xxh64" (production) or "md5" (the
+      * SQL-derivable twin — lets a whole minhash pipeline be oracled). */
+    minhashBasis: String = "xxh64",
     spanK: Int = 0,
     benchK: Int = 13,
     sampleFraction: Double = 1.0,
@@ -119,7 +122,8 @@ object Curate {
           case "jaccard" => Dedup.ngramJaccardPairs(exactKept, idCol, textCol,
             n = cfg.fuzzyN, minJaccard = cfg.fuzzyThreshold)
           case "minhash" => Dedup.minHashLsh(exactKept, idCol, textCol,
-            shingleLen = cfg.fuzzyN, minEstJaccard = cfg.fuzzyThreshold)
+            shingleLen = cfg.fuzzyN, minEstJaccard = cfg.fuzzyThreshold,
+            basis = cfg.minhashBasis)
           // semantic near-dup via the pluggable Embedder seam: vectors are
           // computed in-plan, blocked by banded sign-buckets, verified by
           // exact cosine at fuzzyThreshold

@@ -62,6 +62,43 @@ object Dedup {
     }
   }
 
+  /** Compiled twin of [[minHashSignatureMd5]]: sig[i] = lexicographic min
+    * over shingles of the md5 hex of "i|shingle" — bit-identical to the
+    * Column form (UTF-8 bytes, lowercase hex, string compare) and derivable
+    * in DuckDB with string ops, which makes every pipeline built on it
+    * (banding, est-Jaccard, the streaming curation ledger) SQL-oracle-able
+    * end to end.
+    */
+  def minHashSignatureMd5Fast(text: String, k: Int, shingleLen: Int): Array[String] = {
+    val sh = shinglesFast(text, shingleLen)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(b: Array[Byte]): String = {
+      val sb = new java.lang.StringBuilder(32)
+      b.foreach(x => sb.append(f"$x%02x"))
+      sb.toString
+    }
+    Array.tabulate(k) { i =>
+      var m: String = null
+      var s = 0
+      while (s < sh.length) {
+        val h = hex(md.digest(s"$i|${sh(s)}".getBytes("UTF-8")))
+        md.reset()
+        if (m == null || h.compareTo(m) < 0) m = h
+        s += 1
+      }
+      m
+    }
+  }
+
+  /** Signature kernel for `basis` ("xxh64" production | "md5" SQL-twin). */
+  private def sigKernel(basis: String, k: Int, shingleLen: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = basis match {
+    case "xxh64" => udf((text: String) => minHashSignatureFast(text, k, shingleLen))
+    case "md5" => udf((text: String) => minHashSignatureMd5Fast(text, k, shingleLen))
+    case other => throw new IllegalArgumentException(
+      s"unknown minhash basis '$other' (xxh64 | md5)")
+  }
+
   /** Bit-identical compiled twin of [[simHash]]. */
   def simHashFast(text: String): Long = {
     val votes = new Array[Int](64)
@@ -137,8 +174,9 @@ object Dedup {
   }
 
   def minHashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-                            k: Int, bands: Int, shingleLen: Int): DataFrame = {
-    val sigUdf = udf((text: String) => minHashSignatureFast(text, k, shingleLen))
+                            k: Int, bands: Int, shingleLen: Int,
+                            basis: String = "xxh64"): DataFrame = {
+    val sigUdf = sigKernel(basis, k, shingleLen)
     val sigs = df.select(col(idCol).as("id"), sigUdf(col(textCol)).as("sig"))
     val banded = bandedKeys(sigs, k, bands)
     val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
@@ -151,15 +189,16 @@ object Dedup {
 
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
                  k: Int = 32, bands: Int = 8, shingleLen: Int = 3,
-                 minEstJaccard: Double = 0.5): DataFrame = {
-    val sigUdf = udf((text: String) => minHashSignatureFast(text, k, shingleLen))
+                 minEstJaccard: Double = 0.5,
+                 basis: String = "xxh64"): DataFrame = {
+    val sigUdf = sigKernel(basis, k, shingleLen)
     // Signatures come back AFTER the candidate pairs are deduped — and only
     // for the ids that actually survive: a left_semi against the
     // surviving-pair id set restricts the second signature pass to those
     // rows, so the signature kernel runs once over the corpus (banding) plus
     // once over the (much smaller) survivor slice, instead of full corpus
     // passes on both join sides.
-    val pairIds = minHashCandidatePairs(df, idCol, textCol, k, bands, shingleLen)
+    val pairIds = minHashCandidatePairs(df, idCol, textCol, k, bands, shingleLen, basis)
       // materialize ONCE: the pair set feeds three consumers (the final join
       // plus both survivor-signature branches) and without this the band
       // self-join — the expensive stage — would recompute per consumer.
@@ -213,9 +252,10 @@ object Dedup {
     * stored signatures rather than a second text scan.
     */
   def minHashIndex(df: DataFrame, idCol: String, textCol: String,
-                   k: Int = 32, bands: Int = 8, shingleLen: Int = 3): MinHashIndex = {
+                   k: Int = 32, bands: Int = 8, shingleLen: Int = 3,
+                   basis: String = "xxh64"): MinHashIndex = {
     require(bands > 0 && k % bands == 0, "bands must divide k")
-    val sigUdf = udf((text: String) => minHashSignatureFast(text, k, shingleLen))
+    val sigUdf = sigKernel(basis, k, shingleLen)
     val sigs = df.select(col(idCol).as("id"), sigUdf(col(textCol)).as("sig"))
       .localCheckpoint(false)
     MinHashIndex(bandedKeys(sigs, k, bands), sigs)
@@ -238,8 +278,9 @@ object Dedup {
   def minHashLshAgainst(incoming: DataFrame, idCol: String, textCol: String,
                         index: MinHashIndex, k: Int = 32, bands: Int = 8,
                         shingleLen: Int = 3,
-                        minEstJaccard: Double = 0.5): DataFrame = {
-    val sigUdf = udf((text: String) => minHashSignatureFast(text, k, shingleLen))
+                        minEstJaccard: Double = 0.5,
+                        basis: String = "xxh64"): DataFrame = {
+    val sigUdf = sigKernel(basis, k, shingleLen)
     val inSigs = incoming
       .select(col(idCol).as("id"), sigUdf(col(textCol)).as("sig"))
       .localCheckpoint(false)

@@ -129,7 +129,8 @@ object StreamCurate {
     val survivors = {
       val inBatch = {
         val pairs = Dedup.minHashLsh(exactKept, idCol, textCol,
-          shingleLen = cfg.fuzzyN, minEstJaccard = cfg.fuzzyThreshold)
+          shingleLen = cfg.fuzzyN, minEstJaccard = cfg.fuzzyThreshold,
+          basis = cfg.minhashBasis)
         val canonical = Dedup.clusterLabels(exactKept, idCol, pairs)
           .where(col("is_canonical")).select(col(idCol))
         exactKept.join(canonical, Seq(idCol), "left_semi")
@@ -140,7 +141,8 @@ object StreamCurate {
           spark.read.parquet(priorBands: _*),
           spark.read.parquet(priorBatchDirs(spark, sigDir, batchId): _*))
         val crossIds = Dedup.minHashLshAgainst(inBatch, idCol, textCol, index,
-            shingleLen = cfg.fuzzyN, minEstJaccard = cfg.fuzzyThreshold)
+            shingleLen = cfg.fuzzyN, minEstJaccard = cfg.fuzzyThreshold,
+            basis = cfg.minhashBasis)
           .select(col("new_id").as(idCol)).distinct()
         inBatch.join(crossIds, Seq(idCol), "left_anti")
       } else inBatch
@@ -148,7 +150,7 @@ object StreamCurate {
 
     // absorb: this batch's state deltas, overwrite-idempotent per batch id
     val newIndex = Dedup.minHashIndex(survivors, idCol, textCol,
-      shingleLen = cfg.fuzzyN)
+      shingleLen = cfg.fuzzyN, basis = cfg.minhashBasis)
     newIndex.bandIndex.write.mode("overwrite").parquet(s"$bandDir/batch=$batchId")
     newIndex.sigs.write.mode("overwrite").parquet(s"$sigDir/batch=$batchId")
     survivors.select(col("__h").as("h")).distinct()
