@@ -425,6 +425,31 @@ object SparkEntry {
     // runStreamCurate): gates → exact ledger → persisted md5-minhash LSH
     // index, four deterministic arrival batches, replay-idempotent state
     "q_stream_curate" -> ((s, dir) => runStreamCurate(s, dir)),
+    // curation through the EMBEDDING fuzzy path (the Embedder seam): the
+    // Md5Bow kernel's slot/sign arithmetic is derivable in DuckDB, so the
+    // oracle brute-forces every pairwise cosine ≥ threshold and re-clusters
+    // — the banded sign-bucket blocking must find exactly the true pairs
+    "q_curate_semantic" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .where(col("doc_id") < 200).select(col("doc_id"), col("text"))
+      val corpus = d
+        .unionByName(d.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .unionByName(d.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" semantic curated trailing marker")).as("text")))
+      Curate.curateCorpus(corpus, "doc_id", "text", None, "text",
+          CurateConfig(minQuality = 0.3, maxDupLineFrac = 0.9,
+            maxTopGramFrac = 0.9, maxDupGramFrac = 0.9,
+            fuzzy = "embedding", fuzzyThreshold = 0.95,
+            // 12 plane families: per-pair LSH miss probability ~(1-r^8)^12
+            // ≈ 1e-7 at r≈0.96, so the blocking finds every true pair and
+            // the brute-force oracle is exact on this corpus
+            embeddingBands = 12,
+            spanK = 0, sampleFraction = 1.0),
+          embedder = graft.ops.Embedder.Md5Bow(64))
+        .select(col("doc_id"), round(col("quality"), 4).as("quality"))
+    }),
 
     // ---- training-data pipeline: text analysis ----------------------------
     "q_ngram_lm" -> ((s, dir) => {
@@ -1630,6 +1655,110 @@ object SparkEntry {
         |  CAST(CASE WHEN e.doc_id < 100 THEN 0 WHEN e.doc_id < 200 THEN 1
         |            WHEN e.doc_id < 200000 THEN 2 ELSE 3 END AS INTEGER) AS batch,
         |  round(e.quality, 4) AS quality
+        |FROM exact e JOIN comp c USING (doc_id)
+        |WHERE c.component = e.doc_id""".stripMargin,
+    // curation through the embedding fuzzy path: same gates/exact chain,
+    // then Md5Bow hashed-BoW vectors re-derived from md5 hex digits (the
+    // q_cosine_filter slot/sign arithmetic), brute-force pairwise cosine
+    // ≥ 0.95, recursive components, canonical survivors
+    "q_curate_semantic" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 200 AND doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text || ' semantic curated trailing marker'
+        |  FROM documents WHERE doc_id < 200 AND doc_id % 7 = 0),
+        |t AS (
+        |  SELECT doc_id, text, length(text) AS n_chars,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS wtoks,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS atoks
+        |  FROM corpus),
+        |m AS (
+        |  SELECT doc_id, text, n_chars, len(wtoks) AS n_words,
+        |    CASE WHEN len(wtoks) = 0 THEN 0.0
+        |         ELSE list_sum(list_transform(wtoks, x -> length(x))) * 1.0 / len(wtoks) END AS mwl,
+        |    length(regexp_replace(text, '[^!?.,;:]', '', 'g')) * 1.0 / greatest(length(text), 1) AS punct,
+        |    len(list_filter(atoks, x -> list_contains(['the','a','and','of','to','in','is','it','that','was'], x))) * 1.0
+        |      / greatest(len(atoks), 1) AS stopr
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id, text,
+        |    (CASE WHEN n_chars BETWEEN 200 AND 20000 THEN 1.0
+        |          WHEN n_chars BETWEEN 50 AND 199 THEN 0.5 ELSE 0.0 END) * 0.25
+        |  + (CASE WHEN n_words >= 30 THEN 1.0 WHEN n_words >= 10 THEN 0.5 ELSE 0.0 END) * 0.25
+        |  + (CASE WHEN stopr > 0.02 THEN 1.0 ELSE 0.0 END) * 0.2
+        |  + (CASE WHEN punct <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.15
+        |  + (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) * 0.15 AS quality
+        |  FROM m),
+        |rls AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(coalesce(list_sum(list_transform(lines, x -> length(x))), 0) AS BIGINT) AS line_chars,
+        |    CAST(coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
+        |       - coalesce(list_sum(list_transform(list_distinct(lines), x -> length(x))), 0) AS BIGINT) AS dup_line_chars,
+        |    toks
+        |  FROM (SELECT doc_id, text,
+        |          list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS lines,
+        |          list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+        |        FROM corpus)),
+        |rg AS (
+        |  SELECT doc_id, n,
+        |    unnest(list_transform(generate_series(1, len(toks) - (n - 1)),
+        |                          i -> array_to_string(toks[i:i+n-1], ' '))) AS g
+        |  FROM rls, (SELECT unnest([2,10]) AS n) ns
+        |  WHERE len(toks) >= n),
+        |rcnt AS (SELECT doc_id, n, g, count(*) AS cnt FROM rg GROUP BY doc_id, n, g),
+        |rga AS (
+        |  SELECT doc_id,
+        |    CAST(coalesce(max(CASE WHEN n=2 THEN cnt*length(g) END), 0) AS BIGINT) AS top2,
+        |    CAST(coalesce(sum(CASE WHEN n=10 AND cnt>1 THEN (cnt-1)*length(g) ELSE 0 END), 0) AS BIGINT) AS dup10
+        |  FROM rcnt GROUP BY doc_id),
+        |rfrac AS (
+        |  SELECT l.doc_id,
+        |    l.dup_line_chars * 1.0 / greatest(l.line_chars, 1) AS dup_line_frac,
+        |    coalesce(g2.top2, 0) * 1.0 / greatest(l.n_chars, 1) AS top2_frac,
+        |    coalesce(g2.dup10, 0) * 1.0 / greatest(l.n_chars, 1) AS dup10_frac
+        |  FROM rls l LEFT JOIN rga g2 USING (doc_id)),
+        |gated AS (
+        |  SELECT q.doc_id, q.text, q.quality
+        |  FROM q JOIN rfrac r USING (doc_id)
+        |  WHERE q.quality >= 0.3 AND r.dup_line_frac <= 0.9
+        |    AND r.top2_frac <= 0.9 AND r.dup10_frac <= 0.9),
+        |exact AS (
+        |  SELECT g.doc_id, g.text, g.quality FROM gated g
+        |  JOIN (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text) s USING (doc_id)),
+        |tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS tk
+        |  FROM exact),
+        |feat AS (
+        |  SELECT doc_id,
+        |    ((strpos('0123456789abcdef', substr(md5(tk), 1, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(md5(tk), 2, 1)) - 1)) % 64 AS slot,
+        |    CASE WHEN strpos('0123456789abcdef', substr(md5(tk), 3, 1)) - 1 < 8
+        |         THEN 1 ELSE -1 END AS sign
+        |  FROM tok),
+        |vec AS (SELECT doc_id, slot, CAST(sum(sign) AS DOUBLE) AS v FROM feat GROUP BY 1, 2),
+        |norms AS (SELECT doc_id, sqrt(sum(v * v)) AS n FROM vec GROUP BY 1),
+        |dots AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.v * b.v) AS dot
+        |  FROM vec a JOIN vec b ON a.slot = b.slot AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM dots
+        |  JOIN norms na ON dots.id_a = na.doc_id
+        |  JOIN norms nb ON dots.id_b = nb.doc_id
+        |  WHERE na.n > 0 AND nb.n > 0 AND dot / (na.n * nb.n) >= 0.95),
+        |edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT doc_id AS src, doc_id AS dst FROM exact
+        |  UNION
+        |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+        |comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src)
+        |SELECT e.doc_id, round(e.quality, 4) AS quality
         |FROM exact e JOIN comp c USING (doc_id)
         |WHERE c.component = e.doc_id""".stripMargin,
     // stupid-backoff trigram LM scoring: per-token S quantized to integer

@@ -37,6 +37,10 @@ final case class CurateConfig(
     /** MinHash signature basis: "xxh64" (production) or "md5" (the
       * SQL-derivable twin — lets a whole minhash pipeline be oracled). */
     minhashBasis: String = "xxh64",
+    /** Independent sign-bucket plane families for the embedding fuzzy path:
+      * recall = 1 − (1 − r^planes)^bands, so more bands close the LSH
+      * recall gap at the cost of that many more bucket joins. */
+    embeddingBands: Int = 3,
     spanK: Int = 0,
     benchK: Int = 13,
     sampleFraction: Double = 1.0,
@@ -129,7 +133,7 @@ object Curate {
           // exact cosine at fuzzyThreshold
           case "embedding" => Dedup.embeddingNearDupText(exactKept, idCol,
             textCol, embedder, minCosine = cfg.fuzzyThreshold,
-            bands = 3, targetBucketSize = 64)
+            bands = cfg.embeddingBands, targetBucketSize = 64)
             .select(col("id_a"), col("id_b"))
           case other => throw new IllegalArgumentException(
             s"unknown fuzzy stage '$other' (minhash | jaccard | embedding | none)")
