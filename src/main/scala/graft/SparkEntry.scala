@@ -81,21 +81,39 @@ object SparkEntry {
     (recrawlRun, recrawlBase)
   }
 
-  /** Deterministic media blob for the q_media_features corpus: REAL PNG
-    * (ref-hash pixels, size derived from the ref) for images, REAL WAV
-    * (ref-derived sine + duration) for audio, hash-chain stub bytes for
-    * video. Shared by the query and the sequential fixture twin. */
+  /** Deterministic media blob for the q_media_features corpus — REAL PNG /
+    * WAV / GIF / MJPEG-AVI containers whose intent parameters (dims,
+    * duration, frame count) are pure md5-hex or doc-id arithmetic over the
+    * ref, so the DuckDB oracle re-derives what every REAL decoder must
+    * recover without touching any decode code (a stubbed decoder cannot
+    * match). Image/audio params come from md5(ref) hex-digit pairs; video
+    * params from the numeric id like q_video_frames. */
   private[graft] def mediaBlobFor(id: String, ref: String, kind: String)
-      : graft.ops.Multimodal.MediaBlob = kind match {
-    case "image" =>
-      val h = graft.core.Xxh64.hashString(ref)
-      graft.ops.Multimodal.syntheticPngBlob(id, ref,
-        32 + (math.abs(h) % 64).toInt, 24 + (math.abs(h >> 7) % 48).toInt)
-    case "audio" =>
-      val h = graft.core.Xxh64.hashString(ref)
-      graft.ops.Multimodal.syntheticWavBlob(id, ref,
-        ms = 500 + (math.abs(h >> 3) % 2000).toInt)
-    case _ => graft.ops.Multimodal.syntheticBlob(id, ref, kind)
+      : graft.ops.Multimodal.MediaBlob = {
+    def hexPair(i: Int): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(ref.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      def v(c: Char): Int = if (c <= '9') c - '0' else c - 'a' + 10
+      v(hex.charAt(2 * i)) * 16 + v(hex.charAt(2 * i + 1))
+    }
+    kind match {
+      case "image" =>
+        graft.ops.Multimodal.syntheticPngBlob(id, ref,
+          32 + hexPair(0) % 64, 24 + hexPair(1) % 48)
+      case "audio" =>
+        graft.ops.Multimodal.syntheticWavBlob(id, ref,
+          ms = 500 + (hexPair(2) * 256 + hexPair(3)) % 2000)
+      case "video" =>
+        val n = id.toLong
+        val w = 16 + (n % 16).toInt
+        val h = 16 + ((n * 3) % 16).toInt
+        val frames = 2 + (n % 4).toInt
+        if (n % 2 == 0)
+          graft.ops.Multimodal.syntheticGifVideoBlob(id, ref, w, h, frames, frameMs = 50)
+        else
+          graft.ops.Multimodal.syntheticAviVideoBlob(id, ref, w, h, frames, frameMs = 50)
+      case _ => graft.ops.Multimodal.syntheticBlob(id, ref, kind)
+    }
   }
 
   private def table(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -607,13 +625,15 @@ object SparkEntry {
         .toDF("doc_id", "chunk_idx", "cos")
         .withColumn("cos", round(col("cos"), 4))
     }),
-    // CosineStrategy end-to-end: chunk → stub-embed → ward cluster →
-    // word-count filter (clustering pinned by ExtractSpec; deterministic)
+    // CosineStrategy end-to-end: chunk → Md5Bow embed → ward cluster →
+    // word-count filter; the fixture is an INDEPENDENT sequential twin
+    // (SeqOracle.cosineExtract — own md5 embedding, own agglomeration)
     "q_cosine_extract" -> ((s, dir) => {
       import s.implicits._
       val cfg = graft.scrape.CosineExtract.Config(
         semanticFilter = Some("spark window query"),
-        wordCountThreshold = 5, maxDist = 0.6)
+        wordCountThreshold = 5, maxDist = 0.6,
+        embedder = graft.ops.Embedder.Md5Bow(64))
       table(s, dir, "documents").where(col("doc_id") < 60)
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .flatMap { case (id, text) =>
@@ -869,7 +889,9 @@ object SparkEntry {
         .select(col("doc_id").cast("string").as("doc_id"),
           concat(lit("http://media.example.com/"), col("doc_id"),
             when(col("doc_id") % 3 === 0, ".png")
-              .when(col("doc_id") % 3 === 1, ".mp4").otherwise(".wav")).as("media_ref"),
+              .when(col("doc_id") % 3 === 1,
+                when(col("doc_id") % 2 === 0, ".gif").otherwise(".avi"))
+              .otherwise(".wav")).as("media_ref"),
           when(col("doc_id") % 3 === 0, "image")
             .when(col("doc_id") % 3 === 1, "video").otherwise("audio").as("kind"))
       val blobs = refs.as[(String, String, String)]
@@ -1091,7 +1113,45 @@ object SparkEntry {
         |  ON a.doc_id = b.doc_id AND b.ord > a.ord AND b.ord <= a.ord + 3
         |GROUP BY 1, 2
         |HAVING count(*) >= 5""".stripMargin,
-    "q_media_features" -> graft.oracle.Fixtures.sql("q_media_features"),
+    // TRUE arithmetic oracle: every blob is a REAL container (PNG/WAV/GIF/
+    // MJPEG-AVI) whose intent params are md5-hex or doc-id arithmetic; the
+    // engine must actually parse them back — a stubbed decoder cannot match
+    "q_media_features" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    'http://media.example.com/' || doc_id ||
+        |      CASE WHEN doc_id % 3 = 0 THEN '.png'
+        |           WHEN doc_id % 3 = 1 THEN
+        |             CASE WHEN doc_id % 2 = 0 THEN '.gif' ELSE '.avi' END
+        |           ELSE '.wav' END AS media_ref,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'video' ELSE 'audio' END AS kind
+        |  FROM documents WHERE doc_id < 100),
+        |v AS (
+        |  SELECT doc_id, media_ref, kind,
+        |    (strpos('0123456789abcdef', substr(md5(media_ref),1,1))-1)*16
+        |      + (strpos('0123456789abcdef', substr(md5(media_ref),2,1))-1) AS p0,
+        |    (strpos('0123456789abcdef', substr(md5(media_ref),3,1))-1)*16
+        |      + (strpos('0123456789abcdef', substr(md5(media_ref),4,1))-1) AS p1,
+        |    (strpos('0123456789abcdef', substr(md5(media_ref),5,1))-1)*16
+        |      + (strpos('0123456789abcdef', substr(md5(media_ref),6,1))-1) AS p2,
+        |    (strpos('0123456789abcdef', substr(md5(media_ref),7,1))-1)*16
+        |      + (strpos('0123456789abcdef', substr(md5(media_ref),8,1))-1) AS p3
+        |  FROM r)
+        |SELECT CAST(doc_id AS VARCHAR) AS doc_id, media_ref, kind,
+        |  CAST(CASE WHEN kind = 'image' THEN 32 + p0 % 64
+        |            WHEN kind = 'video' THEN 16 + doc_id % 16
+        |            ELSE 0 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN kind = 'image' THEN 24 + p1 % 48
+        |            WHEN kind = 'video' THEN 16 + (doc_id * 3) % 16
+        |            ELSE 0 END AS INTEGER) AS height,
+        |  CAST(CASE WHEN kind = 'image' THEN 0
+        |            WHEN kind = 'video' THEN (2 + doc_id % 4) * 50
+        |            ELSE 500 + (p2 * 256 + p3) % 2000 END AS INTEGER) AS duration_ms,
+        |  CAST(CASE WHEN kind = 'image' THEN 1
+        |            WHEN kind = 'video' THEN 2 + doc_id % 4
+        |            ELSE 0 END AS INTEGER) AS n_frames
+        |FROM v""".stripMargin,
     // fixture: independent sequential PageRank with identical quantized long
     // arithmetic — bit-exact, no tolerance
     "q_pagerank" -> graft.oracle.Fixtures.sql("q_pagerank"),

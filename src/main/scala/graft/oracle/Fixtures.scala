@@ -233,31 +233,22 @@ object Fixtures {
             .map { case (k, l, r, _) => (k, l, r) })
         .toDF("doc_id", "pos", "piece"))
 
-    // ---- shared-kernel distribution twins ----------------------------------
-    // (the kernel itself is deterministic shared code; the fixture checks the
-    // distributed map/partitioning reproduces the sequential pass)
-    val mediaIds = spark.read.parquet(s"$sfDir/documents.parquet")
-      .where($"doc_id" < 100).select("doc_id").as[Long].collect().toSeq.sorted
-    write("q_media_features",
-      mediaIds.map { id =>
-        val ext = if (id % 3 == 0) ".png" else if (id % 3 == 1) ".mp4" else ".wav"
-        val kind = if (id % 3 == 0) "image" else if (id % 3 == 1) "video" else "audio"
-        val f = Multimodal.decodeReal(graft.SparkEntry.mediaBlobFor(
-          id.toString, s"http://media.example.com/$id$ext", kind))
-        (f.doc_id, f.media_ref, f.kind, f.width, f.height, f.duration_ms, f.n_frames)
-      }.toDF("doc_id", "media_ref", "kind", "width", "height", "duration_ms", "n_frames"))
+    // q_media_features needs no fixture anymore: the blob intent params are
+    // md5-hex / doc-id arithmetic, so its oracle is direct DuckDB SQL.
 
+    // INDEPENDENT sequential twin (own md5 embedding + agglomeration in
+    // SeqOracle — no scrape/ops kernel on this path)
     val docs60 = spark.read.parquet(s"$sfDir/documents.parquet")
       .where($"doc_id" < 60).select("doc_id", "text")
       .as[(Long, String)].collect().toSeq
-    val cosCfg = graft.scrape.CosineExtract.Config(
-      semanticFilter = Some("spark window query"),
-      wordCountThreshold = 5, maxDist = 0.6)
     write("q_cosine_extract",
       docs60.flatMap { case (id, text) =>
-        val sections = graft.ops.Embed.tokens(text).grouped(10).map(_.mkString(" ")).toSeq
-        graft.scrape.CosineExtract.extract(sections, cosCfg)
-          .map(c => (id, c.index, c.tags.mkString(","), c.content))
+        val sections = text.toLowerCase(java.util.Locale.ROOT)
+          .split("[^a-z]+").filter(_.nonEmpty)
+          .grouped(10).map(_.mkString(" ")).toSeq
+        SeqOracle.cosineExtract(sections, "spark window query",
+            wordCountThreshold = 5, maxDist = 0.6)
+          .map { case (idx, tags, content) => (id, idx, tags, content) }
       }.toDF("doc_id", "cluster_index", "tags", "content"))
   }
 }

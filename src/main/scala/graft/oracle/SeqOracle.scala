@@ -217,6 +217,102 @@ object SeqOracle {
     out.result()
   }
 
+  /** Independent sequential twin of the CosineStrategy extraction pipeline
+    * under the Md5Bow embedder (q_cosine_extract): own md5 hashed-BoW
+    * embedding straight off JDK MessageDigest (no repo hash/embed kernel),
+    * own pre-filter, own Lance-Williams ward agglomeration, own labeling
+    * and tag selection. Numeric conventions mirror the engine contract
+    * (Float-normalized vectors, Double accumulation in index order) so
+    * threshold comparisons agree exactly.
+    *
+    * @return (cluster_index, tags joined by ',', content) per kept cluster
+    */
+  def cosineExtract(sections: Seq[String], query: String,
+                    wordCountThreshold: Int, maxDist: Double,
+                    simThreshold: Double = 0.3, topK: Int = 3,
+                    dim: Int = 64): Seq[(Int, String, String)] = {
+    def toks(t: String): Seq[String] =
+      t.toLowerCase(java.util.Locale.ROOT).split("[^a-z]+").filter(_.nonEmpty).toSeq
+    def embed(t: String): Array[Float] = {
+      val v = new Array[Float](dim)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      toks(t).foreach { w =>
+        val h = md.digest(w.getBytes("UTF-8"))
+        md.reset()
+        val c0 = (h(0) >> 4) & 0xf; val c1 = h(0) & 0xf; val c2 = (h(1) >> 4) & 0xf
+        v((c0 * 16 + c1) % dim) += (if (c2 < 8) 1f else -1f)
+      }
+      var ss = 0.0; var i = 0
+      while (i < dim) { ss += v(i).toDouble * v(i); i += 1 }
+      if (ss > 0) { val n = math.sqrt(ss); i = 0; while (i < dim) { v(i) = (v(i) / n).toFloat; i += 1 } }
+      v
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { d += a(i).toDouble * b(i); i += 1 }
+      d
+    }
+    // semantic pre-filter: threshold pass in order, backfill best-remaining
+    // (stable by similarity desc), cap at atLeastK
+    val atLeastK = if (sections.length < 20) sections.length / 2 else 20
+    val qv = embed(query)
+    val sims = sections.map(s => (s, cos(qv, embed(s))))
+    val kept = sims.filter(_._2 >= simThreshold)
+    val chunks = (if (kept.length < atLeastK)
+        kept ++ sims.filter(_._2 < simThreshold).sortBy(-_._2).take(atLeastK - kept.length)
+      else kept).map(_._1).take(atLeastK)
+    if (chunks.isEmpty) return Nil
+    val n = chunks.length
+    val embs = chunks.map(embed)
+    // ward agglomeration over cosine distances, cut at maxDist; merge keeps
+    // the smaller slot, ties resolved by ascending-index scan order
+    val d = Array.tabulate(n, n)((i, j) => if (i == j) 0.0 else 1.0 - cos(embs(i), embs(j)))
+    val alive = Array.fill(n)(true)
+    val size = Array.fill(n)(1)
+    val members = Array.tabulate(n)(i => List(i))
+    var merging = n > 1
+    while (merging) {
+      var bi = -1; var bj = -1; var best = Double.MaxValue
+      for (i <- 0 until n if alive(i); j <- i + 1 until n if alive(j))
+        if (d(i)(j) < best) { best = d(i)(j); bi = i; bj = j }
+      if (bi < 0 || best > maxDist) merging = false
+      else {
+        val ni = size(bi).toDouble; val nj = size(bj).toDouble
+        for (k <- 0 until n if alive(k) && k != bi && k != bj) {
+          val nk = size(k).toDouble
+          val nd = math.sqrt(((ni + nk) * d(bi)(k) * d(bi)(k)
+            + (nj + nk) * d(bj)(k) * d(bj)(k)
+            - nk * d(bi)(bj) * d(bi)(bj)) / (ni + nj + nk))
+          d(bi)(k) = nd; d(k)(bi) = nd
+        }
+        size(bi) += size(bj)
+        members(bi) = members(bi) ++ members(bj)
+        alive(bj) = false
+        merging = (0 until n).count(alive) > 1
+      }
+    }
+    val labels = new Array[Int](n)
+    (0 until n).filter(alive).map(members).sortBy(_.min).zipWithIndex
+      .foreach { case (ms, l) => ms.foreach(labels(_) = l + 1) }
+    val grouped = scala.collection.mutable.LinkedHashMap.empty[Int, Vector[String]]
+    chunks.zip(labels).foreach { case (c, l) =>
+      grouped(l) = grouped.getOrElse(l, Vector.empty) :+ c
+    }
+    val stop = Set("the", "a", "and", "of", "to", "in", "is", "it", "that",
+      "was", "for", "on", "with", "as", "at", "by", "an", "be", "this",
+      "are", "or", "from")
+    grouped.toSeq
+      .map { case (l, texts) => (l, texts.mkString(" ")) }
+      .filter { case (_, c) => c.split("\\s+").count(_.nonEmpty) >= wordCountThreshold }
+      .sortBy(_._1)
+      .map { case (l, content) =>
+        val tags = toks(content).filterNot(stop)
+          .groupBy(identity).view.mapValues(_.size).toSeq
+          .sortBy { case (t, c) => (-c, t) }.take(topK).map(_._1)
+        (l, tags.mkString(","), content)
+      }
+  }
+
   /** Twin of Similarity.lshTopK: probe the query bucket + 1-bit flips. */
   def lshTopK(vecs: Seq[(Long, Seq[Float])], query: Seq[Float], k: Int,
               planes: Int): Seq[(Long, Double)] = {
