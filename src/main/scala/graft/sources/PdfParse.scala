@@ -33,11 +33,16 @@ package graft.sources
   *  - Type0/CID composite fonts: per-page /Resources /Font tracking through
   *    the `Tf` operator, 2-byte codes decoded through the font's /ToUnicode
   *    CMap (bfchar + bfrange, both destination forms), Identity fallback;
-  *    simple fonts with a /ToUnicode CMap map through it too.
+  *    simple fonts with a /ToUnicode CMap map through it too. A Type0 font
+  *    whose /Encoding names a PREDEFINED CMap (Identity-H/V, UniJIS-…)
+  *    without an embedded /ToUnicode decodes its raw 2-byte CID codes under
+  *    Identity mapping — exact for Identity-*, a stated approximation for
+  *    other predefined names (the glyph-order tables aren't shipped) — so
+  *    such documents stay out of the stub path.
   *
   * Out of scope (returns what it can, never throws): image codecs
-  * (DCT/JBIG2/JPX), owner-password recovery, predefined (non-Identity) CMap
-  * names — those fall back to the deterministic stub kernel in [[Pdf]].
+  * (DCT/JBIG2/JPX), owner-password recovery — those fall back to the
+  * deterministic stub kernel in [[Pdf]].
   */
 object PdfParse {
 
@@ -596,8 +601,14 @@ object PdfParse {
     fd.toSeq.flatMap { d =>
       fontRefRe.findAllMatchIn(d).map { m =>
         val fobj = objs.get(m.group(2).toInt)
+        // any Type0 composite is two-byte — including /Encoding naming a
+        // PREDEFINED CMap (Identity-V, UniJIS-UCS2-H, …): without the CMap
+        // resource we still decode the raw 2-byte CID codes under Identity
+        // mapping (spec-correct for Identity-*, a documented approximation
+        // for other predefined names) instead of stubbing the document
         val twoByte = fobj.exists(o =>
-          o.dict.contains("/Type0") || o.dict.contains("Identity-H"))
+          o.dict.contains("/Type0") || o.dict.contains("Identity-H") ||
+          o.dict.contains("Identity-V"))
         val toUni = fobj.flatMap(o => dictValue(o.dict, "/ToUnicode"))
           .flatMap(v => refsIn(v).headOption).flatMap(objs.get)
           .flatMap(decodedStream)

@@ -83,6 +83,22 @@ class PdfFontSpec extends AnyFunSuite {
     assert(pages.head.text == "HI")
   }
 
+  test("Identity-V without ToUnicode: raw CID codes decode, no stub") {
+    val dict = "/Type /Font /Subtype /Type0 /BaseFont /Fake-Identity-V /Encoding /Identity-V"
+    val content = "BT /F1 12 Tf 72 720 Td <004A004B> Tj ET" // U+004A U+004B
+    val pages = PdfParse.parse(fontPdf(content, Seq(("F1", dict, None)))).get
+    assert(pages.head.text == "JK")
+  }
+
+  test("predefined non-Identity CMap without ToUnicode: 2-byte Identity approximation") {
+    // the UniJIS glyph-order table isn't shipped; the documented behavior is
+    // raw 2-byte CID codes under Identity mapping — NOT the stub path
+    val dict = "/Type /Font /Subtype /Type0 /BaseFont /Fake-Mincho /Encoding /UniJIS-UCS2-H"
+    val content = "BT /F1 12 Tf 72 720 Td <30423044> Tj ET" // U+3042 U+3044
+    val pages = PdfParse.parse(fontPdf(content, Seq(("F1", dict, None)))).get
+    assert(pages.head.text == "あい")
+  }
+
   test("non-BMP destination: surrogate-pair CMap entry survives") {
     val cmap =
       """begincmap
