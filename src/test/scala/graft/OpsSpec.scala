@@ -183,6 +183,14 @@ class OpsSpec extends AnyFunSuite {
       assert(Dedup.minHashSignatureFast(t, 16, 3).toSeq == colSigs(id),
         s"minhash kernel diverges on doc $id")
     }
+    // md5-basis minhash: compiled kernel vs the md5 HOF Column form
+    val colMd5 = sample.select(col("doc_id"),
+        Dedup.minHashSignatureMd5(TextAnalysis.shingles(col("text"), 3), 16).as("sig"))
+      .as[(Long, Seq[String])].collect().toMap
+    texts.foreach { case (id, t) =>
+      assert(Dedup.minHashSignatureMd5Fast(t, 16, 3).toSeq == colMd5(id),
+        s"md5 minhash kernel diverges on doc $id")
+    }
     // simhash: compiled kernel vs the 64-slot vote Column aggregate
     val colSim = sample.select(col("doc_id"), Dedup.simHash(col("text")).as("s"))
       .as[(Long, Long)].collect().toMap
