@@ -29,7 +29,9 @@ object SfSweep {
 
   private def buildReplica(s: SparkSession, src: String, dst: String): Unit = {
     val fs = java.nio.file.Paths.get(dst)
-    if (java.nio.file.Files.exists(fs.resolve("documents.parquet"))) return
+    // resume check keys on the LAST table written: a crash mid-build must
+    // rebuild, not silently sweep a partial replica
+    if (java.nio.file.Files.exists(fs.resolve("lineitem.parquet/_SUCCESS"))) return
     java.nio.file.Files.createDirectories(fs)
     val docs = s.read.parquet(s"$src/documents.parquet")
     (0 until Factor).map { r =>
@@ -67,8 +69,11 @@ object SfSweep {
       .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
   }
 
-  /** Each op is an UNCAPPED pipeline over full tables, forced with count. */
-  private def ops(s: SparkSession, dir: String): Seq[(String, () => Long)] = {
+  /** Each op is an UNCAPPED pipeline over full tables, forced with count.
+    * `scale` = the replica factor of `dir` (1 for the base sf), so derived
+    * structures (the pagerank graph's node space) scale WITH the data
+    * instead of concentrating 10x the edges on a fixed hub set. */
+  private def ops(s: SparkSession, dir: String, scale: Int): Seq[(String, () => Long)] = {
     def docs = s.read.parquet(s"$dir/documents.parquet")
     def emb = s.read.parquet(s"$dir/embeddings.parquet")
     def events = s.read.parquet(s"$dir/events.parquet")
@@ -95,7 +100,7 @@ object SfSweep {
       }),
       "pagerank" -> (() => {
         val src = docs.select(col("doc_id").cast("long").as("src"))
-        val n = 500L * Factor
+        val n = 500L * scale
         val edges = src.select(col("src"), ((col("src") * 7 + 1) % n).as("dst"))
           .unionByName(src.select(col("src"), ((col("src") * 13 + 3) % n).as("dst")))
         PageRank.ranks(edges, iters = 8).count()
@@ -138,7 +143,7 @@ object SfSweep {
       val n = f()
       ((System.nanoTime() - t0) / 1e9, n)
     }
-    val rows = ops(s, src).zip(ops(s, dst)).map {
+    val rows = ops(s, src, 1).zip(ops(s, dst, Factor)).map {
       case ((name, at01), (_, at1)) =>
         at01() // warm (JIT + parquet footer cache)
         val s1 = math.min(time(at01)._1, time(at01)._1)

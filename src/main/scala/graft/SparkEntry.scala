@@ -90,12 +90,9 @@ object SparkEntry {
     * params from the numeric id like q_video_frames. */
   private[graft] def mediaBlobFor(id: String, ref: String, kind: String)
       : graft.ops.Multimodal.MediaBlob = {
-    def hexPair(i: Int): Int = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(ref.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-      def v(c: Char): Int = if (c <= '9') c - '0' else c - 'a' + 10
-      v(hex.charAt(2 * i)) * 16 + v(hex.charAt(2 * i + 1))
-    }
+    lazy val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(ref.getBytes("UTF-8")) // one digest per blob, nibble-indexed
+    def hexPair(i: Int): Int = digest(i) & 0xff
     kind match {
       case "image" =>
         graft.ops.Multimodal.syntheticPngBlob(id, ref,
@@ -444,9 +441,11 @@ object SparkEntry {
     // index, four deterministic arrival batches, replay-idempotent state
     "q_stream_curate" -> ((s, dir) => runStreamCurate(s, dir)),
     // curation through the EMBEDDING fuzzy path (the Embedder seam): the
-    // Md5Bow kernel's slot/sign arithmetic is derivable in DuckDB, so the
-    // oracle brute-forces every pairwise cosine ≥ threshold and re-clusters
-    // — the banded sign-bucket blocking must find exactly the true pairs
+    // Md5BowExact kernel's slot/sign arithmetic is derivable in DuckDB and
+    // its integer slot sums make every engine cosine EXACT double
+    // arithmetic (bit-identical to the oracle's), so the oracle
+    // brute-forces every pairwise cosine ≥ threshold and re-clusters —
+    // the banded sign-bucket blocking must find exactly the true pairs
     "q_curate_semantic" -> ((s, dir) => {
       val d = table(s, dir, "documents")
         .where(col("doc_id") < 200).select(col("doc_id"), col("text"))
@@ -465,7 +464,7 @@ object SparkEntry {
             // the brute-force oracle is exact on this corpus
             embeddingBands = 12,
             spanK = 0, sampleFraction = 1.0),
-          embedder = graft.ops.Embedder.Md5Bow(64))
+          embedder = graft.ops.Embedder.Md5BowExact(64))
         .select(col("doc_id"), round(col("quality"), 4).as("quality"))
     }),
 
@@ -1603,19 +1602,22 @@ object SparkEntry {
         |SELECT doc_id, round(quality, 4) AS quality
         |FROM clean
         |WHERE md5('r3|' || CAST(doc_id AS VARCHAR)) < '80000000000000000000000000000000'""".stripMargin,
-    // STREAMING curation oracled from first principles: the batch twin of
-    // the stream's acceptance chain — same gates as q_curate, exact dedup,
-    // then md5-basis MinHash (k=32, 8 bands × 4 rows, 2-shingles, est ≥ 0.8)
-    // with recursive-CTE connected components; the monotone batch split
-    // makes stream == batch (see runStreamCurate), and the accepting batch
-    // id is re-derived from the doc-id ranges
+    // STREAMING curation oracled from first principles — the oracle
+    // recomputes the STREAM'S OWN per-batch semantics (not a global-batch
+    // equivalent): per arrival batch, gates → in-batch min-id exact dedup →
+    // anti-join vs previously ACCEPTED texts → in-batch md5-minhash
+    // components (k=32, 8 bands × 4 rows, 2-shingles, est ≥ 0.8, recursive
+    // CTE) → canonical survivors → probe-drop vs the accepted set — so no
+    // stream-equals-batch assumption is needed (bridge merges that would
+    // distinguish the two are handled identically by construction)
     "q_stream_curate" ->
       """WITH RECURSIVE corpus AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+        |  SELECT doc_id, text, CASE WHEN doc_id < 100 THEN 0 ELSE 1 END AS abatch
+        |  FROM documents WHERE doc_id < 200
         |  UNION ALL
-        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 200 AND doc_id % 5 = 0
+        |  SELECT doc_id + 100000, text, 2 FROM documents WHERE doc_id < 200 AND doc_id % 5 = 0
         |  UNION ALL
-        |  SELECT doc_id + 200000, text || ' stream curated trailing marker'
+        |  SELECT doc_id + 200000, text || ' stream curated trailing marker', 3
         |  FROM documents WHERE doc_id < 200 AND doc_id % 7 = 0),
         |t AS (
         |  SELECT doc_id, text, length(text) AS n_chars,
@@ -1668,34 +1670,31 @@ object SparkEntry {
         |    coalesce(g2.top2, 0) * 1.0 / greatest(l.n_chars, 1) AS top2_frac,
         |    coalesce(g2.dup10, 0) * 1.0 / greatest(l.n_chars, 1) AS dup10_frac
         |  FROM rls l LEFT JOIN rga g2 USING (doc_id)),
-        |gated AS (
-        |  SELECT q.doc_id, q.text, q.quality
-        |  FROM q JOIN rfrac r USING (doc_id)
+        |gated AS MATERIALIZED (
+        |  SELECT q.doc_id, q.text, q.quality, c2.abatch
+        |  FROM q JOIN rfrac r USING (doc_id) JOIN corpus c2 USING (doc_id)
         |  WHERE q.quality >= 0.3 AND r.dup_line_frac <= 0.9
         |    AND r.top2_frac <= 0.9 AND r.dup10_frac <= 0.9),
-        |exact AS (
-        |  SELECT g.doc_id, g.text, g.quality FROM gated g
-        |  JOIN (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text) s USING (doc_id)),
-        |sh AS (
+        |sh AS MATERIALIZED (
         |  SELECT doc_id,
         |    CASE WHEN len(tk) >= 2
         |         THEN list_transform(generate_series(1, len(tk) - 1), i -> array_to_string(tk[i:i+1], ' '))
         |         ELSE [array_to_string(tk, ' ')] END AS s
         |  FROM (SELECT doc_id,
         |          list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS tk
-        |        FROM exact)),
-        |sigs AS (
+        |        FROM gated)),
+        |sigs AS MATERIALIZED (
         |  SELECT doc_id,
         |    list_transform(range(0, 32),
         |      i -> list_min(list_transform(s, x -> md5(CAST(i AS VARCHAR) || '|' || x)))) AS sig
         |  FROM sh),
-        |bnd AS (
+        |bnd AS MATERIALIZED (
         |  SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS bkey
         |  FROM sigs, (SELECT unnest(range(0, 8)) AS b) bs),
-        |cand AS (
+        |cand AS MATERIALIZED (
         |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
         |  FROM bnd a JOIN bnd c ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id),
-        |pairs AS (
+        |pairs AS MATERIALIZED (
         |  SELECT id_a, id_b FROM (
         |    SELECT cand.id_a, cand.id_b,
         |      list_sum(list_transform(range(1, 33),
@@ -1703,20 +1702,78 @@ object SparkEntry {
         |    FROM cand JOIN sigs sa ON cand.id_a = sa.doc_id
         |              JOIN sigs sb ON cand.id_b = sb.doc_id)
         |  WHERE est >= 0.8),
-        |edges AS (
+        |edges AS MATERIALIZED (
         |  SELECT id_a AS u, id_b AS v FROM pairs
         |  UNION SELECT id_b, id_a FROM pairs),
-        |reach AS (
-        |  SELECT doc_id AS src, doc_id AS dst FROM exact
+        |e0 AS (
+        |  SELECT g.* FROM gated g
+        |  JOIN (SELECT min(doc_id) AS doc_id FROM gated WHERE abatch = 0 GROUP BY text) m USING (doc_id)),
+        |r0 AS (
+        |  SELECT doc_id AS src, doc_id AS dst FROM e0
         |  UNION
-        |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
-        |comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src)
-        |SELECT e.doc_id,
-        |  CAST(CASE WHEN e.doc_id < 100 THEN 0 WHEN e.doc_id < 200 THEN 1
-        |            WHEN e.doc_id < 200000 THEN 2 ELSE 3 END AS INTEGER) AS batch,
-        |  round(e.quality, 4) AS quality
-        |FROM exact e JOIN comp c USING (doc_id)
-        |WHERE c.component = e.doc_id""".stripMargin,
+        |  SELECT r.src, ed.v FROM r0 r JOIN edges ed ON r.dst = ed.u
+        |                     JOIN e0 x ON ed.v = x.doc_id),
+        |a0 AS (
+        |  SELECT e.* FROM e0 e
+        |  JOIN (SELECT src AS doc_id, min(dst) AS comp FROM r0 GROUP BY src) c USING (doc_id)
+        |  WHERE c.comp = e.doc_id),
+        |e1 AS (
+        |  SELECT g.* FROM gated g
+        |  JOIN (SELECT min(doc_id) AS doc_id FROM gated WHERE abatch = 1 GROUP BY text) m USING (doc_id)
+        |  WHERE g.text NOT IN (SELECT text FROM a0)),
+        |r1 AS (
+        |  SELECT doc_id AS src, doc_id AS dst FROM e1
+        |  UNION
+        |  SELECT r.src, ed.v FROM r1 r JOIN edges ed ON r.dst = ed.u
+        |                     JOIN e1 x ON ed.v = x.doc_id),
+        |c1 AS (
+        |  SELECT e.* FROM e1 e
+        |  JOIN (SELECT src AS doc_id, min(dst) AS comp FROM r1 GROUP BY src) c USING (doc_id)
+        |  WHERE c.comp = e.doc_id),
+        |a1 AS (
+        |  SELECT * FROM a0
+        |  UNION ALL
+        |  SELECT c.* FROM c1 c WHERE NOT EXISTS (
+        |    SELECT 1 FROM edges ed JOIN a0 a ON ed.v = a.doc_id WHERE ed.u = c.doc_id)),
+        |e2 AS (
+        |  SELECT g.* FROM gated g
+        |  JOIN (SELECT min(doc_id) AS doc_id FROM gated WHERE abatch = 2 GROUP BY text) m USING (doc_id)
+        |  WHERE g.text NOT IN (SELECT text FROM a1)),
+        |r2 AS (
+        |  SELECT doc_id AS src, doc_id AS dst FROM e2
+        |  UNION
+        |  SELECT r.src, ed.v FROM r2 r JOIN edges ed ON r.dst = ed.u
+        |                     JOIN e2 x ON ed.v = x.doc_id),
+        |c2b AS (
+        |  SELECT e.* FROM e2 e
+        |  JOIN (SELECT src AS doc_id, min(dst) AS comp FROM r2 GROUP BY src) c USING (doc_id)
+        |  WHERE c.comp = e.doc_id),
+        |a2 AS (
+        |  SELECT * FROM a1
+        |  UNION ALL
+        |  SELECT c.* FROM c2b c WHERE NOT EXISTS (
+        |    SELECT 1 FROM edges ed JOIN a1 a ON ed.v = a.doc_id WHERE ed.u = c.doc_id)),
+        |e3 AS (
+        |  SELECT g.* FROM gated g
+        |  JOIN (SELECT min(doc_id) AS doc_id FROM gated WHERE abatch = 3 GROUP BY text) m USING (doc_id)
+        |  WHERE g.text NOT IN (SELECT text FROM a2)),
+        |r3 AS (
+        |  SELECT doc_id AS src, doc_id AS dst FROM e3
+        |  UNION
+        |  SELECT r.src, ed.v FROM r3 r JOIN edges ed ON r.dst = ed.u
+        |                     JOIN e3 x ON ed.v = x.doc_id),
+        |c3 AS (
+        |  SELECT e.* FROM e3 e
+        |  JOIN (SELECT src AS doc_id, min(dst) AS comp FROM r3 GROUP BY src) c USING (doc_id)
+        |  WHERE c.comp = e.doc_id),
+        |a3 AS (
+        |  SELECT * FROM a2
+        |  UNION ALL
+        |  SELECT c.* FROM c3 c WHERE NOT EXISTS (
+        |    SELECT 1 FROM edges ed JOIN a2 a ON ed.v = a.doc_id WHERE ed.u = c.doc_id))
+        |SELECT doc_id, CAST(abatch AS INTEGER) AS batch,
+        |       round(quality, 4) AS quality
+        |FROM a3""".stripMargin,
     // curation through the embedding fuzzy path: same gates/exact chain,
     // then Md5Bow hashed-BoW vectors re-derived from md5 hex digits (the
     // q_cosine_filter slot/sign arithmetic), brute-force pairwise cosine

@@ -75,27 +75,34 @@ final case class CurateConfig(
   */
 object Curate {
 
+  /** Stage 0 as a reusable scan-stage projection: blocklist drop + optional
+    * C4 line cleaning (dropped docs filter out, kept lines rebuild the text
+    * column in place). Shared by the batch pipeline AND the streaming gate
+    * ([[graft.streaming.StreamCurate]]) so the two can never drift — all
+    * stateless Columns, safe on a streaming DataFrame. */
+  def stage0(docs: DataFrame, textCol: String, cfg: CurateConfig): DataFrame = {
+    val blocked =
+      if (cfg.blockTerms.nonEmpty)
+        docs.where(!TextAnalysis.blocklistHit(col(textCol), cfg.blockTerms))
+      else docs
+    if (cfg.c4Lines) {
+      val kept = TextAnalysis.c4KeptLines(col(textCol), cfg.c4MinWordsPerLine)
+      blocked.withColumn("__c4_kept", kept)
+        .where(!TextAnalysis.c4DocDropped(col(textCol), col("__c4_kept"),
+          cfg.c4MinLines))
+        .withColumn(textCol, array_join(col("__c4_kept"), "\n"))
+        .drop("__c4_kept")
+    } else blocked
+  }
+
   def curateCorpus(docs: DataFrame, idCol: String, textCol: String,
                    bench: Option[DataFrame] = None,
                    benchTextCol: String = "text",
                    cfg: CurateConfig = CurateConfig(),
                    embedder: Embedder = Embedder.default): DataFrame = {
-    // 0. optional C4 line cleaning — a projection, not a join: the kept
-    // lines rebuild the text column in place and dropped docs filter out,
-    // all inside the same scan Catalyst fuses with the stage-1 gates
-    val blocked =
-      if (cfg.blockTerms.nonEmpty)
-        docs.where(!TextAnalysis.blocklistHit(col(textCol), cfg.blockTerms))
-      else docs
-    val base =
-      if (cfg.c4Lines) {
-        val kept = TextAnalysis.c4KeptLines(col(textCol), cfg.c4MinWordsPerLine)
-        blocked.withColumn("__c4_kept", kept)
-          .where(!TextAnalysis.c4DocDropped(col(textCol), col("__c4_kept"),
-            cfg.c4MinLines))
-          .withColumn(textCol, array_join(col("__c4_kept"), "\n"))
-          .drop("__c4_kept")
-      } else blocked
+    // 0. blocklist + optional C4 line cleaning — a projection, not a join,
+    // fused by Catalyst with the stage-1 gates (shared with the stream)
+    val base = stage0(docs, textCol, cfg)
 
     // 1. scan-stage gates
     val rep = TextAnalysis.repetitionSignals(base, idCol, textCol,

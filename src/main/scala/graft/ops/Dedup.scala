@@ -71,18 +71,13 @@ object Dedup {
     */
   def minHashSignatureMd5Fast(text: String, k: Int, shingleLen: Int): Array[String] = {
     val sh = shinglesFast(text, shingleLen)
+    // digest() leaves the MessageDigest reset; no explicit reset needed
     val md = java.security.MessageDigest.getInstance("MD5")
-    def hex(b: Array[Byte]): String = {
-      val sb = new java.lang.StringBuilder(32)
-      b.foreach(x => sb.append(f"$x%02x"))
-      sb.toString
-    }
     Array.tabulate(k) { i =>
       var m: String = null
       var s = 0
       while (s < sh.length) {
-        val h = hex(md.digest(s"$i|${sh(s)}".getBytes("UTF-8")))
-        md.reset()
+        val h = graft.core.Hex.lower(md.digest(s"$i|${sh(s)}".getBytes("UTF-8")))
         if (m == null || h.compareTo(m) < 0) m = h
         s += 1
       }
@@ -445,7 +440,11 @@ object Dedup {
     val p =
       if (targetBucketSize > 0) math.max(planes, planesFor(df.count(), targetBucketSize))
       else planes
+    // a null vector must DROP the row, not NPE the job — and the guard has
+    // to live here, before the sign-bucket kernel ever sees the row (a
+    // null-guard only in the cosine verify stage would be unreachable)
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .where(col("v").isNotNull)
     val candidates = (0 until bands).map { b =>
       // compiled kernel (bit-identical twin of Similarity.signBucket)
       val bucketU = udf((v: Seq[Float]) => Similarity.signBucketFast(v, p, b * p))

@@ -36,20 +36,23 @@ object Embed {
   /** Oracle twin: slot and sign from the md5 HEX digits, so DuckDB can derive
     * them with string ops — slot = (hex[0]*16 + hex[1]) mod dim,
     * sign = +1 if hex[2] < '8'. */
-  def stubMd5(text: String, dim: Int = 64): Array[Float] = {
+  def stubMd5(text: String, dim: Int = 64): Array[Float] =
+    normalize(stubMd5Raw(text, dim))
+
+  /** Unnormalized md5 slot sums as floats (integer-valued, so cosine over
+    * them is EXACT double arithmetic — the engine and a SQL oracle compute
+    * bit-identical cosines; normalization is cosine-invariant but its float
+    * rounding is not reproducible in SQL). */
+  def stubMd5Raw(text: String, dim: Int = 64): Array[Float] = {
     val v = new Array[Float](dim)
     val md = java.security.MessageDigest.getInstance("MD5")
     tokens(text).foreach { t =>
-      val hex = md.digest(t.getBytes("UTF-8"))
-        .map(b => f"$b%02x").mkString
-      md.reset()
-      val slot = (hexVal(hex.charAt(0)) * 16 + hexVal(hex.charAt(1))) % dim
-      v(slot) += (if (hexVal(hex.charAt(2)) < 8) 1f else -1f)
+      val h = md.digest(t.getBytes("UTF-8"))
+      val c0 = (h(0) >> 4) & 0xf; val c1 = h(0) & 0xf; val c2 = (h(1) >> 4) & 0xf
+      v((c0 * 16 + c1) % dim) += (if (c2 < 8) 1f else -1f)
     }
-    normalize(v)
+    v
   }
-
-  private def hexVal(c: Char): Int = if (c <= '9') c - '0' else c - 'a' + 10
 
   private def normalize(v: Array[Float]): Array[Float] = {
     var ss = 0.0

@@ -41,6 +41,16 @@ object Embedder {
     override def embed(text: String): Array[Float] = Embed.stubMd5(text, dim)
   }
 
+  /** [[Md5Bow]] without the unit-norm step: integer-valued slot sums, so
+    * every downstream cosine is EXACT double arithmetic — bit-identical to
+    * a SQL oracle computing dot/(√Σa²·√Σb²) from the same integer sums
+    * (cosine is scale-invariant, but float normalization rounding is not
+    * SQL-reproducible). Use wherever an oracle compares cosines at a
+    * threshold. */
+  final case class Md5BowExact(dim: Int = 64) extends Embedder {
+    override def embed(text: String): Array[Float] = Embed.stubMd5Raw(text, dim)
+  }
+
   val default: Embedder = HashedBow()
 
   /** Column form for DataFrame pipelines: `embedCol(e)(col("text"))`. A

@@ -43,19 +43,9 @@ object StreamCurate {
     * they work on a streaming OR batch DataFrame (pure projection + filter).
     */
   def gate(docs: DataFrame, textCol: String, cfg: CurateConfig): DataFrame = {
-    val blocked =
-      if (cfg.blockTerms.nonEmpty)
-        docs.where(!TextAnalysis.blocklistHit(col(textCol), cfg.blockTerms))
-      else docs
-    val base =
-      if (cfg.c4Lines) {
-        val kept = TextAnalysis.c4KeptLines(col(textCol), cfg.c4MinWordsPerLine)
-        blocked.withColumn("__c4_kept", kept)
-          .where(!TextAnalysis.c4DocDropped(col(textCol), col("__c4_kept"),
-            cfg.c4MinLines))
-          .withColumn(textCol, array_join(col("__c4_kept"), "\n"))
-          .drop("__c4_kept")
-      } else blocked
+    // stage 0 is the SAME code the batch pipeline runs (Curate.stage0), so
+    // the stream and batch gates cannot drift
+    val base = graft.ops.Curate.stage0(docs, textCol, cfg)
     val rep = udf((t: String) =>
       TextAnalysis.repetitionSignalsFast(t, topNs = Seq(2), dupNs = Seq(10)))
     base

@@ -271,6 +271,21 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.planesFor(10L * 1000 * 1000 * 1000, 64) >= 24) // 10^10 rows
   }
 
+  test("embedding near-dup: a null vector drops the row, not the job") {
+    val vecs = embs.select(col("vec_id"), col("embedding")).where(col("vec_id") < 20)
+    val withNull = vecs
+      .unionByName(vecs.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      .unionByName(spark.range(1).select(lit(999999L).as("vec_id"),
+        lit(null).cast("array<float>").as("embedding")))
+    // the null row must be filtered BEFORE the sign-bucket kernel (which
+    // would NPE) — the 20 exact-dup pairs still come back
+    val pairs = Dedup.embeddingNearDup(withNull, "vec_id", "embedding",
+        planes = 6, minCosine = 0.999, bands = 3, targetBucketSize = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.count { case (a, b) => b == a + 100000 } == 20)
+    assert(!pairs.exists { case (a, b) => a == 999999L || b == 999999L })
+  }
+
   test("cosine kernel is bit-identical to the Column form") {
     val pairs = embs.select(col("vec_id"), col("embedding")).limit(40)
       .crossJoin(embs.select(col("vec_id").as("id2"), col("embedding").as("e2")).limit(40))
