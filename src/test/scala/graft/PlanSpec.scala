@@ -257,4 +257,26 @@ class PlanSpec extends AnyFunSuite {
     val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
     assert(readSchema.contains("text") && !readSchema.contains("lang"), readSchema)
   }
+
+  test("sliding-window chunks: one shuffle-free projection over a pruned scan") {
+    import org.apache.spark.sql.functions._
+    val p = plan(spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        graft.ops.TextAnalysis.slidingWindowChunks(col("text"), 12, 5).as("c")))
+    assert(!p.contains("Exchange"), p)
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("text") && !readSchema.contains("lang"), readSchema)
+  }
+
+  test("link-head enrichment: equi-joins only, BM25 scalars broadcast, no cartesian") {
+    val p = plan(SparkEntry.queries("q_link_head")(spark, sf))
+    // every head-store/score/enrich join keys on the url/href column —
+    // a cartesian anywhere here would be quadratic in the link table
+    assert(!p.contains("CartesianProduct"), p)
+    // the BM25 corpus scalars (n_docs, avgdl) and idf table enter broadcast
+    assert(p.contains("BroadcastExchange"), p)
+    // the only sort sits under the max-links LIMIT (TakeOrdered), nothing global
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
 }
