@@ -574,6 +574,22 @@ object SparkEntry {
         }
         .toDF("doc_id", "page_no", "text", "n_images", "links")
     }),
+    // in-PDF image decode under a TRUE arithmetic oracle: each synthetic
+    // PDF embeds real JPEG XObjects (/DCTDecode, half behind a Flate chain)
+    // whose dims are doc-id arithmetic; the engine must decode the JPEG
+    // bitstream to reproduce what DuckDB computes — PdfSpec additionally
+    // pins that a lying /Width dict cannot leak through
+    "q_pdf_images" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "documents").where(col("doc_id") < 80)
+        .select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          graft.sources.Pdf.extractImages(graft.sources.Pdf.PdfBinary(
+              id.toString, 0L, graft.sources.Pdf.syntheticImagePdf(id)))
+            .map(r => (id, r.page_no, r.img_index, r.filter, r.width, r.height))
+        }
+        .toDF("doc_id", "page_no", "img_index", "filter", "width", "height")
+    }),
     // corpus-trained embedding, step 1 (the exact-integer surface): windowed
     // token co-occurrence — per-row pair generation, NO self-join, one
     // aggregation shuffle (ops/CorpusEmbed trains PPMI + random-projection
@@ -1774,6 +1790,19 @@ object SparkEntry {
         |SELECT doc_id, CAST(abatch AS INTEGER) AS batch,
         |       round(quality, 4) AS quality
         |FROM a3""".stripMargin,
+    // in-PDF image decode: dims re-derived arithmetically; only a real
+    // JPEG bitstream decode on the engine side can match
+    "q_pdf_images" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 80),
+        |i AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN doc_id % 2 = 1 THEN [0, 1] ELSE [0] END) AS k
+        |  FROM d)
+        |SELECT doc_id, CAST(0 AS INTEGER) AS page_no,
+        |  CAST(k AS INTEGER) AS img_index, 'dct' AS filter,
+        |  CAST(20 + (doc_id + 13 * k) % 30 AS INTEGER) AS width,
+        |  CAST(15 + (doc_id * 7 + 11 * k) % 25 AS INTEGER) AS height
+        |FROM i""".stripMargin,
     // curation through the embedding fuzzy path: same gates/exact chain,
     // then Md5Bow hashed-BoW vectors re-derived from md5 hex digits (the
     // q_cosine_filter slot/sign arithmetic), brute-force pairwise cosine

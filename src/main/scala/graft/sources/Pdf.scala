@@ -219,6 +219,70 @@ object Pdf {
     out.toByteArray
   }
 
+  final case class PdfImageRow(doc_id: String, page_no: Int, img_index: Int,
+                               filter: String, width: Int, height: Int)
+
+  /** Real parse → decoded image rows per page ([[PdfParse.PdfImage]] —
+    * bitstream-authoritative dims); empty when the document doesn't parse.
+    */
+  def extractImages(doc: PdfBinary): Seq[PdfImageRow] =
+    PdfParse.parse(doc.content).toSeq.flatten.zipWithIndex.flatMap {
+      case (p, i) => p.images.zipWithIndex.map { case (im, k) =>
+        PdfImageRow(doc.path, i, k, im.filter, im.width, im.height)
+      }
+    }
+
+  /** Deterministic synthetic PDF embedding REAL JPEG image XObjects: one
+    * page, `1 + id%2` images whose dimensions are pure doc-id arithmetic
+    * (w = 20 + (id+13k)%30, h = 15 + (7id+11k)%25) — the q_pdf_images
+    * DuckDB oracle recomputes them in SQL, and only a genuine JPEG
+    * bitstream decode can match (PdfSpec pins that a lying /Width cannot
+    * leak through). Even (id+k) images ship bare /DCTDecode; odd ones ship
+    * the [/FlateDecode /DCTDecode] chain, so both filter paths stay
+    * exercised.
+    */
+  def syntheticImagePdf(id: Long): Array[Byte] = {
+    val nImg = 1 + (id % 2).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    w("2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n")
+    val imRefs = (0 until nImg).map(k => s"/Im$k ${5 + k} 0 R").mkString(" ")
+    w(s"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      s"/Resources << /XObject << $imRefs >> >> >>\nendobj\n")
+    val content = s"BT /F1 12 Tf 72 720 Td (images doc $id) Tj ET"
+    w(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+    (0 until nImg).foreach { k =>
+      val iw = 20 + ((id + 13 * k) % 30).toInt
+      val ih = 15 + ((id * 7 + 11 * k) % 25).toInt
+      val img = new java.awt.image.BufferedImage(iw, ih,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < ih) {
+        var x = 0
+        while (x < iw) {
+          img.setRGB(x, y, (((id * 31 + x * 7 + y * 13) % 0xffffff) & 0xffffff).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      val jpeg = bos.toByteArray
+      val (payload, filter) =
+        if ((id + k) % 2 == 0) (jpeg, "/DCTDecode")
+        else (deflateBytes(jpeg), "[ /FlateDecode /DCTDecode ]")
+      w(s"${5 + k} 0 obj\n<< /Subtype /Image /Width $iw /Height $ih " +
+        s"/BitsPerComponent 8 /ColorSpace /DeviceRGB /Filter $filter " +
+        s"/Length ${payload.length} >>\nstream\n")
+      out.write(payload)
+      w("\nendstream\nendobj\n")
+    }
+    w("%%EOF\n")
+    out.toByteArray
+  }
+
   /** Real parse with stub fallback: one binary in, its page rows out. */
   def extractPages(doc: PdfBinary): Seq[PdfPage] =
     PdfParse.parse(doc.content) match {

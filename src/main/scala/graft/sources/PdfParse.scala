@@ -40,14 +40,31 @@ package graft.sources
   *    other predefined names (the glyph-order tables aren't shipped) — so
   *    such documents stay out of the stub path.
   *
-  * Out of scope (returns what it can, never throws): image codecs
-  * (DCT/JBIG2/JPX), owner-password recovery — those fall back to the
+  *  - embedded images: /DCTDecode (JPEG) XObjects decode through the JDK
+  *    codec — alone or behind a Flate chain — with BITSTREAM-authoritative
+  *    dimensions; raw bitmaps behind the standard filter chain keep their
+  *    dict dims only when the decoded payload length matches the declared
+  *    geometry.
+  *
+  * Out of scope (returns what it can, never throws): JBIG2/JPX image
+  * codecs (no JVM codec), owner-password recovery — those fall back to the
   * deterministic stub kernel in [[Pdf]].
   */
 object PdfParse {
 
   final case class Obj(num: Int, dict: String, stream: Option[Array[Byte]])
-  final case class Page(text: String, nImages: Int, links: Seq[String])
+
+  /** One image XObject on a page. `width`/`height` are BITSTREAM-
+    * authoritative: for /DCTDecode the JDK JPEG codec's decoded dimensions
+    * (the dict is not trusted — a lying /Width cannot leak through); for
+    * raw bitmaps behind the standard filter chain the dict dims, accepted
+    * only when the decoded payload length matches the declared geometry
+    * (w·h·components·bpc/8). `width = -1` marks an undecodable payload
+    * (JBIG2/JPX — no JVM codec). */
+  final case class PdfImage(name: String, filter: String, width: Int, height: Int)
+
+  final case class Page(text: String, nImages: Int, links: Seq[String],
+                        images: Seq[PdfImage] = Nil)
 
   private def latin(bytes: Array[Byte], from: Int, until: Int): String =
     new String(bytes, from, until - from, java.nio.charset.StandardCharsets.ISO_8859_1)
@@ -533,6 +550,49 @@ object PdfParse {
     }
   }
 
+  private def dictInt(dict: String, key: String): Int =
+    dictValue(dict, key).flatMap(v =>
+      """-?\d+""".r.findFirstIn(v.trim)).map(_.toInt).getOrElse(0)
+
+  /** Decode one image XObject to its bitstream-authoritative dimensions.
+    * /DCTDecode payloads (optionally behind Flate) go to the JDK JPEG codec;
+    * raw bitmaps go through the standard filter chain and keep the dict
+    * dims only when the payload length matches the declared geometry. */
+  private def imageOf(name: String, o: Obj): PdfImage = {
+    val filters = dictValue(o.dict, "/Filter").toSeq
+      .flatMap(v => nameRe.findAllMatchIn(v).map(_.group(1))).toList
+    val dictW = dictInt(o.dict, "/Width")
+    val dictH = dictInt(o.dict, "/Height")
+    if (filters.lastOption.exists(f => f == "DCTDecode" || f == "DCT")) {
+      val payload = filters.dropRight(1).foldLeft(o.stream) {
+        case (Some(d), "FlateDecode" | "Fl") => inflate(d)
+        case _ => None
+      }
+      val dims =
+        try payload.flatMap(b => Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(b))))
+          .map(i => (i.getWidth, i.getHeight))
+        catch { case _: Exception => None }
+      dims match {
+        case Some((w, h)) => PdfImage(name, "dct", w, h)
+        case None => PdfImage(name, "dct", -1, -1)
+      }
+    } else if (filters.exists(f => f == "JPXDecode" || f == "JBIG2Decode")) {
+      PdfImage(name, "unsupported", -1, -1) // no JVM codec
+    } else {
+      val bpc = math.max(1, dictInt(o.dict, "/BitsPerComponent") match {
+        case 0 => 8; case b => b })
+      val cs = dictValue(o.dict, "/ColorSpace").getOrElse("")
+      val comps = if (cs.contains("RGB")) 3 else if (cs.contains("CMYK")) 4 else 1
+      val expect = (dictW.toLong * dictH * comps * bpc + 7) / 8
+      decodedStream(o) match {
+        case Some(b) if dictW > 0 && dictH > 0 && b.length == expect =>
+          PdfImage(name, "raw", dictW, dictH)
+        case _ => PdfImage(name, "raw", -1, -1)
+      }
+    }
+  }
+
   private val refRe = """(\d+)\s+\d+\s+R""".r
 
   private def refsIn(s: String): Seq[Int] =
@@ -881,18 +941,24 @@ object PdfParse {
       val fonts = try fontsOf(p.dict, objs) catch { case _: Exception => Map.empty[String, FontInfo] }
       val text = contentRefs.flatMap(objs.get).flatMap(decodedStream)
         .map(textOf(_, fonts)).filter(_.nonEmpty).mkString("\n")
-      // image count: /Resources /XObject refs that are /Subtype /Image
+      // images: /Resources /XObject refs that are /Subtype /Image —
+      // counted AND decoded (bitstream-authoritative dims, see PdfImage)
       val xobjRefs = dictValue(p.dict, "/XObject").map(refsIn)
         .getOrElse(Seq.empty)
-      val nImages = xobjRefs.flatMap(objs.get).count(o =>
+      val imageObjs = xobjRefs.flatMap(objs.get).filter(o =>
         o.dict.contains("/Subtype /Image") || o.dict.contains("/Subtype/Image"))
+      val images = imageObjs.zipWithIndex.map { case (o, i) =>
+        try imageOf(s"Im$i", o)
+        catch { case _: Exception => PdfImage(s"Im$i", "error", -1, -1) }
+      }
+      val nImages = imageObjs.size
       // links: /Annots → /URI ( … )
       val annotRefs = dictValue(p.dict, "/Annots").map(refsIn)
         .getOrElse(Seq.empty)
       val uriRe = """/URI\s*\(([^)]*)\)""".r
       val links = annotRefs.flatMap(objs.get).flatMap(o =>
         uriRe.findAllMatchIn(o.dict).map(_.group(1)).toSeq)
-      Page(text, nImages, links)
+      Page(text, nImages, links, images)
     }
     Some(pages)
   }

@@ -331,6 +331,25 @@ class PdfSpec extends AnyFunSuite {
     assert(pages.nonEmpty && pages.forall(_.text.nonEmpty)) // stub path
   }
 
+  test("embedded JPEG decode: bitstream dims win over a lying /Width dict") {
+    // take a synthetic image PDF (real 21x22 JPEG for id=1, k=0) and
+    // corrupt its dict to claim 1x1 — the decoded dims must come from the
+    // JPEG SOF, so a dict-echoing fake cannot pass
+    val honest = Pdf.syntheticImagePdf(1L)
+    val pages = PdfParse.parse(honest).get
+    val imgs = pages.head.images
+    assert(imgs.map(i => (i.width, i.height)) ==
+      Seq((20 + (1 + 0) % 30, 15 + (7 + 0) % 25),
+          (20 + (1 + 13) % 30, 15 + (7 + 11) % 25)))
+    assert(imgs.forall(_.filter == "dct"))
+    val lying = new String(honest, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replaceFirst("/Width \\d+ /Height \\d+", "/Width 1 /Height 1")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val lied = PdfParse.parse(lying).get.head.images.head
+    assert((lied.width, lied.height) == (imgs.head.width, imgs.head.height),
+      "decoded dims must come from the JPEG bitstream, not the dict")
+  }
+
   test("real parse flows through the Spark page pipeline into span docs") {
     import SparkTestSession.spark
     import spark.implicits._
