@@ -609,6 +609,19 @@ object SparkEntry {
         cells = 8, iters = 3, trainFraction = 0.5)
       Similarity.ivfTopKTrained(e, "vec_id", "embedding", q, 10, centroids, nProbe = 4)
     }),
+    // product quantization (Jégou 2011): per-subspace codebooks trained
+    // with quantized-long Lloyd's (bit-reproducible under any merge order),
+    // corpus encoded to m codes, query answered by ADC table lookups —
+    // the compressed-vector scale path; fixture = independent seq twin
+    "q_ann_pq" -> ((s, dir) => {
+      import s.implicits._
+      val e = table(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 0).select("embedding").as[Seq[Float]].head()
+      val cb = Similarity.trainPq(e, "vec_id", "embedding",
+        m = 8, k = 16, iters = 3, trainFraction = 0.5)
+      Similarity.pqTopK(e, "vec_id", "embedding", q, 10, cb)
+        .withColumn("adc_d2", round(col("adc_d2"), 6))
+    }),
     // SemDeDup (Abbas et al. 2023): trained-quantizer blocking + within-cell
     // cosine pairs + connected-components canonical survivors
     "q_semdedup" -> ((s, dir) => {
@@ -1109,6 +1122,7 @@ object SparkEntry {
     "q_embedding_neardup" -> graft.oracle.Fixtures.sql("q_embedding_neardup"),
     "q_ann_lsh_topk" -> graft.oracle.Fixtures.sql("q_ann_lsh_topk"),
     "q_ann_ivf_trained" -> graft.oracle.Fixtures.sql("q_ann_ivf_trained"),
+    "q_ann_pq" -> graft.oracle.Fixtures.sql("q_ann_pq"),
     "q_semdedup" -> graft.oracle.Fixtures.sql("q_semdedup"),
     "q_pdf_pages" -> graft.oracle.Fixtures.sql("q_pdf_pages"),
     "q_bpe_merges" -> graft.oracle.Fixtures.sql("q_bpe_merges"),

@@ -311,6 +311,143 @@ object Similarity {
       .limit(k)
   }
 
+  // ---- product quantization (Jégou et al. 2011, "Product Quantization
+  // for Nearest Neighbor Search") — the COMPRESSED-vector scale path:
+  // a 1024-dim float vector becomes m small codes (m bytes at k=256; here
+  // k=16 for the toy corpus), so a 100 TB embedding table's search
+  // structure fits in a fraction of the space and ADC scoring reads only
+  // the code column. ---------------------------------------------------
+
+  /** Trained per-subspace codebooks: `centroids(s)(c)` is the c-th centroid
+    * of subspace s (subDim doubles). */
+  final case class PqCodebooks(m: Int, k: Int, subDim: Int,
+                               centroids: Array[Array[Array[Double]]])
+
+  /** Per-subspace argmin codes of one vector (first-min tie-break, index
+    * order accumulation — the one definition shared by training, encoding,
+    * and the sequential oracle twin). */
+  def pqCodes(v: Seq[Double], cb: PqCodebooks): Array[Int] = {
+    val out = new Array[Int](cb.m)
+    var s = 0
+    while (s < cb.m) {
+      val base = s * cb.subDim
+      var best = Double.MaxValue; var bi = 0; var c = 0
+      while (c < cb.centroids(s).length) {
+        val cen = cb.centroids(s)(c)
+        var acc = 0.0; var j = 0
+        while (j < cb.subDim) {
+          val d = v(base + j) - cen(j); acc += d * d; j += 1
+        }
+        if (acc < best) { best = acc; bi = c }
+        c += 1
+      }
+      out(s) = bi
+      s += 1
+    }
+    out
+  }
+
+  /** Train PQ codebooks: Lloyd's per subspace, ALL subspaces updated in one
+    * aggregation pass per iteration (`posexplode(vec)` → key (subspace,
+    * code, dim) → quantized-long partial sums). Sums accumulate as
+    * `floor(x·2^40)` longs, so the centroid means are BIT-REPRODUCIBLE
+    * under any partitioning/merge order (the float-sum order hazard of
+    * iterative distributed k-means) and the sequential oracle twin matches
+    * exactly. Deterministic init: subvector slices of the first k sample
+    * vectors in id order; empty codes keep their previous centroid.
+    * `trainFraction` hash-samples the training set — at corpus scale the
+    * quantizer trains on a sample and encodes everything else.
+    */
+  def trainPq(df: DataFrame, idCol: String, vecCol: String, m: Int,
+              k: Int = 16, iters: Int = 5,
+              trainFraction: Double = 1.0): PqCodebooks = {
+    val Q = 1L << 40
+    val sample =
+      if (trainFraction >= 1.0) df
+      else df.where(pmod(xxhash64(col(idCol)), lit(math.max(1L, (1.0 / trainFraction).toLong))) === 0)
+    val train = sample.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v")).cache()
+    val dim = train.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val init = train.orderBy("id").limit(k).select("v").collect()
+      .map(_.getSeq[Double](0).toArray)
+    var cb = PqCodebooks(m, k, subDim,
+      Array.tabulate(m, k)((s, c) =>
+        init(c % init.length).slice(s * subDim, (s + 1) * subDim)))
+    var it = 0
+    while (it < iters) {
+      val bc = df.sparkSession.sparkContext.broadcast(cb)
+      val codeU = udf((v: Seq[Double]) => pqCodes(v, bc.value).toSeq)
+      val sums = train
+        .withColumn("codes", codeU(col("v")))
+        .select(col("codes"), posexplode(col("v")).as(Seq("j", "x")))
+        .select((col("j") / subDim).cast("int").as("s"), col("j"),
+          element_at(col("codes"), (col("j") / subDim).cast("int") + 1).as("code"),
+          (col("x") * Q).cast("long").as("xq"))
+        .groupBy("s", "code", "j").agg(sum("xq").as("sq"), count(lit(1)).as("n"))
+        .collect()
+      bc.destroy()
+      // row schema after groupBy(s, code, j): s(0), code(1), j(2), sq(3), n(4)
+      val next = Array.tabulate(m, k)((s, c) => cb.centroids(s)(c))
+      sums.groupBy(r => (r.getInt(0), r.getInt(1))).foreach { case ((s, c), rows) =>
+        val cen = new Array[Double](subDim)
+        rows.foreach { r =>
+          cen(r.getInt(2) - s * subDim) =
+            (r.getLong(3).toDouble / r.getLong(4)) / Q
+        }
+        next(s)(c) = cen
+      }
+      cb = PqCodebooks(m, k, subDim, next)
+      it += 1
+    }
+    train.unpersist()
+    cb
+  }
+
+  /** Encode a corpus: (id, codes) — the compressed search structure (m
+    * small ints per vector, written once; searches never touch the float
+    * column again). */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               cb: PqCodebooks): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(cb)
+    val codeU = udf((v: Seq[Double]) => pqCodes(v, bc.value).toSeq)
+    df.select(col(idCol), codeU(col(vecCol).cast("array<double>")).as("codes"))
+  }
+
+  /** ADC distance table for one query: `table(s)(c) = ||q_s − centroid||²`
+    * (fixed index-order accumulation). */
+  def pqAdcTable(query: Seq[Double], cb: PqCodebooks): Array[Array[Double]] =
+    Array.tabulate(cb.m, cb.k) { (s, c) =>
+      val cen = cb.centroids(s)(c)
+      var acc = 0.0; var j = 0
+      while (j < cb.subDim) {
+        val d = query(s * cb.subDim + j) - cen(j); acc += d * d; j += 1
+      }
+      acc
+    }
+
+  /** Approximate top-k by PQ/ADC: encode in-plan, score each row with m
+    * table lookups (the table is one tiny broadcast), TakeOrdered the k
+    * smallest distances — scan → project → TakeOrdered, no shuffle, and at
+    * scale the scan reads the CODE column only (encode once, search many).
+    */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String, query: Seq[Float],
+             k: Int, cb: PqCodebooks): DataFrame = {
+    val table = pqAdcTable(query.map(_.toDouble), cb)
+    val bc = df.sparkSession.sparkContext.broadcast((cb, table))
+    val adcU = udf { (v: Seq[Double]) =>
+      val (cbv, t) = bc.value
+      val codes = pqCodes(v, cbv)
+      var acc = 0.0; var s = 0
+      while (s < codes.length) { acc += t(s)(codes(s)); s += 1 }
+      acc
+    }
+    df.select(col(idCol), adcU(col(vecCol).cast("array<double>")).as("adc_d2"))
+      .orderBy(col("adc_d2"), col(idCol))
+      .limit(k)
+  }
+
   /** All-pairs exact cosine above a threshold for a bounded id range —
     * the oracle-checkable form (cross-join guarded by the range filter).
     */

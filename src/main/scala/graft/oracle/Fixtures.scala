@@ -197,6 +197,13 @@ object Fixtures {
       SeqOracle.ivfTrainedTopK(embAll, q0, k = 10, cells = 8, iters = 3,
         trainFraction = 0.5, nProbe = 4).toDF("vec_id", "sim"))
 
+    write("q_ann_pq",
+      SeqOracle.pqTopK(embAll, q0, k = 10, m = 8, cbk = 16, iters = 3,
+          trainFraction = 0.5)
+        .map { case (id, d) =>
+          (id, BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        .toDF("vec_id", "adc_d2"))
+
     // SemDeDup: full table + exact duplicates of the first 100 — the
     // sequential twin trains the same quantizer protocol, brute-forces
     // within-cell pairs, and union-finds components (no float columns in

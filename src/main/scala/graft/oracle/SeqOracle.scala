@@ -402,6 +402,86 @@ object SeqOracle {
       .take(k)
   }
 
+  /** Sequential twin of Similarity.trainPq/pqTopK: same protocol — first-k
+    * by-id init slices, xxh64 hash-sample, first-min argmin per subspace,
+    * QUANTIZED-LONG sums (`(x·2^40).toLong`) so the centroid means are
+    * bit-identical to the distributed trainer under any partition/merge
+    * order, empty codes keep their centroid — then ADC scoring with the
+    * same index-order arithmetic and (distance, id) ordering. */
+  def pqTopK(vecs: Seq[(Long, Seq[Float])], query: Seq[Float], k: Int,
+             m: Int, cbk: Int, iters: Int,
+             trainFraction: Double): Seq[(Long, Double)] = {
+    val Q = 1L << 40
+    val mod = math.max(1L, (1.0 / trainFraction).toLong)
+    val sample =
+      if (trainFraction >= 1.0) vecs
+      else vecs.filter { case (id, _) =>
+        Math.floorMod(graft.core.Xxh64.hashLong(id, 42L), mod) == 0L }
+    val dim = vecs.head._2.length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    val init = sample.sortBy(_._1).take(cbk).map(_._2.map(_.toDouble).toArray)
+    var cent: Array[Array[Array[Double]]] = Array.tabulate(m, cbk)((s, c) =>
+      init(c % init.length).slice(s * sub, (s + 1) * sub))
+    def codesOf(v: Seq[Float]): Array[Int] = {
+      val out = new Array[Int](m)
+      var s = 0
+      while (s < m) {
+        var best = Double.MaxValue; var bi = 0; var c = 0
+        while (c < cbk) {
+          val cen = cent(s)(c)
+          var acc = 0.0; var j = 0
+          while (j < sub) {
+            val d = v(s * sub + j).toDouble - cen(j); acc += d * d; j += 1
+          }
+          if (acc < best) { best = acc; bi = c }
+          c += 1
+        }
+        out(s) = bi
+        s += 1
+      }
+      out
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = scala.collection.mutable.HashMap.empty[(Int, Int), (Array[Long], Long)]
+      sample.foreach { case (_, v) =>
+        val cs = codesOf(v)
+        var s = 0
+        while (s < m) {
+          val (acc, n) = sums.getOrElseUpdate((s, cs(s)), (new Array[Long](sub), 0L))
+          var j = 0
+          while (j < sub) {
+            acc(j) += (v(s * sub + j).toDouble * Q).toLong; j += 1
+          }
+          sums((s, cs(s))) = (acc, n + 1)
+          s += 1
+        }
+      }
+      cent = Array.tabulate(m, cbk) { (s, c) =>
+        sums.get((s, c)) match {
+          case Some((acc, n)) => acc.map(x => (x.toDouble / n) / Q)
+          case None => cent(s)(c)
+        }
+      }
+      it += 1
+    }
+    val table = Array.tabulate(m, cbk) { (s, c) =>
+      val cen = cent(s)(c)
+      var acc = 0.0; var j = 0
+      while (j < sub) {
+        val d = query(s * sub + j).toDouble - cen(j); acc += d * d; j += 1
+      }
+      acc
+    }
+    vecs.map { case (id, v) =>
+      val cs = codesOf(v)
+      var acc = 0.0; var s = 0
+      while (s < m) { acc += table(s)(cs(s)); s += 1 }
+      (id, acc)
+    }.sortBy { case (id, d) => (d, id) }.take(k)
+  }
+
   /** Sequential twin of Dedup.semDedup: the same Lloyd's protocol as
     * [[ivfTrainedTopK]] (first-C-by-id init, xxh64 hash-sample, first-min
     * argmin, empty cells keep their centroid), then within-cell brute-force

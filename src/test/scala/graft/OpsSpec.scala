@@ -271,6 +271,27 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.planesFor(10L * 1000 * 1000 * 1000, 64) >= 24) // 10^10 rows
   }
 
+  test("product quantization: training is bit-deterministic, exact dup of the query attains the ADC minimum") {
+    import graft.ops.Similarity
+    val vecs = embs.select(col("vec_id"), col("embedding")).where(col("vec_id") < 60)
+    val cb = Similarity.trainPq(vecs, "vec_id", "embedding", m = 8, k = 8, iters = 2)
+    val cb2 = Similarity.trainPq(vecs, "vec_id", "embedding", m = 8, k = 8, iters = 2)
+    // quantized-long sums make retraining bit-identical regardless of
+    // partition/merge order
+    assert(cb.centroids.flatten.flatten.toSeq == cb2.centroids.flatten.flatten.toSeq)
+    val q = vecs.where(col("vec_id") === 3).select("embedding")
+      .as[Seq[Float]].head()
+    // ADC(q, codes(q)) = Σ_s min_c ||q_s - c||² — the global minimum over
+    // any code word; an exact duplicate of q therefore ties that minimum
+    val withDup = vecs.unionByName(
+      Seq((999999L, q)).toDF("vec_id", "embedding"))
+    val top = Similarity.pqTopK(withDup, "vec_id", "embedding", q, 61, cb)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val minD = top.values.min
+    assert(math.abs(top(999999L) - minD) < 1e-12)
+    assert(math.abs(top(3L) - top(999999L)) < 1e-12) // identical codes
+  }
+
   test("embedding near-dup: a null vector drops the row, not the job") {
     val vecs = embs.select(col("vec_id"), col("embedding")).where(col("vec_id") < 20)
     val withNull = vecs
