@@ -91,8 +91,8 @@ object SparkEntry {
   private[graft] def mediaBlobFor(id: String, ref: String, kind: String)
       : graft.ops.Multimodal.MediaBlob = {
     lazy val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(ref.getBytes("UTF-8")) // one digest per blob, nibble-indexed
-    def hexPair(i: Int): Int = digest(i) & 0xff
+      .digest(ref.getBytes("UTF-8")) // one digest per blob
+    def hexPair(i: Int): Int = digest(i) & 0xff // = value of hex chars 2i,2i+1
     kind match {
       case "image" =>
         graft.ops.Multimodal.syntheticPngBlob(id, ref,
@@ -120,15 +120,14 @@ object SparkEntry {
     * [[graft.streaming.StreamCurate.curateStream]] over a file source — four
     * deterministic arrival batches (bases 0-99, bases 100-199, exact copies,
     * edited near-dups) written as json files with increasing mod-times and
-    * consumed one-per-trigger, oldest first. The md5 minhash basis makes the
-    * whole acceptance chain SQL-derivable, and the batch split is monotone
-    * in doc id (a cluster's canonical min-id member never arrives after the
-    * members it should displace), so the stream's accepted set equals the
-    * batch [[graft.ops.Curate.curateCorpus]] twin — which is what the DuckDB
-    * oracle recomputes from first principles (gates → exact → md5
-    * sigs/bands/est-Jaccard → recursive components → canonical survivors).
-    * The accepting batch id rides along as the `batch` partition column and
-    * is itself oracled (= the arrival batch of each surviving doc).
+    * consumed one-per-trigger, oldest first. The md5 minhash basis makes
+    * the whole acceptance chain SQL-derivable, and the DuckDB oracle
+    * recomputes the STREAM'S OWN per-batch semantics from first principles
+    * (per-batch gates → in-batch min-id exact dedup → anti-join vs
+    * previously ACCEPTED texts → in-batch md5-minhash components → probe
+    * drop vs the accepted set) — no stream-equals-batch assumption is
+    * involved. The accepting batch id rides along as the `batch` partition
+    * column and is itself oracled.
     */
   @volatile private var streamCurateOut: String = null
   private def runStreamCurate(s: SparkSession, dir: String): DataFrame = {
@@ -1104,6 +1103,138 @@ object SparkEntry {
       |    + (CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) >= 4 THEN 0.5 ELSE 0.0 END)
       |    + (CASE WHEN lower(trim(text)) IN ('click here','read more','more info','link','here') THEN -1.0 ELSE 0.0 END)""".stripMargin
 
+  /** The q_stream_curate oracle: shared gate/signature/edge CTEs, then
+    * ONE per-batch template instantiated for each arrival batch (exact
+    * dedup vs accepted texts, in-batch recursive components, probe-drop
+    * vs the accepted set) — generated, so the four batches cannot drift
+    * apart. */
+  private val streamCurateOracleSql: String = {
+    val prefix =
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text, CASE WHEN doc_id < 100 THEN 0 ELSE 1 END AS abatch
+        |  FROM documents WHERE doc_id < 200
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text, 2 FROM documents WHERE doc_id < 200 AND doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text || ' stream curated trailing marker', 3
+        |  FROM documents WHERE doc_id < 200 AND doc_id % 7 = 0),
+        |t AS (
+        |  SELECT doc_id, text, length(text) AS n_chars,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS wtoks,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS atoks
+        |  FROM corpus),
+        |m AS (
+        |  SELECT doc_id, text, n_chars, len(wtoks) AS n_words,
+        |    CASE WHEN len(wtoks) = 0 THEN 0.0
+        |         ELSE list_sum(list_transform(wtoks, x -> length(x))) * 1.0 / len(wtoks) END AS mwl,
+        |    length(regexp_replace(text, '[^!?.,;:]', '', 'g')) * 1.0 / greatest(length(text), 1) AS punct,
+        |    len(list_filter(atoks, x -> list_contains(['the','a','and','of','to','in','is','it','that','was'], x))) * 1.0
+        |      / greatest(len(atoks), 1) AS stopr
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id, text,
+        |    (CASE WHEN n_chars BETWEEN 200 AND 20000 THEN 1.0
+        |          WHEN n_chars BETWEEN 50 AND 199 THEN 0.5 ELSE 0.0 END) * 0.25
+        |  + (CASE WHEN n_words >= 30 THEN 1.0 WHEN n_words >= 10 THEN 0.5 ELSE 0.0 END) * 0.25
+        |  + (CASE WHEN stopr > 0.02 THEN 1.0 ELSE 0.0 END) * 0.2
+        |  + (CASE WHEN punct <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.15
+        |  + (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) * 0.15 AS quality
+        |  FROM m),
+        |rls AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(coalesce(list_sum(list_transform(lines, x -> length(x))), 0) AS BIGINT) AS line_chars,
+        |    CAST(coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
+        |       - coalesce(list_sum(list_transform(list_distinct(lines), x -> length(x))), 0) AS BIGINT) AS dup_line_chars,
+        |    toks
+        |  FROM (SELECT doc_id, text,
+        |          list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS lines,
+        |          list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+        |        FROM corpus)),
+        |rg AS (
+        |  SELECT doc_id, n,
+        |    unnest(list_transform(generate_series(1, len(toks) - (n - 1)),
+        |                          i -> array_to_string(toks[i:i+n-1], ' '))) AS g
+        |  FROM rls, (SELECT unnest([2,10]) AS n) ns
+        |  WHERE len(toks) >= n),
+        |rcnt AS (SELECT doc_id, n, g, count(*) AS cnt FROM rg GROUP BY doc_id, n, g),
+        |rga AS (
+        |  SELECT doc_id,
+        |    CAST(coalesce(max(CASE WHEN n=2 THEN cnt*length(g) END), 0) AS BIGINT) AS top2,
+        |    CAST(coalesce(sum(CASE WHEN n=10 AND cnt>1 THEN (cnt-1)*length(g) ELSE 0 END), 0) AS BIGINT) AS dup10
+        |  FROM rcnt GROUP BY doc_id),
+        |rfrac AS (
+        |  SELECT l.doc_id,
+        |    l.dup_line_chars * 1.0 / greatest(l.line_chars, 1) AS dup_line_frac,
+        |    coalesce(g2.top2, 0) * 1.0 / greatest(l.n_chars, 1) AS top2_frac,
+        |    coalesce(g2.dup10, 0) * 1.0 / greatest(l.n_chars, 1) AS dup10_frac
+        |  FROM rls l LEFT JOIN rga g2 USING (doc_id)),
+        |gated AS MATERIALIZED (
+        |  SELECT q.doc_id, q.text, q.quality, c2.abatch
+        |  FROM q JOIN rfrac r USING (doc_id) JOIN corpus c2 USING (doc_id)
+        |  WHERE q.quality >= 0.3 AND r.dup_line_frac <= 0.9
+        |    AND r.top2_frac <= 0.9 AND r.dup10_frac <= 0.9),
+        |sh AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) >= 2
+        |         THEN list_transform(generate_series(1, len(tk) - 1), i -> array_to_string(tk[i:i+1], ' '))
+        |         ELSE [array_to_string(tk, ' ')] END AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS tk
+        |        FROM gated)),
+        |sigs AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 32),
+        |      i -> list_min(list_transform(s, x -> md5(CAST(i AS VARCHAR) || '|' || x)))) AS sig
+        |  FROM sh),
+        |bnd AS MATERIALIZED (
+        |  SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS bkey
+        |  FROM sigs, (SELECT unnest(range(0, 8)) AS b) bs),
+        |cand AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        |  FROM bnd a JOIN bnd c ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id),
+        |pairs AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT cand.id_a, cand.id_b,
+        |      list_sum(list_transform(range(1, 33),
+        |        i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 32.0 AS est
+        |    FROM cand JOIN sigs sa ON cand.id_a = sa.doc_id
+        |              JOIN sigs sb ON cand.id_b = sb.doc_id)
+        |  WHERE est >= 0.8),
+        |edges AS MATERIALIZED (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),""".stripMargin
+    val perBatch = (0 to 3).map { k =>
+      val anti =
+        if (k == 0) ""
+        else s"\n  WHERE g.text NOT IN (SELECT text FROM a${k - 1})"
+      val accept =
+        if (k == 0) "a0 AS (SELECT * FROM can0)"
+        else s"""a$k AS (
+  SELECT * FROM a${k - 1}
+  UNION ALL
+  SELECT c.* FROM can$k c WHERE NOT EXISTS (
+    SELECT 1 FROM edges ed JOIN a${k - 1} a ON ed.v = a.doc_id WHERE ed.u = c.doc_id))"""
+      s"""e$k AS (
+  SELECT g.* FROM gated g
+  JOIN (SELECT min(doc_id) AS doc_id FROM gated WHERE abatch = $k GROUP BY text) m USING (doc_id)$anti),
+r$k AS (
+  SELECT doc_id AS src, doc_id AS dst FROM e$k
+  UNION
+  SELECT r.src, ed.v FROM r$k r JOIN edges ed ON r.dst = ed.u
+                     JOIN e$k x ON ed.v = x.doc_id),
+can$k AS (
+  SELECT e.* FROM e$k e
+  JOIN (SELECT src AS doc_id, min(dst) AS comp FROM r$k GROUP BY src) c USING (doc_id)
+  WHERE c.comp = e.doc_id),
+$accept"""
+    }.mkString(",\n")
+    prefix + "\n" + perBatch + "\n" +
+      """SELECT doc_id, CAST(abatch AS INTEGER) AS batch,
+        |       round(quality, 4) AS quality
+        |FROM a3""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     // ---- expected-result fixtures (sequential oracles / generator intent /
     // reference-derived goldens), written by Verify → graft.oracle.Fixtures
@@ -1640,170 +1771,7 @@ object SparkEntry {
     // CTE) → canonical survivors → probe-drop vs the accepted set — so no
     // stream-equals-batch assumption is needed (bridge merges that would
     // distinguish the two are handled identically by construction)
-    "q_stream_curate" ->
-      """WITH RECURSIVE corpus AS (
-        |  SELECT doc_id, text, CASE WHEN doc_id < 100 THEN 0 ELSE 1 END AS abatch
-        |  FROM documents WHERE doc_id < 200
-        |  UNION ALL
-        |  SELECT doc_id + 100000, text, 2 FROM documents WHERE doc_id < 200 AND doc_id % 5 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 200000, text || ' stream curated trailing marker', 3
-        |  FROM documents WHERE doc_id < 200 AND doc_id % 7 = 0),
-        |t AS (
-        |  SELECT doc_id, text, length(text) AS n_chars,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS wtoks,
-        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS atoks
-        |  FROM corpus),
-        |m AS (
-        |  SELECT doc_id, text, n_chars, len(wtoks) AS n_words,
-        |    CASE WHEN len(wtoks) = 0 THEN 0.0
-        |         ELSE list_sum(list_transform(wtoks, x -> length(x))) * 1.0 / len(wtoks) END AS mwl,
-        |    length(regexp_replace(text, '[^!?.,;:]', '', 'g')) * 1.0 / greatest(length(text), 1) AS punct,
-        |    len(list_filter(atoks, x -> list_contains(['the','a','and','of','to','in','is','it','that','was'], x))) * 1.0
-        |      / greatest(len(atoks), 1) AS stopr
-        |  FROM t),
-        |q AS (
-        |  SELECT doc_id, text,
-        |    (CASE WHEN n_chars BETWEEN 200 AND 20000 THEN 1.0
-        |          WHEN n_chars BETWEEN 50 AND 199 THEN 0.5 ELSE 0.0 END) * 0.25
-        |  + (CASE WHEN n_words >= 30 THEN 1.0 WHEN n_words >= 10 THEN 0.5 ELSE 0.0 END) * 0.25
-        |  + (CASE WHEN stopr > 0.02 THEN 1.0 ELSE 0.0 END) * 0.2
-        |  + (CASE WHEN punct <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.15
-        |  + (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) * 0.15 AS quality
-        |  FROM m),
-        |rls AS (
-        |  SELECT doc_id,
-        |    CAST(length(text) AS BIGINT) AS n_chars,
-        |    CAST(coalesce(list_sum(list_transform(lines, x -> length(x))), 0) AS BIGINT) AS line_chars,
-        |    CAST(coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
-        |       - coalesce(list_sum(list_transform(list_distinct(lines), x -> length(x))), 0) AS BIGINT) AS dup_line_chars,
-        |    toks
-        |  FROM (SELECT doc_id, text,
-        |          list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS lines,
-        |          list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
-        |        FROM corpus)),
-        |rg AS (
-        |  SELECT doc_id, n,
-        |    unnest(list_transform(generate_series(1, len(toks) - (n - 1)),
-        |                          i -> array_to_string(toks[i:i+n-1], ' '))) AS g
-        |  FROM rls, (SELECT unnest([2,10]) AS n) ns
-        |  WHERE len(toks) >= n),
-        |rcnt AS (SELECT doc_id, n, g, count(*) AS cnt FROM rg GROUP BY doc_id, n, g),
-        |rga AS (
-        |  SELECT doc_id,
-        |    CAST(coalesce(max(CASE WHEN n=2 THEN cnt*length(g) END), 0) AS BIGINT) AS top2,
-        |    CAST(coalesce(sum(CASE WHEN n=10 AND cnt>1 THEN (cnt-1)*length(g) ELSE 0 END), 0) AS BIGINT) AS dup10
-        |  FROM rcnt GROUP BY doc_id),
-        |rfrac AS (
-        |  SELECT l.doc_id,
-        |    l.dup_line_chars * 1.0 / greatest(l.line_chars, 1) AS dup_line_frac,
-        |    coalesce(g2.top2, 0) * 1.0 / greatest(l.n_chars, 1) AS top2_frac,
-        |    coalesce(g2.dup10, 0) * 1.0 / greatest(l.n_chars, 1) AS dup10_frac
-        |  FROM rls l LEFT JOIN rga g2 USING (doc_id)),
-        |gated AS MATERIALIZED (
-        |  SELECT q.doc_id, q.text, q.quality, c2.abatch
-        |  FROM q JOIN rfrac r USING (doc_id) JOIN corpus c2 USING (doc_id)
-        |  WHERE q.quality >= 0.3 AND r.dup_line_frac <= 0.9
-        |    AND r.top2_frac <= 0.9 AND r.dup10_frac <= 0.9),
-        |sh AS MATERIALIZED (
-        |  SELECT doc_id,
-        |    CASE WHEN len(tk) >= 2
-        |         THEN list_transform(generate_series(1, len(tk) - 1), i -> array_to_string(tk[i:i+1], ' '))
-        |         ELSE [array_to_string(tk, ' ')] END AS s
-        |  FROM (SELECT doc_id,
-        |          list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS tk
-        |        FROM gated)),
-        |sigs AS MATERIALIZED (
-        |  SELECT doc_id,
-        |    list_transform(range(0, 32),
-        |      i -> list_min(list_transform(s, x -> md5(CAST(i AS VARCHAR) || '|' || x)))) AS sig
-        |  FROM sh),
-        |bnd AS MATERIALIZED (
-        |  SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS bkey
-        |  FROM sigs, (SELECT unnest(range(0, 8)) AS b) bs),
-        |cand AS MATERIALIZED (
-        |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-        |  FROM bnd a JOIN bnd c ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id),
-        |pairs AS MATERIALIZED (
-        |  SELECT id_a, id_b FROM (
-        |    SELECT cand.id_a, cand.id_b,
-        |      list_sum(list_transform(range(1, 33),
-        |        i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 32.0 AS est
-        |    FROM cand JOIN sigs sa ON cand.id_a = sa.doc_id
-        |              JOIN sigs sb ON cand.id_b = sb.doc_id)
-        |  WHERE est >= 0.8),
-        |edges AS MATERIALIZED (
-        |  SELECT id_a AS u, id_b AS v FROM pairs
-        |  UNION SELECT id_b, id_a FROM pairs),
-        |e0 AS (
-        |  SELECT g.* FROM gated g
-        |  JOIN (SELECT min(doc_id) AS doc_id FROM gated WHERE abatch = 0 GROUP BY text) m USING (doc_id)),
-        |r0 AS (
-        |  SELECT doc_id AS src, doc_id AS dst FROM e0
-        |  UNION
-        |  SELECT r.src, ed.v FROM r0 r JOIN edges ed ON r.dst = ed.u
-        |                     JOIN e0 x ON ed.v = x.doc_id),
-        |a0 AS (
-        |  SELECT e.* FROM e0 e
-        |  JOIN (SELECT src AS doc_id, min(dst) AS comp FROM r0 GROUP BY src) c USING (doc_id)
-        |  WHERE c.comp = e.doc_id),
-        |e1 AS (
-        |  SELECT g.* FROM gated g
-        |  JOIN (SELECT min(doc_id) AS doc_id FROM gated WHERE abatch = 1 GROUP BY text) m USING (doc_id)
-        |  WHERE g.text NOT IN (SELECT text FROM a0)),
-        |r1 AS (
-        |  SELECT doc_id AS src, doc_id AS dst FROM e1
-        |  UNION
-        |  SELECT r.src, ed.v FROM r1 r JOIN edges ed ON r.dst = ed.u
-        |                     JOIN e1 x ON ed.v = x.doc_id),
-        |c1 AS (
-        |  SELECT e.* FROM e1 e
-        |  JOIN (SELECT src AS doc_id, min(dst) AS comp FROM r1 GROUP BY src) c USING (doc_id)
-        |  WHERE c.comp = e.doc_id),
-        |a1 AS (
-        |  SELECT * FROM a0
-        |  UNION ALL
-        |  SELECT c.* FROM c1 c WHERE NOT EXISTS (
-        |    SELECT 1 FROM edges ed JOIN a0 a ON ed.v = a.doc_id WHERE ed.u = c.doc_id)),
-        |e2 AS (
-        |  SELECT g.* FROM gated g
-        |  JOIN (SELECT min(doc_id) AS doc_id FROM gated WHERE abatch = 2 GROUP BY text) m USING (doc_id)
-        |  WHERE g.text NOT IN (SELECT text FROM a1)),
-        |r2 AS (
-        |  SELECT doc_id AS src, doc_id AS dst FROM e2
-        |  UNION
-        |  SELECT r.src, ed.v FROM r2 r JOIN edges ed ON r.dst = ed.u
-        |                     JOIN e2 x ON ed.v = x.doc_id),
-        |c2b AS (
-        |  SELECT e.* FROM e2 e
-        |  JOIN (SELECT src AS doc_id, min(dst) AS comp FROM r2 GROUP BY src) c USING (doc_id)
-        |  WHERE c.comp = e.doc_id),
-        |a2 AS (
-        |  SELECT * FROM a1
-        |  UNION ALL
-        |  SELECT c.* FROM c2b c WHERE NOT EXISTS (
-        |    SELECT 1 FROM edges ed JOIN a1 a ON ed.v = a.doc_id WHERE ed.u = c.doc_id)),
-        |e3 AS (
-        |  SELECT g.* FROM gated g
-        |  JOIN (SELECT min(doc_id) AS doc_id FROM gated WHERE abatch = 3 GROUP BY text) m USING (doc_id)
-        |  WHERE g.text NOT IN (SELECT text FROM a2)),
-        |r3 AS (
-        |  SELECT doc_id AS src, doc_id AS dst FROM e3
-        |  UNION
-        |  SELECT r.src, ed.v FROM r3 r JOIN edges ed ON r.dst = ed.u
-        |                     JOIN e3 x ON ed.v = x.doc_id),
-        |c3 AS (
-        |  SELECT e.* FROM e3 e
-        |  JOIN (SELECT src AS doc_id, min(dst) AS comp FROM r3 GROUP BY src) c USING (doc_id)
-        |  WHERE c.comp = e.doc_id),
-        |a3 AS (
-        |  SELECT * FROM a2
-        |  UNION ALL
-        |  SELECT c.* FROM c3 c WHERE NOT EXISTS (
-        |    SELECT 1 FROM edges ed JOIN a2 a ON ed.v = a.doc_id WHERE ed.u = c.doc_id))
-        |SELECT doc_id, CAST(abatch AS INTEGER) AS batch,
-        |       round(quality, 4) AS quality
-        |FROM a3""".stripMargin,
+    "q_stream_curate" -> streamCurateOracleSql,
     // in-PDF image decode: dims re-derived arithmetically; only a real
     // JPEG bitstream decode on the engine side can match
     "q_pdf_images" ->

@@ -350,7 +350,9 @@ object Similarity {
   /** Train PQ codebooks: Lloyd's per subspace, ALL subspaces updated in one
     * aggregation pass per iteration (`posexplode(vec)` → key (subspace,
     * code, dim) → quantized-long partial sums). Sums accumulate as
-    * `floor(x·2^40)` longs, so the centroid means are BIT-REPRODUCIBLE
+    * `(x·2^40).toLong` longs (truncation toward ZERO — matches Spark's
+    * double→long cast; NOT floor for negative components — any further
+    * twin must mirror this), so the centroid means are BIT-REPRODUCIBLE
     * under any partitioning/merge order (the float-sum order hazard of
     * iterative distributed k-means) and the sequential oracle twin matches
     * exactly. Deterministic init: subvector slices of the first k sample
@@ -366,7 +368,9 @@ object Similarity {
       if (trainFraction >= 1.0) df
       else df.where(pmod(xxhash64(col(idCol)), lit(math.max(1L, (1.0 / trainFraction).toLong))) === 0)
     val train = sample.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v")).cache()
+      col(vecCol).cast("array<double>").as("v"))
+      .where(col("v").isNotNull) // null vectors drop, they must not NPE the kernels
+      .cache()
     val dim = train.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val subDim = dim / m
@@ -412,7 +416,27 @@ object Similarity {
                cb: PqCodebooks): DataFrame = {
     val bc = df.sparkSession.sparkContext.broadcast(cb)
     val codeU = udf((v: Seq[Double]) => pqCodes(v, bc.value).toSeq)
-    df.select(col(idCol), codeU(col(vecCol).cast("array<double>")).as("codes"))
+    df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .where(col("__v").isNotNull) // null vectors drop, not NPE
+      .select(col(idCol), codeU(col("__v")).as("codes"))
+  }
+
+  /** ADC top-k over a PRE-ENCODED corpus (the at-scale entry point: encode
+    * once with [[pqEncode]], persist the (id, codes) table, search it many
+    * times without ever touching the float column). */
+  def pqTopKEncoded(codes: DataFrame, idCol: String, query: Seq[Float],
+                    k: Int, cb: PqCodebooks): DataFrame = {
+    val table = pqAdcTable(query.map(_.toDouble), cb)
+    val bc = codes.sparkSession.sparkContext.broadcast(table)
+    val adcU = udf { (cs: Seq[Int]) =>
+      val t = bc.value
+      var acc = 0.0; var s = 0
+      while (s < cs.length) { acc += t(s)(cs(s)); s += 1 }
+      acc
+    }
+    codes.select(col(idCol), adcU(col("codes")).as("adc_d2"))
+      .orderBy(col("adc_d2"), col(idCol))
+      .limit(k)
   }
 
   /** ADC distance table for one query: `table(s)(c) = ||q_s − centroid||²`
@@ -433,20 +457,8 @@ object Similarity {
     * scale the scan reads the CODE column only (encode once, search many).
     */
   def pqTopK(df: DataFrame, idCol: String, vecCol: String, query: Seq[Float],
-             k: Int, cb: PqCodebooks): DataFrame = {
-    val table = pqAdcTable(query.map(_.toDouble), cb)
-    val bc = df.sparkSession.sparkContext.broadcast((cb, table))
-    val adcU = udf { (v: Seq[Double]) =>
-      val (cbv, t) = bc.value
-      val codes = pqCodes(v, cbv)
-      var acc = 0.0; var s = 0
-      while (s < codes.length) { acc += t(s)(codes(s)); s += 1 }
-      acc
-    }
-    df.select(col(idCol), adcU(col(vecCol).cast("array<double>")).as("adc_d2"))
-      .orderBy(col("adc_d2"), col(idCol))
-      .limit(k)
-  }
+             k: Int, cb: PqCodebooks): DataFrame =
+    pqTopKEncoded(pqEncode(df, idCol, vecCol, cb), idCol, query, k, cb)
 
   /** All-pairs exact cosine above a threshold for a bounded id range —
     * the oracle-checkable form (cross-join guarded by the range filter).

@@ -226,7 +226,7 @@ object Pdf {
     * bitstream-authoritative dims); empty when the document doesn't parse.
     */
   def extractImages(doc: PdfBinary): Seq[PdfImageRow] =
-    PdfParse.parse(doc.content).toSeq.flatten.zipWithIndex.flatMap {
+    PdfParse.parse(doc.content, decodeImages = true).toSeq.flatten.zipWithIndex.flatMap {
       case (p, i) => p.images.zipWithIndex.map { case (im, k) =>
         PdfImageRow(doc.path, i, k, im.filter, im.width, im.height)
       }

@@ -880,9 +880,13 @@ object PdfParse {
 
   /** Parse a full document. None when the bytes are not a PDF, the page
     * tree cannot be resolved, or the file is encrypted with a password the
-    * caller didn't supply. */
+    * caller didn't supply. `decodeImages = true` additionally runs the
+    * embedded-image codecs ([[imageOf]]) — off by default so the shared
+    * text-extraction hot path (crawl/seeder/q_pdf_pages) never pays JPEG
+    * decode for image rows it discards. */
   def parse(bytes: Array[Byte],
-            password: Array[Byte] = Array.emptyByteArray): Option[Seq[Page]] = {
+            password: Array[Byte] = Array.emptyByteArray,
+            decodeImages: Boolean = false): Option[Seq[Page]] = {
     if (bytes.length < 5 || latin(bytes, 0, 5) != "%PDF-") return None
     val objs = {
       val scanned0 =
@@ -947,10 +951,12 @@ object PdfParse {
         .getOrElse(Seq.empty)
       val imageObjs = xobjRefs.flatMap(objs.get).filter(o =>
         o.dict.contains("/Subtype /Image") || o.dict.contains("/Subtype/Image"))
-      val images = imageObjs.zipWithIndex.map { case (o, i) =>
-        try imageOf(s"Im$i", o)
-        catch { case _: Exception => PdfImage(s"Im$i", "error", -1, -1) }
-      }
+      val images =
+        if (!decodeImages) Nil
+        else imageObjs.zipWithIndex.map { case (o, i) =>
+          try imageOf(s"Im$i", o)
+          catch { case _: Exception => PdfImage(s"Im$i", "error", -1, -1) }
+        }
       val nImages = imageObjs.size
       // links: /Annots → /URI ( … )
       val annotRefs = dictValue(p.dict, "/Annots").map(refsIn)

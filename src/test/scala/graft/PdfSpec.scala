@@ -336,7 +336,7 @@ class PdfSpec extends AnyFunSuite {
     // corrupt its dict to claim 1x1 — the decoded dims must come from the
     // JPEG SOF, so a dict-echoing fake cannot pass
     val honest = Pdf.syntheticImagePdf(1L)
-    val pages = PdfParse.parse(honest).get
+    val pages = PdfParse.parse(honest, decodeImages = true).get
     val imgs = pages.head.images
     assert(imgs.map(i => (i.width, i.height)) ==
       Seq((20 + (1 + 0) % 30, 15 + (7 + 0) % 25),
@@ -345,7 +345,7 @@ class PdfSpec extends AnyFunSuite {
     val lying = new String(honest, java.nio.charset.StandardCharsets.ISO_8859_1)
       .replaceFirst("/Width \\d+ /Height \\d+", "/Width 1 /Height 1")
       .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-    val lied = PdfParse.parse(lying).get.head.images.head
+    val lied = PdfParse.parse(lying, decodeImages = true).get.head.images.head
     assert((lied.width, lied.height) == (imgs.head.width, imgs.head.height),
       "decoded dims must come from the JPEG bitstream, not the dict")
   }
