@@ -268,6 +268,23 @@ class PlanSpec extends AnyFunSuite {
     assert(readSchema.contains("text") && !readSchema.contains("lang"), readSchema)
   }
 
+  test("pq search over encoded codes: scan → project → TakeOrdered, no shuffle") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cb = graft.ops.Similarity.trainPq(e, "vec_id", "embedding",
+      m = 8, k = 8, iters = 1, trainFraction = 0.25)
+    val codes = graft.ops.Similarity.pqEncode(e, "vec_id", "embedding", cb)
+    val q = e.where(col("vec_id") === 0).select("embedding")
+      .as[Seq[Float]].head()
+    val p = plan(graft.ops.Similarity.pqTopKEncoded(codes, "vec_id", q, 10, cb))
+    // the encoded search structure never shuffles: ADC scoring is a
+    // projection and the top-k is TakeOrdered, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("link-head enrichment: equi-joins only, BM25 scalars broadcast, no cartesian") {
     val p = plan(SparkEntry.queries("q_link_head")(spark, sf))
     // every head-store/score/enrich join keys on the url/href column —

@@ -225,4 +225,56 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("window chunkers match a direct transcription of the reference loops") {
+    import SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.ops.TextAnalysis
+    // reference SlidingWindowChunking.chunk (chunking_strategy.py:175-213)
+    def refSliding(text: String, w: Int, t: Int): Seq[String] = {
+      val words = text.split("\\s+").filter(_.nonEmpty)
+      if (words.length <= w) Seq(text)
+      else {
+        val out = scala.collection.mutable.Buffer.empty[String]
+        var i = 0; var last = 0
+        while (i < words.length - w + 1) {
+          out += words.slice(i, i + w).mkString(" "); last = i; i += t
+        }
+        if (last + w < words.length) out += words.takeRight(w).mkString(" ")
+        out.toSeq
+      }
+    }
+    // reference OverlappingWindowChunking.chunk (:216-256)
+    def refOverlap(text: String, w: Int, o: Int): Seq[String] = {
+      val words = text.split("\\s+").filter(_.nonEmpty)
+      if (words.length <= w) Seq(text)
+      else {
+        val out = scala.collection.mutable.Buffer.empty[String]
+        var start = 0; var done = false
+        while (!done) {
+          val end = start + w
+          out += words.slice(start, math.min(end, words.length)).mkString(" ")
+          if (end >= words.length) done = true else start = end - o
+        }
+        out.toSeq
+      }
+    }
+    val gen = for {
+      n <- Gen.choose(0, 40)
+      words <- Gen.listOfN(n, Gen.alphaLowerStr.map(s => "w" + s.take(3)))
+      w <- Gen.choose(1, 12)
+      t <- Gen.choose(1, 15)
+      o <- Gen.choose(0, w - 1)
+    } yield (words.mkString(" "), w, t, o)
+    forAll(gen, trials = 30) { case (text, w, t, o) =>
+      val df = Seq(text).toDF("text")
+      val sw = df.select(TextAnalysis.slidingWindowChunks(col("text"), w, t).as("c"))
+        .as[Seq[String]].head()
+      assert(sw == refSliding(text, w, t), s"sliding w=$w t=$t text='$text'")
+      val ow = df.select(TextAnalysis.overlappingWindowChunks(col("text"), w, o).as("c"))
+        .as[Seq[String]].head()
+      assert(ow == refOverlap(text, w, o), s"overlap w=$w o=$o text='$text'")
+    }
+  }
 }
