@@ -621,6 +621,17 @@ object SparkEntry {
       Similarity.pqTopK(e, "vec_id", "embedding", q, 10, cb)
         .withColumn("adc_d2", round(col("adc_d2"), 6))
     }),
+    // IVF-PQ composed (FAISS IVFADC layout): coarse cells + shared PQ on
+    // residuals + per-cell ADC probe — cells partition-prune, codes replace
+    // the float column; fixture = independent seq twin
+    "q_ann_ivfpq" -> ((s, dir) => {
+      import s.implicits._
+      val e = table(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 0).select("embedding").as[Seq[Float]].head()
+      Similarity.ivfPqTopK(e, "vec_id", "embedding", q, 10,
+          cells = 8, m = 8, cbk = 16, iters = 3, trainFraction = 0.5, nProbe = 4)
+        .withColumn("adc_d2", round(col("adc_d2"), 6))
+    }),
     // SemDeDup (Abbas et al. 2023): trained-quantizer blocking + within-cell
     // cosine pairs + connected-components canonical survivors
     "q_semdedup" -> ((s, dir) => {
@@ -1254,6 +1265,7 @@ $accept"""
     "q_ann_lsh_topk" -> graft.oracle.Fixtures.sql("q_ann_lsh_topk"),
     "q_ann_ivf_trained" -> graft.oracle.Fixtures.sql("q_ann_ivf_trained"),
     "q_ann_pq" -> graft.oracle.Fixtures.sql("q_ann_pq"),
+    "q_ann_ivfpq" -> graft.oracle.Fixtures.sql("q_ann_ivfpq"),
     "q_semdedup" -> graft.oracle.Fixtures.sql("q_semdedup"),
     "q_pdf_pages" -> graft.oracle.Fixtures.sql("q_pdf_pages"),
     "q_bpe_merges" -> graft.oracle.Fixtures.sql("q_bpe_merges"),

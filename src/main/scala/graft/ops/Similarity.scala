@@ -460,6 +460,62 @@ object Similarity {
              k: Int, cb: PqCodebooks): DataFrame =
     pqTopKEncoded(pqEncode(df, idCol, vecCol, cb), idCol, query, k, cb)
 
+  /** IVF-PQ (Jégou 2011 §IV, the FAISS IVFADC layout): the trained coarse
+    * quantizer assigns each vector to a cell, ONE shared PQ codebook set
+    * trains on the RESIDUALS (v − centroid), and a query probes its nProbe
+    * nearest cells scoring codes against per-cell ADC tables built from the
+    * query's residual in that cell. At 100 TB the (cell, id, codes) table
+    * is written partitioned by cell — a probe is a partition-pruned scan
+    * over m-byte codes; neither the float column nor the unprobed cells are
+    * ever read.
+    */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+                query: Seq[Float], k: Int, cells: Int = 8, m: Int = 8,
+                cbk: Int = 16, iters: Int = 3, trainFraction: Double = 1.0,
+                nProbe: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    val centroids = trainIvf(df, idCol, vecCol, cells, iters, trainFraction)
+    val bcCent = spark.sparkContext.broadcast(centroids.map(_.toArray).toArray)
+    val cellU = nearestCellKernel(spark, centroids)
+    val residU = udf { (cell: Int, v: Seq[Double]) =>
+      val c = bcCent.value(cell)
+      val out = new Array[Double](v.length)
+      var j = 0
+      while (j < v.length) { out(j) = v(j) - c(j); j += 1 }
+      out.toSeq
+    }
+    // assigned+residual table materialized once: the PQ trainer, the
+    // encoder, and the probe all read it
+    val assigned = df
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .where(col("v").isNotNull)
+      .withColumn("cell", cellU(col("v")))
+      .withColumn("rv", residU(col("cell"), col("v")))
+      .localCheckpoint(false)
+    val cb = trainPq(assigned, idCol, "rv", m, cbk, iters, trainFraction)
+    val qd = query.map(_.toDouble)
+    val qCells = centroids.zipWithIndex.map { case (c, i) =>
+      (c.zip(qd).map { case (mm, x) => (x - mm) * (x - mm) }.sum, i)
+    }.sortBy(_._1).take(nProbe).map(_._2)
+    val tables: Map[Int, Array[Array[Double]]] = qCells.map { ci =>
+      val cen = centroids(ci)
+      ci -> pqAdcTable(qd.zip(cen).map { case (x, mm) => x - mm }, cb)
+    }.toMap
+    val bcT = spark.sparkContext.broadcast((cb, tables))
+    val adcU = udf { (cell: Int, rv: Seq[Double]) =>
+      val (cbv, ts) = bcT.value
+      val t = ts(cell)
+      val cs = pqCodes(rv, cbv)
+      var acc = 0.0; var s = 0
+      while (s < cs.length) { acc += t(s)(cs(s)); s += 1 }
+      acc
+    }
+    assigned.where(col("cell").isin(qCells: _*))
+      .select(col(idCol), adcU(col("cell"), col("rv")).as("adc_d2"))
+      .orderBy(col("adc_d2"), col(idCol))
+      .limit(k)
+  }
+
   /** All-pairs exact cosine above a threshold for a bounded id range —
     * the oracle-checkable form (cross-join guarded by the range filter).
     */

@@ -204,6 +204,13 @@ object Fixtures {
           (id, BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
         .toDF("vec_id", "adc_d2"))
 
+    write("q_ann_ivfpq",
+      SeqOracle.ivfPqTopK(embAll, q0, k = 10, cells = 8, m = 8, cbk = 16,
+          iters = 3, trainFraction = 0.5, nProbe = 4)
+        .map { case (id, d) =>
+          (id, BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        .toDF("vec_id", "adc_d2"))
+
     // SemDeDup: full table + exact duplicates of the first 100 — the
     // sequential twin trains the same quantizer protocol, brute-forces
     // within-cell pairs, and union-finds components (no float columns in

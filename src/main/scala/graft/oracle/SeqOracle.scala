@@ -408,9 +408,12 @@ object SeqOracle {
     * bit-identical to the distributed trainer under any partition/merge
     * order, empty codes keep their centroid — then ADC scoring with the
     * same index-order arithmetic and (distance, id) ordering. */
-  def pqTopK(vecs: Seq[(Long, Seq[Float])], query: Seq[Float], k: Int,
-             m: Int, cbk: Int, iters: Int,
-             trainFraction: Double): Seq[(Long, Double)] = {
+  /** Double-vector PQ core shared by [[pqTopK]] and [[ivfPqTopK]]: trains
+    * the per-subspace codebooks with the quantized-long protocol and
+    * returns (centroids, codesOf). */
+  private def pqTrainD(vecs: Seq[(Long, Array[Double])], m: Int, cbk: Int,
+                       iters: Int, trainFraction: Double)
+      : (Array[Array[Array[Double]]], Array[Double] => Array[Int]) = {
     val Q = 1L << 40
     val mod = math.max(1L, (1.0 / trainFraction).toLong)
     val sample =
@@ -420,10 +423,10 @@ object SeqOracle {
     val dim = vecs.head._2.length
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val sub = dim / m
-    val init = sample.sortBy(_._1).take(cbk).map(_._2.map(_.toDouble).toArray)
+    val init = sample.sortBy(_._1).take(cbk).map(_._2)
     var cent: Array[Array[Array[Double]]] = Array.tabulate(m, cbk)((s, c) =>
       init(c % init.length).slice(s * sub, (s + 1) * sub))
-    def codesOf(v: Seq[Float]): Array[Int] = {
+    def codesOf(v: Array[Double]): Array[Int] = {
       val out = new Array[Int](m)
       var s = 0
       while (s < m) {
@@ -432,7 +435,7 @@ object SeqOracle {
           val cen = cent(s)(c)
           var acc = 0.0; var j = 0
           while (j < sub) {
-            val d = v(s * sub + j).toDouble - cen(j); acc += d * d; j += 1
+            val d = v(s * sub + j) - cen(j); acc += d * d; j += 1
           }
           if (acc < best) { best = acc; bi = c }
           c += 1
@@ -452,7 +455,7 @@ object SeqOracle {
           val (acc, n) = sums.getOrElseUpdate((s, cs(s)), (new Array[Long](sub), 0L))
           var j = 0
           while (j < sub) {
-            acc(j) += (v(s * sub + j).toDouble * Q).toLong; j += 1
+            acc(j) += (v(s * sub + j) * Q).toLong; j += 1
           }
           sums((s, cs(s))) = (acc, n + 1)
           s += 1
@@ -466,18 +469,66 @@ object SeqOracle {
       }
       it += 1
     }
-    val table = Array.tabulate(m, cbk) { (s, c) =>
+    (cent, codesOf)
+  }
+
+  private def pqAdcTableD(q: Array[Double], cent: Array[Array[Array[Double]]],
+                          m: Int, cbk: Int, sub: Int): Array[Array[Double]] =
+    Array.tabulate(m, cbk) { (s, c) =>
       val cen = cent(s)(c)
       var acc = 0.0; var j = 0
       while (j < sub) {
-        val d = query(s * sub + j).toDouble - cen(j); acc += d * d; j += 1
+        val d = q(s * sub + j) - cen(j); acc += d * d; j += 1
       }
       acc
     }
-    vecs.map { case (id, v) =>
+
+  def pqTopK(vecs: Seq[(Long, Seq[Float])], query: Seq[Float], k: Int,
+             m: Int, cbk: Int, iters: Int,
+             trainFraction: Double): Seq[(Long, Double)] = {
+    val vecsD = vecs.map { case (id, v) => (id, v.map(_.toDouble).toArray) }
+    val (cent, codesOf) = pqTrainD(vecsD, m, cbk, iters, trainFraction)
+    val sub = vecsD.head._2.length / m
+    val table = pqAdcTableD(query.map(_.toDouble).toArray, cent, m, cbk, sub)
+    vecsD.map { case (id, v) =>
       val cs = codesOf(v)
       var acc = 0.0; var s = 0
       while (s < m) { acc += table(s)(cs(s)); s += 1 }
+      (id, acc)
+    }.sortBy { case (id, d) => (d, id) }.take(k)
+  }
+
+  /** Sequential twin of Similarity.ivfPqTopK: the shared Lloyd's coarse
+    * quantizer ([[trainCentroids]]), residuals v − centroid, ONE shared PQ
+    * codebook set trained on the residuals (quantized-long protocol), and
+    * per-probed-cell ADC tables from the query's residuals. */
+  def ivfPqTopK(vecs: Seq[(Long, Seq[Float])], query: Seq[Float], k: Int,
+                cells: Int, m: Int, cbk: Int, iters: Int,
+                trainFraction: Double, nProbe: Int): Seq[(Long, Double)] = {
+    val centroids = trainCentroids(vecs, cells, iters, trainFraction)
+    val assigned = vecs.map { case (id, v) =>
+      val cell = argmin(v, centroids)
+      val c = centroids(cell)
+      val rv = Array.tabulate(v.length)(j => v(j).toDouble - c(j))
+      (id, cell, rv)
+    }
+    val (cent, codesOf) =
+      pqTrainD(assigned.map(a => (a._1, a._3)), m, cbk, iters, trainFraction)
+    val sub = vecs.head._2.length / m
+    val qd = query.map(_.toDouble)
+    val qCells = centroids.zipWithIndex.map { case (c, i) =>
+      (c.zip(qd).map { case (mm, x) => (x - mm) * (x - mm) }.sum, i)
+    }.sortBy(_._1).take(nProbe).map(_._2)
+    val tables = qCells.map { ci =>
+      val cen = centroids(ci)
+      ci -> pqAdcTableD(qd.zip(cen).map { case (x, mm) => x - mm }.toArray,
+        cent, m, cbk, sub)
+    }.toMap
+    assigned.collect { case (id, cell, rv) if tables.contains(cell) =>
+      val t = tables(cell)
+      val cs = codesOf(rv)
+      var acc = 0.0; var s = 0
+      while (s < m) { acc += t(s)(cs(s)); s += 1 }
       (id, acc)
     }.sortBy { case (id, d) => (d, id) }.take(k)
   }
