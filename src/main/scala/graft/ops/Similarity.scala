@@ -474,9 +474,13 @@ object Similarity {
                 cbk: Int = 16, iters: Int = 3, trainFraction: Double = 1.0,
                 nProbe: Int = 4): DataFrame = {
     val spark = df.sparkSession
-    val centroids = trainIvf(df, idCol, vecCol, cells, iters, trainFraction)
-    val bcCent = spark.sparkContext.broadcast(centroids.map(_.toArray).toArray)
-    val cellU = nearestCellKernel(spark, centroids)
+    // null vectors drop here, before ANY kernel (coarse training included)
+    val clean = df.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .where(col("v").isNotNull)
+    val centroids = trainIvf(clean, idCol, "v", cells, iters, trainFraction)
+    // ONE centroid broadcast shared by the assignment kernel and the
+    // residual projection (freed by the ContextCleaner with the lazy plan)
+    val (cellU, bcCent) = nearestCellKernelTracked(spark, centroids)
     val residU = udf { (cell: Int, v: Seq[Double]) =>
       val c = bcCent.value(cell)
       val out = new Array[Double](v.length)
@@ -484,15 +488,21 @@ object Similarity {
       while (j < v.length) { out(j) = v(j) - c(j); j += 1 }
       out.toSeq
     }
-    // assigned+residual table materialized once: the PQ trainer, the
-    // encoder, and the probe all read it
-    val assigned = df
-      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
-      .where(col("v").isNotNull)
+    // residual table materialized once (PQ trainer + encoder read it); the
+    // raw vector column is dropped before the checkpoint — only (id, cell,
+    // rv) lands in block storage
+    val assigned = clean
       .withColumn("cell", cellU(col("v")))
       .withColumn("rv", residU(col("cell"), col("v")))
+      .drop("v")
       .localCheckpoint(false)
     val cb = trainPq(assigned, idCol, "rv", m, cbk, iters, trainFraction)
+    // encode ONCE: the search structure is (cell, id, codes) — at scale this
+    // is the table written partitioned by cell; probes below never read rv
+    val bcCb = spark.sparkContext.broadcast(cb)
+    val codeU = udf((rv: Seq[Double]) => pqCodes(rv, bcCb.value).toSeq)
+    val codesTable = assigned
+      .select(col(idCol), col("cell"), codeU(col("rv")).as("codes"))
     val qd = query.map(_.toDouble)
     val qCells = centroids.zipWithIndex.map { case (c, i) =>
       (c.zip(qd).map { case (mm, x) => (x - mm) * (x - mm) }.sum, i)
@@ -501,17 +511,16 @@ object Similarity {
       val cen = centroids(ci)
       ci -> pqAdcTable(qd.zip(cen).map { case (x, mm) => x - mm }, cb)
     }.toMap
-    val bcT = spark.sparkContext.broadcast((cb, tables))
-    val adcU = udf { (cell: Int, rv: Seq[Double]) =>
-      val (cbv, ts) = bcT.value
-      val t = ts(cell)
-      val cs = pqCodes(rv, cbv)
+    val bcT = spark.sparkContext.broadcast(tables)
+    // ADC scoring = m table lookups per row, nothing else
+    val adcU = udf { (cell: Int, cs: Seq[Int]) =>
+      val t = bcT.value(cell)
       var acc = 0.0; var s = 0
       while (s < cs.length) { acc += t(s)(cs(s)); s += 1 }
       acc
     }
-    assigned.where(col("cell").isin(qCells: _*))
-      .select(col(idCol), adcU(col("cell"), col("rv")).as("adc_d2"))
+    codesTable.where(col("cell").isin(qCells: _*))
+      .select(col(idCol), adcU(col("cell"), col("codes")).as("adc_d2"))
       .orderBy(col("adc_d2"), col(idCol))
       .limit(k)
   }

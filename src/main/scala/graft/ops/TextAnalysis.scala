@@ -126,7 +126,10 @@ object TextAnalysis {
   def regexChunks(text: Column, pattern: String = "\\n\\n"): Column =
     filter(split(text, pattern), c => trim(c) =!= "")
 
-  /** SlidingWindowChunking (chunking_strategy.py:175-213), reference-exact:
+  /** SlidingWindowChunking (chunking_strategy.py:175-213), reference-exact
+    * boundaries over the pipeline's whitespace convention (Java `\s+` word
+    * split — ASCII whitespace, same as [[wordCount]]; Python's str.split()
+    * additionally treats exotic Unicode whitespace as separators):
     * word windows of `window` tokens advancing by `step`; a text of ≤ window
     * words is returned whole (the ORIGINAL text, whitespace preserved);
     * when the last step-aligned window doesn't reach the end, one extra

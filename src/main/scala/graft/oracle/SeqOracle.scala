@@ -402,15 +402,12 @@ object SeqOracle {
       .take(k)
   }
 
-  /** Sequential twin of Similarity.trainPq/pqTopK: same protocol — first-k
-    * by-id init slices, xxh64 hash-sample, first-min argmin per subspace,
-    * QUANTIZED-LONG sums (`(x·2^40).toLong`) so the centroid means are
-    * bit-identical to the distributed trainer under any partition/merge
-    * order, empty codes keep their centroid — then ADC scoring with the
-    * same index-order arithmetic and (distance, id) ordering. */
   /** Double-vector PQ core shared by [[pqTopK]] and [[ivfPqTopK]]: trains
-    * the per-subspace codebooks with the quantized-long protocol and
-    * returns (centroids, codesOf). */
+    * the per-subspace codebooks with the distributed trainer's exact
+    * protocol — first-k by-id init slices, xxh64 hash-sample, first-min
+    * argmin per subspace, QUANTIZED-LONG sums (`(x·2^40).toLong`, truncation
+    * toward zero) so the centroid means are bit-identical under any
+    * partition/merge order, empty codes keep their centroid. */
   private def pqTrainD(vecs: Seq[(Long, Array[Double])], m: Int, cbk: Int,
                        iters: Int, trainFraction: Double)
       : (Array[Array[Array[Double]]], Array[Double] => Array[Int]) = {
@@ -483,6 +480,9 @@ object SeqOracle {
       acc
     }
 
+  /** Sequential twin of Similarity.trainPq/pqTopK: [[pqTrainD]] protocol,
+    * then ADC scoring with the same index-order arithmetic and
+    * (distance, id) ordering. */
   def pqTopK(vecs: Seq[(Long, Seq[Float])], query: Seq[Float], k: Int,
              m: Int, cbk: Int, iters: Int,
              trainFraction: Double): Seq[(Long, Double)] = {
