@@ -15,7 +15,11 @@ import org.apache.spark.sql.functions._
   *     parallelism levels in the same JVM.
   *
   *  2. Headline operator timings from SparkEntry.queries on
-  *     $SPARK_GRAFT_SF_DIR at local[$SPARK_GRAFT_CPUS].
+  *     $SPARK_GRAFT_SF_DIR at local[$SPARK_GRAFT_CPUS]. The headline
+  *     urls/sec value is the median of 3 gated bursts PINNED at the
+  *     sustained-cap core count (min(cpus, 8)) — this host advertises 32
+  *     vCPUs but sustains ~11, so an unpinned 32-thread burst measures
+  *     oversubscription, not the engine (VERDICT r4 #2).
   *
   * Prints THREE JSON lines — per-query detail, scaling detail, then a SHORT
   * headline line LAST (the round driver captures a bounded stdout tail; the
@@ -140,10 +144,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val allCpus = Runtime.getRuntime.availableProcessors() // before any pinning
     val pagesPerCore = sys.env.getOrElse("SPARK_GRAFT_BENCH_PPC", "30000").toLong
-    // fixed budget: 4 interleaved rounds per level (was 3 + conditional
-    // repair passes; the repairs were result-conditioned selection pressure —
-    // a flat budget with every attempt reported replaces them)
-    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "4").toInt
+    // fixed budget of interleaved pair rounds (was 3 + conditional repair
+    // passes; the repairs were result-conditioned selection pressure — a
+    // flat budget with every attempt reported replaces them). ODD count: an
+    // even count makes the median the mean of two ratios measured under
+    // OPPOSITE run orders, reintroducing first-position drift (ADVICE r4).
+    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "5").toInt
 
     // ---- part 1: scaling pair, N=2 vs 4N=8 cores ---------------------------
     // This sandbox VM advertises 32 vCPUs but the hypervisor sustains only
@@ -164,8 +170,9 @@ object Bench {
     // within each pair instead of selecting across pools. Still no
     // result-conditioned retries: gating happens only on BEGIN conditions.
     final case class Attempt(cores: Int, thr: Double, delivered: Double, busy: Double)
+    final case class PairResult(ratio: Double, deliveredGap: Double)
     val attempts = scala.collection.mutable.ArrayBuffer.empty[Attempt]
-    val pairRatios = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val pairResults = scala.collection.mutable.ArrayBuffer.empty[PairResult]
     var contendedTrials = 0
     var pinnedOk = true
     // Global JIT warmup, unpinned and full-size, BEFORE any timed trial:
@@ -199,7 +206,12 @@ object Bench {
       val busy = waitForQuiet(maxWaitSec = 45, maxOtherCores = 1.5)
       if (busy > 1.5) contendedTrials += 1
       val byCores = order.map(c => c -> runTrial(c, busy)).toMap
-      pairRatios += (byCores(8).thr / byCores(2).thr) / 4.0
+      pairResults += PairResult(
+        ratio = (byCores(8).thr / byCores(2).thr) / 4.0,
+        // a large delivered-CPU gap between the two legs means credit state
+        // FLIPPED inside the pair — the premise that it cancels within the
+        // pair failed for this one (ADVICE r4: recorded ratios 0.268-2.115)
+        deliveredGap = math.abs(byCores(8).delivered - byCores(2).delivered))
     }
     (0 until trials).foreach { i =>
       runPair(if (i % 2 == 0) Seq(2, 8) else Seq(8, 2)) // alternate order
@@ -213,23 +225,41 @@ object Bench {
     val throttledTrials = attempts.count(_.delivered < 0.85)
     val thrN = medianOf(2)
     val thr4N = medianOf(8)
-    val efficiency = median(pairRatios.toSeq)
+    // discard pairs whose legs saw materially different delivered CPU — a
+    // BEGIN/measurement-condition filter (delivered CPU is a property of the
+    // hypervisor during the run, not of the result), so no result selection;
+    // fall back to all pairs if every pair was credit-flipped
+    val usedPairs = {
+      val clean = pairResults.filter(_.deliveredGap <= 0.20)
+      if (clean.nonEmpty) clean else pairResults
+    }
+    val discardedPairs = pairResults.size - usedPairs.size
+    val efficiency = median(usedPairs.map(_.ratio).toSeq)
     def attemptsJson(cores: Int): String =
       attempts.filter(_.cores == cores)
         .map(a => f"""{"thr":${a.thr}%.1f,"delivered":${a.delivered}%.3f,"busy":${a.busy}%.2f}""")
         .mkString("[", ",", "]")
 
-    // full-machine headline throughput (best of 2 gated bursts at local[cpus])
-    val sFull = session(cpus)
-    val fullThr = try {
-      epochJob(sFull, 4000)
-      val n = pagesPerCore * math.min(cpus, 16)
-      (0 until 2).map { _ =>
-        waitForQuiet(maxWaitSec = 30, maxOtherCores = 1.5)
-        val (_, sec) = timeIt(epochJob(sFull, n))
+    // Headline throughput, measured at the SUSTAINED-CAP config: pinned
+    // min(cpus, 8) cores. The hypervisor sustains only ~11 of 32 advertised
+    // vCPUs, so a local[32] burst measures oversubscription + credit drain,
+    // not the engine (the r4 record's 32-thread burst read 25.9k urls/s
+    // while the SAME record's pinned-8 median read 65.4k — VERDICT r4 #2).
+    // Each burst gated like the scaling pairs; median of 3 bursts (best-of
+    // is mild result selection — VERDICT r4 nit).
+    val headCores = math.min(cpus, 8)
+    pinnedOk &= pinCpus(headCores)
+    val sHead = session(headCores)
+    val headlineBursts = try {
+      epochJob(sHead, 4000) // warmup at this level
+      val n = pagesPerCore * headCores
+      (0 until 3).map { _ =>
+        waitForQuiet(maxWaitSec = 45, maxOtherCores = 1.5)
+        val (_, sec) = timeIt(epochJob(sHead, n))
         n / sec
-      }.max
-    } finally sFull.stop()
+      }
+    } finally { sHead.stop(); pinCpus(allCpus) }
+    val fullThr = median(headlineBursts)
 
     // ---- part 2: headline operator timings ---------------------------------
     val spark = session(cpus)
@@ -252,15 +282,18 @@ object Bench {
     val pinNote =
       if (pinnedOk) "JVM taskset-pinned to exactly N cores per trial (cgroup-executor emulation)"
       else "UNPINNED (taskset unavailable/failed) — scaling numbers measured without core confinement"
-    val ratiosJson = pairRatios.map(r => f"$r%.3f").mkString("[", ",", "]")
+    val ratiosJson = pairResults
+      .map(p => f"""{"ratio":${p.ratio}%.3f,"delivered_gap":${p.deliveredGap}%.3f}""")
+      .mkString("[", ",", "]")
+    val burstsJson = headlineBursts.map(b => f"$b%.1f").mkString("[", ",", "]")
     // Full detail first, then a SHORT headline line LAST: the round driver
     // captures a bounded tail of stdout and the r3 detail line outgrew it
     // (the record lost its "value"). The final line must stay small enough
     // to always survive tail capture.
     println(f"""{"detail":"queries","sf":"$sfDir","queries":$qs,"total_sec":$total%.2f}""")
     println(
-      f"""{"detail":"scaling","pages_per_core":$pagesPerCore,"trials":$trials,"contended_trials":$contendedTrials,"throttled_trials":$throttledTrials,"pinned":$pinnedOk,"attempts_n2":${attemptsJson(2)},"attempts_n8":${attemptsJson(8)},"pair_ratios":$ratiosJson,"note":"N=2 vs 4N=8 cores, weak scaling, $pinNote; back-to-back N/4N pairs (alternating order) gated once per pair, efficiency = median of per-pair ratios so burst-credit state cancels within each pair (r3 fix); per-level throughputs are medians; hypervisor sustains ~11 of 32 advertised vCPUs (see BENCH.md)"}""")
+      f"""{"detail":"scaling","pages_per_core":$pagesPerCore,"trials":$trials,"contended_trials":$contendedTrials,"throttled_trials":$throttledTrials,"discarded_pairs":$discardedPairs,"pinned":$pinnedOk,"attempts_n2":${attemptsJson(2)},"attempts_n8":${attemptsJson(8)},"pairs":$ratiosJson,"headline_bursts":$burstsJson,"headline_cores":$headCores,"note":"N=2 vs 4N=8 cores, weak scaling, $pinNote; back-to-back N/4N pairs (odd count, alternating order) gated once per pair, efficiency = median of per-pair ratios after discarding pairs whose legs' delivered-CPU gap exceeds 0.20 (credit state flipped INSIDE the pair — begin-condition filter, not result selection); per-level throughputs are medians; headline = median of 3 gated bursts pinned at the sustained-cap core count (hypervisor sustains ~11 of 32 advertised vCPUs — see BENCH.md)"}""")
     println(
-      f"""{"metric":"urls_fetched_deduped_per_sec","value":$fullThr%.1f,"unit":"urls/sec","sf":"$sfDir","throughput_n2":$thrN%.1f,"throughput_n8":$thr4N%.1f,"efficiency":$efficiency%.3f,"pinned":$pinnedOk,"total_sec":$total%.2f}""")
+      f"""{"metric":"urls_fetched_deduped_per_sec","value":$fullThr%.1f,"unit":"urls/sec","sf":"$sfDir","headline_cores":$headCores,"throughput_n2":$thrN%.1f,"throughput_n8":$thr4N%.1f,"efficiency":$efficiency%.3f,"pinned":$pinnedOk,"total_sec":$total%.2f}""")
   }
 }

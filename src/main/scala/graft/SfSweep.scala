@@ -27,12 +27,33 @@ object SfSweep {
 
   private val Factor = 10
 
+  private val Tables = Seq("documents", "embeddings", "events", "lineitem")
+
+  /** What the replica at `dst` MUST look like if it was built from `src` at
+    * the current Factor — src path, factor, and per-table row counts. A
+    * stale replica (different source dir, factor, or testdata regeneration)
+    * fails the compare and is rebuilt instead of silently skewing ratios.
+    */
+  private def expectedManifest(s: SparkSession, src: String): String = {
+    val counts = Tables.map { t =>
+      s""""$t":${s.read.parquet(s"$src/$t.parquet").count() * Factor}"""
+    }.mkString(",")
+    s"""{"src":"$src","factor":$Factor,$counts}"""
+  }
+
   private def buildReplica(s: SparkSession, src: String, dst: String): Unit = {
     val fs = java.nio.file.Paths.get(dst)
-    // resume check keys on the LAST table written: a crash mid-build must
-    // rebuild, not silently sweep a partial replica
-    if (java.nio.file.Files.exists(fs.resolve("lineitem.parquet/_SUCCESS"))) return
+    val manifestPath = fs.resolve("manifest.json")
+    val expected = expectedManifest(s, src)
+    // resume check: the LAST table written must exist (a crash mid-build
+    // must rebuild, not silently sweep a partial replica) AND the manifest
+    // written at build time must match what THIS run would build
+    if (java.nio.file.Files.exists(fs.resolve("lineitem.parquet/_SUCCESS")) &&
+        java.nio.file.Files.exists(manifestPath) &&
+        new String(java.nio.file.Files.readAllBytes(manifestPath), "UTF-8") == expected)
+      return
     java.nio.file.Files.createDirectories(fs)
+    java.nio.file.Files.deleteIfExists(manifestPath)
     val docs = s.read.parquet(s"$src/documents.parquet")
     (0 until Factor).map { r =>
       if (r == 0) docs
@@ -67,64 +88,89 @@ object SfSweep {
       else li.withColumn("l_orderkey", col("l_orderkey") + r * 100000000L)
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+    java.nio.file.Files.write(manifestPath, expected.getBytes("UTF-8"))
   }
 
   /** Each op is an UNCAPPED pipeline over full tables, forced with count.
     * `scale` = the replica factor of `dir` (1 for the base sf), so derived
     * structures (the pagerank graph's node space) scale WITH the data
-    * instead of concentrating 10x the edges on a fixed hub set. */
-  private def ops(s: SparkSession, dir: String, scale: Int): Seq[(String, () => Long)] = {
+    * instead of concentrating 10x the edges on a fixed hub set.
+    *
+    * The third element, where present, counts the op's RAW blocking-stage
+    * candidate rows (pre-verify join cardinality) — for the near-dup family
+    * this is the statistic that tells "candidate generation went quadratic"
+    * from "the corpus genuinely has more near-dup mass": wall ratios alone
+    * conflate the two (VERDICT r4 #5).
+    */
+  private def ops(s: SparkSession, dir: String,
+                  scale: Int): Seq[(String, () => Long, Option[() => Long])] = {
     def docs = s.read.parquet(s"$dir/documents.parquet")
     def emb = s.read.parquet(s"$dir/embeddings.parquet")
     def events = s.read.parquet(s"$dir/events.parquet")
     def lineitem = s.read.parquet(s"$dir/lineitem.parquet")
     import graft.ops._
+    val ngramCap = 200
     Seq(
-      "scan_gates" -> (() => docs.select(col("doc_id"),
+      ("scan_gates", () => docs.select(col("doc_id"),
         TextAnalysis.qualityScore(col("text")).as("q"),
         TextAnalysis.langId(col("text")).as("l"),
         TextAnalysis.tokenCount(col("text")).as("n"))
-        .where(col("q") >= 0.0).count()),
-      "exact_dedup" -> (() => Dedup.exact(docs, "doc_id", "text").count()),
-      "minhash_lsh" -> (() => Dedup.minHashLsh(docs, "doc_id", "text",
-        shingleLen = 3, minEstJaccard = 0.5).count()),
-      "simhash_pairs" -> (() => Dedup.simHashPairs(docs, "doc_id", "text",
-        maxDist = 3).count()),
-      "bm25" -> (() => Bm25.score(docs, "doc_id", "text",
-        Seq("spark", "window")).count()),
-      "repetition" -> (() => TextAnalysis.repetitionSignals(docs, "doc_id",
-        "text", topNs = Seq(2), dupNs = Seq(10)).count()),
-      "ngram_lm" -> (() => {
+        .where(col("q") >= 0.0).count(), None),
+      ("exact_dedup", () => Dedup.exact(docs, "doc_id", "text").count(), None),
+      ("minhash_lsh", () => Dedup.minHashLsh(docs, "doc_id", "text",
+        shingleLen = 3, minEstJaccard = 0.5).count(),
+        Some(() => Dedup.minHashCandidates(docs, "doc_id", "text",
+          k = 32, bands = 8, shingleLen = 3).count())),
+      ("simhash_pairs", () => Dedup.simHashPairs(docs, "doc_id", "text",
+        maxDist = 3).count(),
+        Some(() => Dedup.simHashCandidates(docs, "doc_id", "text",
+          maxDist = 3).count())),
+      ("ngram_jaccard", () => Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, minJaccard = 0.8, docFreqCap = ngramCap).count(),
+        Some(() => Dedup.ngramJaccardCandidates(docs, "doc_id", "text",
+          n = 3, docFreqCap = ngramCap).count())),
+      ("embedding_neardup", () => Dedup.embeddingNearDup(emb, "vec_id",
+        "embedding", minCosine = 0.9, bands = 2, targetBucketSize = 64).count(),
+        Some(() => {
+          // same plane resolution embeddingNearDup performs internally
+          val p = math.max(8, Dedup.planesFor(emb.count(), 64))
+          Dedup.embeddingNearDupCandidates(emb, "vec_id", "embedding", p, 2).count()
+        })),
+      ("bm25", () => Bm25.score(docs, "doc_id", "text",
+        Seq("spark", "window")).count(), None),
+      ("repetition", () => TextAnalysis.repetitionSignals(docs, "doc_id",
+        "text", topNs = Seq(2), dupNs = Seq(10)).count(), None),
+      ("ngram_lm", () => {
         val c = NgramLm.train(docs, "text")
         NgramLm.scoreStupidBackoff(docs, "doc_id", "text", c).count()
-      }),
-      "pagerank" -> (() => {
+      }, None),
+      ("pagerank", () => {
         val src = docs.select(col("doc_id").cast("long").as("src"))
         val n = 500L * scale
         val edges = src.select(col("src"), ((col("src") * 7 + 1) % n).as("dst"))
           .unionByName(src.select(col("src"), ((col("src") * 13 + 3) % n).as("dst")))
         PageRank.ranks(edges, iters = 8).count()
-      }),
-      "dsir_sample" -> (() => Sampling.dsirResample(docs,
-        docs.where(col("lang") === "en"), "doc_id", "text", k = 100).count()),
-      "pack_sequences" -> (() => Pack.packSequences(docs, "source", "doc_id",
-        "text", 512).count()),
-      "ann_brute_topk" -> (() => {
+      }, None),
+      ("dsir_sample", () => Sampling.dsirResample(docs,
+        docs.where(col("lang") === "en"), "doc_id", "text", k = 100).count(), None),
+      ("pack_sequences", () => Pack.packSequences(docs, "source", "doc_id",
+        "text", 512).count(), None),
+      ("ann_brute_topk", () => {
         import s.implicits._
         val q = emb.orderBy("vec_id").select("embedding")
           .as[Seq[Float]].head()
         Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10).count()
-      }),
-      "sessionize" -> (() => graft.streaming.EventStream.sessionizeBatch(
-        events.select("user_id", "ts", "value"), gapMs = 30 * 60 * 1000L).count()),
-      "lineitem_agg" -> (() => lineitem
+      }, None),
+      ("sessionize", () => graft.streaming.EventStream.sessionizeBatch(
+        events.select("user_id", "ts", "value"), gapMs = 30 * 60 * 1000L).count(), None),
+      ("lineitem_agg", () => lineitem
         .groupBy("l_returnflag", "l_linestatus")
-        .agg(sum("l_quantity"), avg("l_extendedprice"), count(lit(1))).count()),
-      "curate_e2e" -> (() => Curate.curateCorpus(docs, "doc_id", "text",
+        .agg(sum("l_quantity"), avg("l_extendedprice"), count(lit(1))).count(), None),
+      ("curate_e2e", () => Curate.curateCorpus(docs, "doc_id", "text",
         None, "text", CurateConfig(minQuality = 0.3, maxDupLineFrac = 0.9,
           maxTopGramFrac = 0.9, maxDupGramFrac = 0.9,
           fuzzy = "minhash", fuzzyThreshold = 0.5, fuzzyN = 3,
-          spanK = 0, sampleFraction = 1.0)).count()),
+          spanK = 0, sampleFraction = 1.0)).count(), None),
     )
   }
 
@@ -144,12 +190,21 @@ object SfSweep {
       ((System.nanoTime() - t0) / 1e9, n)
     }
     val rows = ops(s, src, 1).zip(ops(s, dst, Factor)).map {
-      case ((name, at01), (_, at1)) =>
+      case ((name, at01, cand01), (_, at1, cand10)) =>
         at01() // warm (JIT + parquet footer cache)
         val s1 = math.min(time(at01)._1, time(at01)._1)
         val (w1a, n10) = time(at1)
         val w1 = math.min(w1a, time(at1)._1)
-        println(f"""{"op":"$name","sec_sf01":$s1%.2f,"sec_10x":$w1%.2f,"ratio":${w1 / s1}%.2f,"rows_10x":$n10}""")
+        // candidate counts run UNTIMED, after the timed passes: linear
+        // cand_ratio ≈ Factor means blocking holds; super-linear names the
+        // quadratic stage directly
+        val cand = (cand01, cand10) match {
+          case (Some(c1), Some(c10)) =>
+            val (a, b) = (c1(), c10())
+            f""","cand_sf01":$a,"cand_10x":$b,"cand_ratio":${b.toDouble / math.max(a, 1L)}%.2f"""
+          case _ => ""
+        }
+        println(f"""{"op":"$name","sec_sf01":$s1%.2f,"sec_10x":$w1%.2f,"ratio":${w1 / s1}%.2f,"rows_10x":$n10$cand}""")
         (name, s1, w1, w1 / s1)
     }
     val med = rows.map(_._4).sorted.apply(rows.size / 2)

@@ -29,8 +29,11 @@ object Verify {
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
-    if (only.isDefined) { // fast path: no fixtures, oracle json only
-      writeOracleJson(outDir,
+    if (only.isDefined) { // fast path: no fixtures, oracle json only.
+      // The filtered subset goes to a DISTINCT file: overwriting
+      // oracle_sql.json in a shared outDir would silently drop every other
+      // query's oracle SQL from a later full driver compare.
+      writeOracleJson(outDir, "oracle_sql.partial.json",
         SparkEntry.oracleSql.filter { case (k, _) => only.get.contains(k) })
       spark.stop()
       return
@@ -53,7 +56,7 @@ object Verify {
     catch { case e: Throwable =>
       System.err.println(s"[verify] fixtures failed: ${e.getMessage}")
     }
-    writeOracleJson(outDir, SparkEntry.oracleSql)
+    writeOracleJson(outDir, "oracle_sql.json", SparkEntry.oracleSql)
     spark.stop()
   }
 
@@ -70,8 +73,9 @@ object Verify {
     case c => c.toString
   } + "\""
 
-  private def writeOracleJson(outDir: String, entries: Map[String, String]): Unit =
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+  private def writeOracleJson(outDir: String, fileName: String,
+                              entries: Map[String, String]): Unit =
+    Files.writeString(Paths.get(s"$outDir/$fileName"),
       entries.map { case (k, v) => s"${jsonStr(k)}: ${jsonStr(v)}" }
         .mkString("{", ",", "}"))
 }

@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   *    join. Candidate generation is an equi-join on (band, band_hash): only
   *    same-bucket pairs shuffle, never the O(n²) cross product.
   *  - simHash        — 64-bit weighted bit-vote fingerprint; near-dup =
-  *    Hamming ≤ 3 found via 4×16-bit band blocking (pigeonhole: any pair
-  *    within distance 3 shares at least one exact 16-bit band).
+  *    Hamming ≤ d found via Manku et al. (WWW '07) multi-table blocking:
+  *    C(d+3, 3) tables keyed on 3-block concatenations (~2^32 keys at d=3 —
+  *    pigeonhole-complete, and bucket occupancy stays bounded where a 2^16
+  *    single-band key space saturates at ~10^9 docs).
   *  - ngramJaccard   — exact Jaccard over distinct word shingles via an
   *    inverted-index self-join (explode → join on shingle → count ∩ / sizes),
   *    with an optional document-frequency cap on the posting lists (hot
@@ -168,9 +170,15 @@ object Dedup {
       .select(col("band"), col("band_hash"), col("id"))
   }
 
-  def minHashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-                            k: Int, bands: Int, shingleLen: Int,
-                            basis: String = "xxh64"): DataFrame = {
+  /** Raw band-join candidate rows (pre-dedup): one row per shared band per
+    * pair. The cardinality of this frame is the blocking-stage cost
+    * statistic SfSweep reports — it grows quadratically iff band buckets
+    * saturate, independent of how much true near-dup mass the corpus has.
+    */
+  private[graft] def minHashCandidates(df: DataFrame, idCol: String,
+                                       textCol: String, k: Int, bands: Int,
+                                       shingleLen: Int,
+                                       basis: String = "xxh64"): DataFrame = {
     val sigUdf = sigKernel(basis, k, shingleLen)
     val sigs = df.select(col(idCol).as("id"), sigUdf(col(textCol)).as("sig"))
     val banded = bandedKeys(sigs, k, bands)
@@ -179,8 +187,13 @@ object Dedup {
     a.join(b, Seq("band", "band_hash"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
   }
+
+  def minHashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                            k: Int, bands: Int, shingleLen: Int,
+                            basis: String = "xxh64"): DataFrame =
+    minHashCandidates(df, idCol, textCol, k, bands, shingleLen, basis)
+      .dropDuplicates("id_a", "id_b")
 
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
                  k: Int = 32, bands: Int = 8, shingleLen: Int = 3,
@@ -340,27 +353,64 @@ object Dedup {
       lit(0L), (acc, bit) => acc.bitwiseOR(bit))
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, via 16-bit band
-    * blocking (4 bands of a 64-bit hash; pigeonhole guarantees recall for
-    * maxDist ≤ 3).
+  /** Blocking-stage candidates for [[simHashPairs]]: raw (id_a, sim_a, id_b,
+    * sim_b) join rows BEFORE Hamming verification and pair dedup — the
+    * cardinality of this frame is the statistic that tells quadratic
+    * candidate generation from genuine near-dup mass (SfSweep reports it).
+    *
+    * Blocking is Manku–Jain–Das Sarma (WWW '07, §3) multi-table: split the
+    * 64-bit fingerprint into `maxDist + 3` contiguous blocks; two
+    * fingerprints within Hamming `maxDist` differ in at most `maxDist`
+    * blocks, so they AGREE exactly on at least 3 — keying candidates on
+    * every C(maxDist+3, 3) concatenation of 3 blocks is pigeonhole-complete
+    * while the key space is ~2^(3·64/(maxDist+3)) (≈2^32 at the default
+    * maxDist=3) instead of the 2^16 of single-band blocking, whose buckets
+    * saturate at ~10^9 docs and turn the self-join effectively quadratic.
     */
-  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3): DataFrame = {
+  private[graft] def simHashCandidates(df: DataFrame, idCol: String,
+                                       textCol: String,
+                                       maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 10,
+      s"maxDist must be in [0, 10] (got $maxDist): C(maxDist+3, 3) blocking" +
+        " tables grow cubically")
     val simUdf = udf((text: String) => simHashFast(text))
     val sigs = df.select(col(idCol).as("id"), simUdf(col(textCol)).as("sim"))
-    val banded = sigs.select(col("id"), col("sim"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        b => call_function("shiftright", col("sim"), b * 16).bitwiseAND(0xffffL)))
-        .as(Seq("band", "band_val")))
-    val a = banded.select(col("band"), col("band_val"), col("id").as("id_a"), col("sim").as("sim_a"))
-    val b = banded.select(col("band"), col("band_val"), col("id").as("id_b"), col("sim").as("sim_b"))
-    a.join(b, Seq("band", "band_val"))
+    val nBlocks = maxDist + 3
+    // distribute 64 bits over the blocks as evenly as possible
+    val widths = Array.tabulate(nBlocks)(i => 64 / nBlocks + (if (i < 64 % nBlocks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    def block(i: Int): Column =
+      shiftrightunsigned(col("sim"), offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
+    // pack each 3-block combination into one ≤64-bit long key, tagged with
+    // its table index by posexplode
+    val keyExprs = (0 until nBlocks).combinations(3).toSeq.map { c =>
+      shiftleft(block(c(0)), widths(c(1)) + widths(c(2)))
+        .bitwiseOR(shiftleft(block(c(1)), widths(c(2))))
+        .bitwiseOR(block(c(2)))
+    }
+    val keyed = sigs.select(col("id"), col("sim"),
+      posexplode(array(keyExprs: _*)).as(Seq("tbl", "key")))
+    val a = keyed.select(col("tbl"), col("key"), col("id").as("id_a"), col("sim").as("sim_a"))
+    val b = keyed.select(col("tbl"), col("key"), col("id").as("id_b"), col("sim").as("sim_b"))
+    a.join(b, Seq("tbl", "key"))
       .where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("sim_a"), col("id_b"), col("sim_b"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist. Candidates come
+    * from the Manku multi-table blocking of [[simHashCandidates]] (complete
+    * for the requested distance, ~2^32-entry key space at the default);
+    * Hamming verification runs BEFORE the pair dedup so the dropDuplicates
+    * exchange carries only verified near-dup pairs, never the raw candidate
+    * mass.
+    */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3): DataFrame =
+    simHashCandidates(df, idCol, textCol, maxDist)
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .where(col("hamming") <= maxDist)
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), col("hamming"))
-  }
 
   /** Exact n-gram Jaccard similarity pairs via inverted-index self-join:
     * explode distinct shingles, equi-join on shingle, count intersections,
@@ -374,6 +424,27 @@ object Dedup {
     * at least one sub-cap shingle — near-duplicates always do unless their
     * entire overlap is stopword-hot. Default (MaxValue) = fully exact.
     */
+  /** Raw inverted-index join rows (one per shared sub-cap shingle per pair,
+    * pre-dedup) — the blocking-stage cost statistic for [[ngramJaccardPairs]]
+    * that SfSweep reports. Mirrors the candidate generation of the capped
+    * branch below exactly (same kernel, same df cap semantics).
+    */
+  private[graft] def ngramJaccardCandidates(df: DataFrame, idCol: String,
+                                            textCol: String, n: Int = 3,
+                                            docFreqCap: Int = Int.MaxValue): DataFrame = {
+    val shingleSet = udf((t: String) => shinglesFast(t, n).distinct.toSeq)
+    val inv = df.select(col(idCol).as("id"), explode(shingleSet(col(textCol))).as("shingle"))
+    val kept =
+      if (docFreqCap == Int.MaxValue) inv
+      else {
+        val dfreq = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+        inv.join(dfreq.where(col("df") <= docFreqCap).select("shingle"), Seq("shingle"))
+      }
+    kept.as("a").join(kept.as("b"), Seq("shingle"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+  }
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, minJaccard: Double = 0.8,
                         docFreqCap: Int = Int.MaxValue): DataFrame = {
@@ -440,26 +511,43 @@ object Dedup {
     val p =
       if (targetBucketSize > 0) math.max(planes, planesFor(df.count(), targetBucketSize))
       else planes
+    embeddingNearDupCandidates(df, idCol, vecCol, p, bands)
+      // compiled kernel (bit-identical twin of Similarity.cosine — OpsSpec).
+      // Verify BEFORE the cross-band pair dedup: the dropDuplicates exchange
+      // then carries only verified (id, id, cosine) triples — the vectors
+      // themselves never ride a shuffle (cosine recomputes per band for the
+      // few pairs two bands both catch; trivially cheaper than shuffling
+      // dim-sized arrays)
+      .withColumn("cosine", Similarity.cosineKernel(col("v_a"), col("v_b")))
+      .where(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Raw sign-bucket join rows (one per shared band bucket per pair,
+    * pre-verify, pre-dedup) — the blocking-stage cost statistic for
+    * [[embeddingNearDup]] that SfSweep reports. `planes` here is the FINAL
+    * plane count (callers wanting occupancy-scaled planes resolve
+    * [[planesFor]] first, as [[embeddingNearDup]] does).
+    */
+  private[graft] def embeddingNearDupCandidates(df: DataFrame, idCol: String,
+                                                vecCol: String, planes: Int,
+                                                bands: Int): DataFrame = {
     // a null vector must DROP the row, not NPE the job — and the guard has
     // to live here, before the sign-bucket kernel ever sees the row (a
     // null-guard only in the cosine verify stage would be unreachable)
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .where(col("v").isNotNull)
-    val candidates = (0 until bands).map { b =>
+    (0 until bands).map { b =>
       // compiled kernel (bit-identical twin of Similarity.signBucket)
-      val bucketU = udf((v: Seq[Float]) => Similarity.signBucketFast(v, p, b * p))
+      val bucketU = udf((v: Seq[Float]) => Similarity.signBucketFast(v, planes, b * planes))
       val bucketed = base.withColumn("bucket", bucketU(col("v")))
       val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
       val bb = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
       a.join(bb, Seq("bucket"))
         .where(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"), col("v_a"), col("v_b"))
-    }.reduce(_ unionByName _).dropDuplicates("id_a", "id_b")
-    candidates
-      // compiled kernel (bit-identical twin of Similarity.cosine — OpsSpec)
-      .withColumn("cosine", Similarity.cosineKernel(col("v_a"), col("v_b")))
-      .where(col("cosine") >= minCosine)
-      .select(col("id_a"), col("id_b"), col("cosine"))
+    }.reduce(_ unionByName _)
   }
 
   /** Text-input form of [[embeddingNearDup]]: vectors derived in-plan through

@@ -371,11 +371,17 @@ object Similarity {
       col(vecCol).cast("array<double>").as("v"))
       .where(col("v").isNotNull) // null vectors drop, they must not NPE the kernels
       .cache()
-    val dim = train.select(size(col("v"))).head().getInt(0)
+    val firstRow = train.select(size(col("v"))).head(1)
+    require(firstRow.nonEmpty,
+      s"trainPq: training set is empty after sampling (trainFraction=" +
+        s"$trainFraction) and null-vector filtering on '$vecCol' — raise " +
+        "trainFraction or check the vector column")
+    val dim = firstRow(0).getInt(0)
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val subDim = dim / m
     val init = train.orderBy("id").limit(k).select("v").collect()
       .map(_.getSeq[Double](0).toArray)
+    require(init.nonEmpty, "trainPq: no initialization vectors") // unreachable given firstRow, kept as a belt
     var cb = PqCodebooks(m, k, subDim,
       Array.tabulate(m, k)((s, c) =>
         init(c % init.length).slice(s * subDim, (s + 1) * subDim)))

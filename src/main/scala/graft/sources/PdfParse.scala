@@ -564,18 +564,25 @@ object PdfParse {
     val dictW = dictInt(o.dict, "/Width")
     val dictH = dictInt(o.dict, "/Height")
     if (filters.lastOption.exists(f => f == "DCTDecode" || f == "DCT")) {
-      val payload = filters.dropRight(1).foldLeft(o.stream) {
-        case (Some(d), "FlateDecode" | "Fl") => inflate(d)
-        case _ => None
-      }
-      val dims =
-        try payload.flatMap(b => Option(javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(b))))
-          .map(i => (i.getWidth, i.getHeight))
-        catch { case _: Exception => None }
-      dims match {
-        case Some((w, h)) => PdfImage(name, "dct", w, h)
-        case None => PdfImage(name, "dct", -1, -1)
+      // a non-Flate predecessor (ASCIIHexDecode, Crypt, …) is an unsupported
+      // CHAIN, not a DCT decode failure — label it so -1 dims stay
+      // attributable to "we can't unwrap this" vs "the JPEG didn't parse"
+      if (filters.dropRight(1).exists(f => f != "FlateDecode" && f != "Fl"))
+        PdfImage(name, "unsupported", -1, -1)
+      else {
+        val payload = filters.dropRight(1).foldLeft(o.stream) {
+          case (Some(d), "FlateDecode" | "Fl") => inflate(d)
+          case _ => None
+        }
+        val dims =
+          try payload.flatMap(b => Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(b))))
+            .map(i => (i.getWidth, i.getHeight))
+          catch { case _: Exception => None }
+        dims match {
+          case Some((w, h)) => PdfImage(name, "dct", w, h)
+          case None => PdfImage(name, "dct", -1, -1)
+        }
       }
     } else if (filters.exists(f => f == "JPXDecode" || f == "JBIG2Decode")) {
       PdfImage(name, "unsupported", -1, -1) // no JVM codec

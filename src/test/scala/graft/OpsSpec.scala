@@ -468,6 +468,24 @@ class OpsSpec extends AnyFunSuite {
     assert(exactPairs.forall(_._3 == 0))
   }
 
+  test("simhash: multi-table blocking pair set equals brute-force, any maxDist") {
+    // brute-force O(n²) oracle over the compiled kernel — the blocking must
+    // be lossless (pigeonhole-complete) for the requested distance
+    def brute(rows: Array[(Long, String)], maxDist: Int): Set[(Long, Long, Int)] = {
+      val sims = rows.map { case (id, t) => (id, Dedup.simHashFast(t)) }
+      (for {
+        (ida, sa) <- sims; (idb, sb) <- sims if ida < idb
+        h = java.lang.Long.bitCount(sa ^ sb) if h <= maxDist
+      } yield (ida, idb, h)).toSet
+    }
+    val rows = withDups.select("doc_id", "text").as[(Long, String)].collect()
+    for (maxDist <- Seq(0, 3, 5)) { // 5 exercises uneven 64/8 block widths
+      val got = Dedup.simHashPairs(withDups, "doc_id", "text", maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == brute(rows, maxDist), s"pair-set mismatch at maxDist=$maxDist")
+    }
+  }
+
   test("ngram jaccard: inverted-index pairs match naive computation") {
     val out = Dedup.ngramJaccardPairs(withDups.where(col("doc_id") % 7 === 0),
         "doc_id", "text", n = 3, minJaccard = 0.5)
