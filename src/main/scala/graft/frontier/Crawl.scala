@@ -80,7 +80,18 @@ final case class CrawlConfig(
       * one compiled UDF over the exploded links (driver-held state such as a
       * knowledge base must ride inside the closure, which Spark broadcasts
       * with the task). */
-    linkScorer: Option[(String, String) => Double] = None)
+    linkScorer: Option[(String, String) => Double] = None,
+    /** When set, every epoch's extracted links are enriched with head data +
+      * contextual/total scores (the reference stamps head_data/total_score on
+      * links.internal when link_preview is configured —
+      * link_preview.py:276-394): enriched rows land in the epoch snapshot
+      * under `links/`, and the TTL head store persists across epochs like the
+      * politeness state (read at epoch k, updated store written at k+1).
+      * `nowMs` is overridden per epoch with the crawl's logical clock
+      * (epoch · epochSeconds); head fetches for cache misses are served from
+      * the crawl's own page store (head of the linked page's HTML) — the
+      * in-sandbox stand-in for the reference's network head fetch. */
+    linkPreview: Option[graft.sources.LinkPreview.Config] = None)
 
 final case class CrawlSummary(
     epochs: Int, fetched: Long, failed: Long, skippedRobots: Long, seen: Long)
@@ -398,6 +409,58 @@ object Crawl {
             .write.mode(SaveMode.Overwrite).parquet(dir(runDir, epoch + 1, "domain_state"))
         }
 
+        // ---- link-head enrichment (config-gated; a phase-A consumer of the
+        // scraped cache writing disjoint outputs). All joins inside
+        // LinkPreview.enrich are url-keyed equi-joins; the head store
+        // commit is O(delta) (only stale/missing rows rewrite).
+        val fPreview = cfg.linkPreview match {
+          case None => Future.successful(())
+          case Some(lp0) => Future {
+            val lp = lp0.copy(nowMs = (epoch * cfg.epochSeconds * 1000).toLong)
+            val lrows = scraped.where(col("fetch_ok"))
+              .select(col("url").as("page_url"),
+                posexplode_outer(col("links")).as(Seq("pos", "link")))
+              .where(col("link").isNotNull)
+              .select(col("page_url"), col("link.href").as("href"),
+                col("link.linkIndex").as("link_pos"),
+                col("link.internal").as("is_internal"),
+                // LinkOut keeps no title/class/rel attrs — intrinsic scores
+                // from anchor text + href shape, like a bare <a> in the ref
+                graft.functions.LinkScore.intrinsic(col("link.text"),
+                  col("link.href"), lit(""), lit(""), lit(""),
+                  typedLit(Seq.empty[String]), lit(false)).as("intrinsic_score"))
+            val storeSchema = org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("url", org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("status", org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("head", org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("fetched_at", org.apache.spark.sql.types.LongType)))
+            val headStorePath = dir(runDir, epoch, "head_store")
+            val store0 =
+              if (Files.isDirectory(Paths.get(headStorePath)))
+                spark.read.schema(storeSchema).parquet(headStorePath)
+              else spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], storeSchema)
+            // head "fetch" seam: the crawl's page store, keyed by the same
+            // xxhash64(deep-canonical href) the expansion uses
+            val headU = udf((html: String) => graft.scrape.Meta.headPeek(html))
+            val fetchHeads = lrows.select(col("href").as("url")).distinct()
+              .withColumn("url_hash", xxhash64(col("url")))
+              .join(pages.select(col("url_hash"), col("html"), col("status_code")),
+                Seq("url_hash"), "left")
+              .select(col("url"),
+                when(col("status_code") === 200 && col("html").isNotNull, "valid")
+                  .otherwise("not_valid").as("status"),
+                when(col("html").isNotNull, headU(col("html")))
+                  .otherwise(lit("")).as("head"))
+            val (enriched, newStore) =
+              graft.sources.LinkPreview.enrich(lrows, store0, fetchHeads, lp)
+            enriched.withColumn("epoch", lit(epoch))
+              .write.mode(SaveMode.Overwrite).parquet(dir(runDir, epoch, "links"))
+            newStore.write.mode(SaveMode.Overwrite)
+              .parquet(dir(runDir, epoch + 1, "head_store"))
+          }
+        }
+
         // ---- expansion: links are already deep-canonical (scrape map)
         val linkRows = scraped.where(col("fetch_ok"))
           .select(col("url").as("parent"), col("path").as("parent_path"),
@@ -515,6 +578,7 @@ object Crawl {
         Await.result(fDocs, Duration.Inf)
         Await.result(fVisits, Duration.Inf)
         Await.result(fState, Duration.Inf)
+        Await.result(fPreview, Duration.Inf)
         Await.result(fFrontier, Duration.Inf)
         if (sys.env.contains("GRAFT_EPOCH_TIMING"))
           System.err.println(s"[epoch $epoch] plan=${tPlan - t0}ms lineage=${tLineage - tPlan}ms " +
@@ -700,6 +764,18 @@ object Crawl {
   def docs(spark: SparkSession, runDir: String, asOf: Int = Int.MaxValue): DataFrame = {
     val last = snapshotEpoch(runDir, asOf)
     val dirs = (0 until math.max(last, 0)).map(e => dir(runDir, e, "docs"))
+      .filter(d => Files.isDirectory(Paths.get(d)))
+    if (dirs.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(dirs: _*)
+  }
+
+  /** Enriched link rows (page_url, href, link_pos, is_internal,
+    * intrinsic_score, head_status, head, contextual_score, total_score,
+    * epoch) across committed epochs — written only when
+    * [[CrawlConfig.linkPreview]] is configured. */
+  def links(spark: SparkSession, runDir: String, asOf: Int = Int.MaxValue): DataFrame = {
+    val last = snapshotEpoch(runDir, asOf)
+    val dirs = (0 until math.max(last, 0)).map(e => dir(runDir, e, "links"))
       .filter(d => Files.isDirectory(Paths.get(d)))
     if (dirs.isEmpty) spark.emptyDataFrame
     else spark.read.parquet(dirs: _*)

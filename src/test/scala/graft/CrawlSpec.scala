@@ -69,6 +69,50 @@ class CrawlSpec extends AnyFunSuite {
     }
   }
 
+  test("link-preview: epoch snapshots carry enriched links; head store persists across epochs") {
+    val cfg = CrawlConfig(strategy = "bfs", maxDepth = 5, hostBudget = 4, maxEpochs = 40,
+      linkPreview = Some(graft.sources.LinkPreview.Config(
+        includeInternal = true, includeExternal = false,
+        query = Seq("product", "category"))))
+    val runDir = freshDir("lp")
+    val summary = Crawl.run(spark, seedsDF, pagesDF, robotsDF, runDir, cfg)
+    assert(summary.fetched > 0)
+
+    // enrichment must not perturb the crawl itself: visit order still equals
+    // the sequential oracle (crawl_docs_spans' invariant)
+    val engineVisits = Crawl.visits(spark, runDir)
+      .select("epoch", "visit_rank", "url").orderBy("epoch", "visit_rank")
+      .collect().map(r => (r.getInt(0), r.getString(2))).toSeq
+    assert(engineVisits == oracleCrawl(cfg)._1)
+
+    val links = Crawl.links(spark, runDir).cache()
+    assert(links.count() > 0)
+    // internal links got head data served from the page store, with the
+    // composite total score stamped on every row
+    val valid = links.where(col("head_status") === "valid")
+    assert(valid.count() > 0)
+    assert(valid.where(col("head") === "").count() == 0)
+    assert(links.where(col("total_score").isNull).count() == 0)
+    // contextual BM25 scored at least one head against the query
+    assert(links.where(col("contextual_score").isNotNull).count() > 0)
+    links.unpersist()
+
+    // head store persisted across epochs: one committed store per epoch
+    // boundary, with epoch-0 fetches (fetched_at == 0 on the logical clock)
+    // still present in the LAST store — later epochs hit the cache instead
+    // of refetching
+    val storeRoot = new java.io.File(s"$runDir/head_store")
+    val storeDirs = Option(storeRoot.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("epoch="))
+    assert(storeDirs.length > 1, "head store must persist across epochs")
+    val lastStore = spark.read.parquet(
+      storeDirs.maxBy(_.getName).toString).cache()
+    assert(lastStore.where(col("fetched_at") === 0L).count() > 0)
+    assert(lastStore.select("url").distinct().count() == lastStore.count(),
+      "head store must stay url-unique")
+    lastStore.unpersist()
+  }
+
   test("politeness: per-(epoch, host) visits never exceed the budget") {
     val cfg = CrawlConfig(strategy = "bfs", hostBudget = 2, maxEpochs = 40)
     val runDir = freshDir("budget")
