@@ -479,6 +479,23 @@ object Similarity {
                 query: Seq[Float], k: Int, cells: Int = 8, m: Int = 8,
                 cbk: Int = 16, iters: Int = 3, trainFraction: Double = 1.0,
                 nProbe: Int = 4): DataFrame = {
+    val (model, codesTable) =
+      trainIvfPq(df, idCol, vecCol, cells, m, cbk, iters, trainFraction)
+    adcProbe(codesTable, model, idCol, query, k, nProbe)
+  }
+
+  /** Trained IVF-PQ structure: coarse cell centroids + the ONE shared PQ
+    * codebook set trained on residuals. Everything a probe needs besides
+    * the (cell, id, codes) table itself. */
+  final case class IvfPqModel(centroids: Seq[Seq[Double]], cb: PqCodebooks)
+
+  /** Train coarse + residual-PQ quantizers and encode the corpus ONCE,
+    * returning the model plus the (id, cell, codes) search table — the
+    * table [[writeIvfPqIndex]] persists partitioned by cell at scale.
+    */
+  def trainIvfPq(df: DataFrame, idCol: String, vecCol: String,
+                 cells: Int = 8, m: Int = 8, cbk: Int = 16, iters: Int = 3,
+                 trainFraction: Double = 1.0): (IvfPqModel, DataFrame) = {
     val spark = df.sparkSession
     // null vectors drop here, before ANY kernel (coarse training included)
     val clean = df.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
@@ -509,13 +526,23 @@ object Similarity {
     val codeU = udf((rv: Seq[Double]) => pqCodes(rv, bcCb.value).toSeq)
     val codesTable = assigned
       .select(col(idCol), col("cell"), codeU(col("rv")).as("codes"))
+    (IvfPqModel(centroids, cb), codesTable)
+  }
+
+  /** Score a (id, cell, codes) table against one query: probe the nProbe
+    * nearest cells with per-cell ADC tables built from the query's residual.
+    * The cell filter is a partition filter when the table was written with
+    * [[writeIvfPqIndex]] — the scan then READS only the probed cells. */
+  private def adcProbe(codesTable: DataFrame, model: IvfPqModel, idCol: String,
+                       query: Seq[Float], k: Int, nProbe: Int): DataFrame = {
+    val spark = codesTable.sparkSession
     val qd = query.map(_.toDouble)
-    val qCells = centroids.zipWithIndex.map { case (c, i) =>
+    val qCells = model.centroids.zipWithIndex.map { case (c, i) =>
       (c.zip(qd).map { case (mm, x) => (x - mm) * (x - mm) }.sum, i)
     }.sortBy(_._1).take(nProbe).map(_._2)
     val tables: Map[Int, Array[Array[Double]]] = qCells.map { ci =>
-      val cen = centroids(ci)
-      ci -> pqAdcTable(qd.zip(cen).map { case (x, mm) => x - mm }, cb)
+      val cen = model.centroids(ci)
+      ci -> pqAdcTable(qd.zip(cen).map { case (x, mm) => x - mm }, model.cb)
     }.toMap
     val bcT = spark.sparkContext.broadcast(tables)
     // ADC scoring = m table lookups per row, nothing else
@@ -525,11 +552,35 @@ object Similarity {
       while (s < cs.length) { acc += t(s)(cs(s)); s += 1 }
       acc
     }
-    codesTable.where(col("cell").isin(qCells: _*))
+    codesTable.where(col("cell").isin(qCells.toIndexedSeq: _*))
       .select(col(idCol), adcU(col("cell"), col("codes")).as("adc_d2"))
       .orderBy(col("adc_d2"), col(idCol))
       .limit(k)
   }
+
+  /** Persist the IVF-PQ search structure at `path`, PARTITIONED BY CELL —
+    * the layout the ivfPqTopK scaladoc promises: a probe over the written
+    * index is a partition-pruned scan that reads only its nProbe cell
+    * directories of m-byte codes (PlanSpec pins PartitionFilters + the
+    * partitions-read metric); the float vectors are nowhere in the index.
+    * Returns the model a probe needs ([[ivfPqProbeIndex]]).
+    */
+  def writeIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
+                      path: String, cells: Int = 8, m: Int = 8, cbk: Int = 16,
+                      iters: Int = 3, trainFraction: Double = 1.0): IvfPqModel = {
+    val (model, codesTable) =
+      trainIvfPq(df, idCol, vecCol, cells, m, cbk, iters, trainFraction)
+    codesTable.write.mode("overwrite").partitionBy("cell").parquet(path)
+    model
+  }
+
+  /** Top-k probe over a persisted [[writeIvfPqIndex]] layout: the cell
+    * membership predicate lands in the scan's PartitionFilters, so only the
+    * probed cell directories are listed and read. */
+  def ivfPqProbeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      model: IvfPqModel, idCol: String, query: Seq[Float],
+                      k: Int, nProbe: Int = 4): DataFrame =
+    adcProbe(spark.read.parquet(path), model, idCol, query, k, nProbe)
 
   /** All-pairs exact cosine above a threshold for a bounded id range —
     * the oracle-checkable form (cross-join guarded by the range filter).

@@ -285,6 +285,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("ivf-pq persisted index: probe scan is partition-pruned to the probed cells") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-idx").toString
+    val model = graft.ops.Similarity.writeIvfPqIndex(e, "vec_id", "embedding",
+      dir, cells = 8, m = 8, cbk = 8, iters = 1, trainFraction = 0.25)
+    val q = e.where(col("vec_id") === 0).select("embedding").as[Seq[Float]].head()
+    val nProbe = 3
+    val probe = graft.ops.Similarity.ivfPqProbeIndex(spark, dir, model,
+      "vec_id", q, k = 10, nProbe = nProbe)
+    // the cell membership predicate must be a PARTITION filter (listing-time
+    // pruning), not a data filter evaluated after reading every cell
+    val p = plan(probe)
+    assert(p.contains("PartitionFilters"), p)
+    // execute THIS queryExecution (count() would plan a separate query and
+    // leave the inspected scan's metrics untouched)
+    assert(probe.collect().length == 10)
+    // after execution the scan's own metric proves it: exactly nProbe of the
+    // 8 cell directories were read
+    val scan = probe.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail(s"no FileSourceScanExec in\n${probe.queryExecution.executedPlan}"))
+    assert(scan.metrics.contains("numPartitions"), scan.metrics.keys.mkString(","))
+    assert(scan.metrics("numPartitions").value == nProbe,
+      s"expected $nProbe partitions read, got ${scan.metrics("numPartitions").value}")
+  }
+
   test("link-head enrichment: equi-joins only, BM25 scalars broadcast, no cartesian") {
     val p = plan(SparkEntry.queries("q_link_head")(spark, sf))
     // every head-store/score/enrich join keys on the url/href column —
