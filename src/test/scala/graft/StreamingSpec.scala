@@ -150,6 +150,73 @@ class StreamingSpec extends AnyFunSuite {
     assert(later.count() == 0)
   }
 
+  test("streaming curation: ledger compaction preserves the accepted set; replay safe across the boundary") {
+    import graft.ops.CurateConfig
+    import graft.streaming.StreamCurate
+    val good1 = "the quick brown fox jumps over the lazy dog and it was a " +
+      "good day in the forest for everyone involved all things considered"
+    val good2 = "a completely separate article describing gardens with flowers " +
+      "and trees that bloom in the spring when the weather is warm and bright"
+    val good3 = "meanwhile the mountain villages prepare their winter stores " +
+      "of grain and wood while the river slowly freezes along the banks"
+    val good4 = "sailors charted the southern passage by the winter stars and " +
+      "kept careful logs of currents tides and the changing color of the water"
+    val good5 = "the committee published its annual report on road maintenance " +
+      "covering bridges tunnels and the schedule of repairs for the coming year"
+    val cfg = CurateConfig(minQuality = 0.3, maxDupLineFrac = 0.5,
+      maxTopGramFrac = 0.5, maxDupGramFrac = 0.5,
+      fuzzy = "minhash", fuzzyThreshold = 0.5, fuzzyN = 2)
+    // batch 3 carries a NEAR-dup of a batch-0 doc: its rejection after the
+    // fold proves the compacted partition preserved the band index
+    val batches: Seq[Seq[(Long, String)]] = Seq(
+      Seq((1L, good1), (2L, good2), (4L, "x")),
+      Seq((10L, good3)),
+      Seq((20L, good1), (21L, good4)), // compacting batch (2 - 0 >= 2)
+      Seq((30L, good1 + " extra trailing marker"), (31L, good5)))
+    val dirC = java.nio.file.Files.createTempDirectory("scur_cmp").toString
+    val dirU = java.nio.file.Files.createTempDirectory("scur_unc").toString
+    def run(stateDir: String, every: Int): Seq[Set[Long]] =
+      batches.zipWithIndex.map { case (b, i) =>
+        StreamCurate.acceptBatch(b.toDF("doc_id", "text"), "doc_id", "text",
+          cfg, stateDir, batchId = i.toLong, compactEvery = every)
+          .select("doc_id").as[Long].collect().toSet
+      }
+    // interleave so the compacted run's boundary replay happens at the right
+    // point: batches 0..2 compacted, then REPLAY batch 2 (the folding batch —
+    // at-least-once contract) before batch 3 ever runs
+    val accU = run(dirU, Int.MaxValue)
+    val acc01 = batches.take(3).zipWithIndex.map { case (b, i) =>
+      StreamCurate.acceptBatch(b.toDF("doc_id", "text"), "doc_id", "text",
+        cfg, dirC, batchId = i.toLong, compactEvery = 2)
+        .select("doc_id").as[Long].collect().toSet
+    }
+    val replay2 = StreamCurate.acceptBatch(batches(2).toDF("doc_id", "text"),
+      "doc_id", "text", cfg, dirC, batchId = 2L, compactEvery = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(replay2 == acc01(2), "replaying the folding batch must be idempotent")
+    val acc3 = StreamCurate.acceptBatch(batches(3).toDF("doc_id", "text"),
+      "doc_id", "text", cfg, dirC, batchId = 3L, compactEvery = 2)
+      .select("doc_id").as[Long].collect().toSet
+    val accC = acc01 :+ acc3
+    assert(accC == accU, s"compacted $accC vs uncompacted $accU")
+    assert(accC == Seq(Set(1L, 2L), Set(10L), Set(21L), Set(31L)), s"$accC")
+    // retention ran at batch 3: pre-fold partitions gone, fold + delta remain
+    def parts(d: String): Set[String] =
+      new java.io.File(d).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(parts(s"$dirC/hashes") == Set("batch=2", "batch=3"), parts(s"$dirC/hashes"))
+    assert(parts(s"$dirC/band_index") == Set("batch=2", "batch=3"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dirC/hashes/batch=2/_compacted")))
+    // the folded state equals the full uncompacted state
+    assert(spark.read.parquet(s"$dirC/hashes").select("h").as[Long].collect().toSet ==
+      spark.read.parquet(s"$dirU/hashes").select("h").as[Long].collect().toSet)
+    // replay of the post-boundary batch: probes the folded base, identical set
+    val replay3 = StreamCurate.acceptBatch(batches(3).toDF("doc_id", "text"),
+      "doc_id", "text", cfg, dirC, batchId = 3L, compactEvery = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(replay3 == acc3)
+  }
+
   test("text-analysis operators run unchanged on a stream (batch parity)") {
     // the pipeline operators are pure Column expressions, so the SAME code
     // path serves batch backfill and streaming ingest — parity asserted
