@@ -611,7 +611,8 @@ object SparkEntry {
     // product quantization (Jégou 2011): per-subspace codebooks trained
     // with quantized-long Lloyd's (bit-reproducible under any merge order),
     // corpus encoded to m codes, query answered by ADC table lookups —
-    // the compressed-vector scale path; fixture = independent seq twin
+    // the compressed-vector scale path; TRUE SQL oracle re-derives
+    // encode+ADC+topk in DuckDB from the engine-exported codebooks
     "q_ann_pq" -> ((s, dir) => {
       import s.implicits._
       val e = table(s, dir, "embeddings")
@@ -1264,7 +1265,9 @@ $accept"""
     "q_embedding_neardup" -> graft.oracle.Fixtures.sql("q_embedding_neardup"),
     "q_ann_lsh_topk" -> graft.oracle.Fixtures.sql("q_ann_lsh_topk"),
     "q_ann_ivf_trained" -> graft.oracle.Fixtures.sql("q_ann_ivf_trained"),
-    "q_ann_pq" -> graft.oracle.Fixtures.sql("q_ann_pq"),
+    // TRUE SQL: encode + ADC + top-k re-derived in DuckDB from the
+    // engine-exported codebooks (exact unrolled arithmetic, no fixture rows)
+    "q_ann_pq" -> graft.oracle.Fixtures.pqTrueSql(m = 8, subDim = 8, k = 10),
     "q_ann_ivfpq" -> graft.oracle.Fixtures.sql("q_ann_ivfpq"),
     "q_semdedup" -> graft.oracle.Fixtures.sql("q_semdedup"),
     "q_pdf_pages" -> graft.oracle.Fixtures.sql("q_pdf_pages"),

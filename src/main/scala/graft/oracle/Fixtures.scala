@@ -22,6 +22,52 @@ object Fixtures {
   def sql(name: String): String =
     s"SELECT * FROM parquet_scan('$dir/$name/*.parquet')"
 
+  /** TRUE-SQL oracle for q_ann_pq: DuckDB re-derives the PQ ENCODE step
+    * (argmin code per subspace), the query's ADC distance table, and the
+    * ADC top-k — all from the engine-exported codebook fixture; only
+    * quantizer TRAINING stays engine-side (bit-reproducible quantized-long
+    * sums, retrain-equality and seq-twin-equality pinned in OpsSpec).
+    * Every squared distance is UNROLLED into left-to-right double
+    * additions in index order — the exact accumulation order of
+    * `Similarity.pqCodes`/`pqAdcTable` — so both sides produce
+    * bit-identical doubles and argmin/top-k selection is exact, not
+    * tolerance-based. */
+  def pqTrueSql(m: Int = 8, subDim: Int = 8, k: Int = 10): String = {
+    def dist(vec: String): String = (0 until subDim).map { j =>
+      val t = s"($vec[cb.sub*$subDim+${j + 1}]::DOUBLE - cb.centroid[${j + 1}])"
+      s"$t * $t"
+    }.mkString(" + ")
+    val pivots = (0 until m).map(s =>
+      s"MAX(CASE WHEN enc.sub = $s THEN adc.qd2 END) AS t$s").mkString(", ")
+    val total = (0 until m).map(s => s"t$s").mkString(" + ")
+    s"""WITH cb AS MATERIALIZED (
+       |  SELECT sub, code, centroid
+       |  FROM parquet_scan('$dir/q_ann_pq_codebooks/*.parquet')
+       |), e AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+       |), encd AS (
+       |  SELECT e.vec_id, cb.sub, cb.code, ${dist("e.embedding")} AS d2
+       |  FROM e CROSS JOIN cb
+       |), enc AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT vec_id, sub, code,
+       |           row_number() OVER (PARTITION BY vec_id, sub
+       |                              ORDER BY d2, code) AS rn
+       |    FROM encd) WHERE rn = 1
+       |), q AS (
+       |  SELECT embedding FROM embeddings WHERE vec_id = 0
+       |), adc AS (
+       |  SELECT cb.sub, cb.code, ${dist("q.embedding")} AS qd2
+       |  FROM cb CROSS JOIN q
+       |), scored AS (
+       |  SELECT enc.vec_id, $pivots
+       |  FROM enc JOIN adc ON adc.sub = enc.sub AND adc.code = enc.code
+       |  GROUP BY enc.vec_id
+       |)
+       |SELECT vec_id, ROUND($total, 6) AS adc_d2
+       |FROM scored ORDER BY $total, vec_id LIMIT $k""".stripMargin
+  }
+
   def writeAll(spark: SparkSession, sfDir: String): Unit = {
     import spark.implicits._
     val site = graft.SparkEntry.siteCfg
@@ -197,12 +243,17 @@ object Fixtures {
       SeqOracle.ivfTrainedTopK(embAll, q0, k = 10, cells = 8, iters = 3,
         trainFraction = 0.5, nProbe = 4).toDF("vec_id", "sim"))
 
-    write("q_ann_pq",
-      SeqOracle.pqTopK(embAll, q0, k = 10, m = 8, cbk = 16, iters = 3,
-          trainFraction = 0.5)
-        .map { case (id, d) =>
-          (id, BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
-        .toDF("vec_id", "adc_d2"))
+    // q_ann_pq is a TRUE SQL oracle ([[pqTrueSql]]): only the trained
+    // codebooks are exported here — encode, the query ADC table, and the
+    // top-k are all re-derived arithmetically in DuckDB. Training itself is
+    // bit-reproducible (quantized-long sums) and pinned engine-vs-seq-twin
+    // in OpsSpec, so exporting it shares a VERIFIED artifact, not an answer.
+    val cbPq = graft.ops.Similarity.trainPq(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"),
+      "vec_id", "embedding", m = 8, k = 16, iters = 3, trainFraction = 0.5)
+    write("q_ann_pq_codebooks",
+      (for { s <- 0 until cbPq.m; c <- 0 until cbPq.k }
+        yield (s, c, cbPq.centroids(s)(c).toSeq)).toDF("sub", "code", "centroid"))
 
     write("q_ann_ivfpq",
       SeqOracle.ivfPqTopK(embAll, q0, k = 10, cells = 8, m = 8, cbk = 16,

@@ -292,6 +292,24 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(top(3L) - top(999999L)) < 1e-12) // identical codes
   }
 
+  test("product quantization: engine pqTopK equals the independent sequential twin at driver params") {
+    import graft.ops.Similarity
+    // the driver's q_ann_pq protocol (m=8, cbk=16, iters=3, half-sample
+    // training) — the seq twin re-derives training AND search from scratch,
+    // keeping training independently verified now that the driver oracle
+    // re-derives only encode+ADC+topk from the exported codebooks
+    val vecs = embs.select(col("vec_id"), col("embedding"))
+    val q = vecs.where(col("vec_id") === 0).select("embedding").as[Seq[Float]].head()
+    val cb = Similarity.trainPq(vecs, "vec_id", "embedding",
+      m = 8, k = 16, iters = 3, trainFraction = 0.5)
+    val engine = Similarity.pqTopK(vecs, "vec_id", "embedding", q, 10, cb)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val seqVecs = vecs.as[(Long, Seq[Float])].collect().toSeq
+    val twin = graft.oracle.SeqOracle.pqTopK(seqVecs, q, k = 10, m = 8,
+      cbk = 16, iters = 3, trainFraction = 0.5)
+    assert(engine == twin, s"engine $engine vs twin $twin")
+  }
+
   test("embedding near-dup: a null vector drops the row, not the job") {
     val vecs = embs.select(col("vec_id"), col("embedding")).where(col("vec_id") < 20)
     val withNull = vecs
