@@ -1378,6 +1378,40 @@ class OpsSpec extends AnyFunSuite {
     assert(clusters.length >= 2)
   }
 
+  test("corpus-trained embedder drives semantic curation end-to-end (train → embed → near-dup → curate)") {
+    import graft.ops.{CorpusEmbed, Curate, CurateConfig, Embed}
+    // the q_curate_semantic PATH (fuzzy = "embedding" through the Embedder
+    // seam) exercised with the NON-STUB corpus-adapted kernel: train PPMI
+    // vectors on the corpus itself, then curate the same corpus in one plan
+    val aWords = Vector("spark", "shuffle", "executor", "partition", "stage", "task")
+    val bWords = Vector("pasta", "tomato", "basil", "garlic", "oven", "sauce")
+    // step 5 is coprime with the 6-word vocab, so every doc cycles ALL its
+    // topic's words with a doc-dependent phase: textually distinct (exact
+    // dedup keeps them apart), semantically near-parallel under the trained
+    // kernel (same topic-term sum), cross-topic disjoint vocab → near 0
+    val corpus = (0 until 40).map { i =>
+      val w = if (i % 2 == 0) aWords else bWords
+      (i.toLong, (0 until 11).map(k => w((i + 5 * k) % w.length)).mkString(" "))
+    }
+    val df = corpus.toDF("doc_id", "text")
+    val emb = CorpusEmbed.train(df, "doc_id", "text",
+      dim = 32, window = 3, vocabSize = 64, minCount = 1)
+    // sanity: the trained kernel sees topic-mates as near-dups and
+    // cross-topic docs as distinct at the threshold the pipeline will use
+    val same = Embed.cosine(emb.embed(corpus(0)._2), emb.embed(corpus(2)._2))
+    val cross = Embed.cosine(emb.embed(corpus(0)._2), emb.embed(corpus(1)._2))
+    assert(same > 0.9 && cross < 0.9, s"same=$same cross=$cross")
+    val cfg = CurateConfig(minQuality = 0.0, maxDupLineFrac = 1.0,
+      maxTopGramFrac = 1.0, maxDupGramFrac = 1.0,
+      fuzzy = "embedding", fuzzyThreshold = 0.9, sampleFraction = 1.0)
+    val out = Curate.curateCorpus(df, "doc_id", "text", None, "text", cfg,
+      embedder = emb)
+      .select("doc_id").as[Long].collect().toSet
+    // every doc of a topic is a semantic near-dup of its topic-mates →
+    // exactly the min-id canonical per topic survives
+    assert(out == Set(0L, 1L), s"got $out")
+  }
+
   test("Embedder seam: a custom kernel changes results end-to-end through every consumer") {
     import graft.ops.{Embedder, Dedup, AdaptiveEmbedding => AE}
     import graft.scrape.CosineExtract
