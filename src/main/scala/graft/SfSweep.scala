@@ -25,9 +25,18 @@ import org.apache.spark.sql.functions._
   */
 object SfSweep {
 
-  private val Factor = 10
+  private[graft] val Factor = 10
 
-  private val Tables = Seq("documents", "embeddings", "events", "lineitem")
+  /** Fact/scaled tables replicate ×Factor with per-replica key offsets that
+    * keep every equi-join REPLICA-LOCAL (orders↔lineitem↔part/supplier,
+    * customer↔orders): without consistent offsets a 10× build-side would fan
+    * each probe row out 10×, measuring join blow-up instead of data scale.
+    * region/nation are fixed-cardinality dims — TPC-H holds them constant
+    * across SF, so the replica copies them once, unscaled.
+    */
+  private val ScaledTables = Seq("documents", "embeddings", "events",
+    "customer", "orders", "part", "supplier", "lineitem")
+  private val FixedTables = Seq("region", "nation")
 
   /** What the replica at `dst` MUST look like if it was built from `src` at
     * the current Factor — src path, factor, and per-table row counts. A
@@ -35,13 +44,14 @@ object SfSweep {
     * fails the compare and is rebuilt instead of silently skewing ratios.
     */
   private def expectedManifest(s: SparkSession, src: String): String = {
-    val counts = Tables.map { t =>
-      s""""$t":${s.read.parquet(s"$src/$t.parquet").count() * Factor}"""
-    }.mkString(",")
+    val counts = (ScaledTables.map(t => (t, Factor)) ++ FixedTables.map(t => (t, 1)))
+      .map { case (t, f) =>
+        s""""$t":${s.read.parquet(s"$src/$t.parquet").count() * f}"""
+      }.mkString(",")
     s"""{"src":"$src","factor":$Factor,$counts}"""
   }
 
-  private def buildReplica(s: SparkSession, src: String, dst: String): Unit = {
+  private[graft] def buildReplica(s: SparkSession, src: String, dst: String): Unit = {
     val fs = java.nio.file.Paths.get(dst)
     val manifestPath = fs.resolve("manifest.json")
     val expected = expectedManifest(s, src)
@@ -82,12 +92,27 @@ object SfSweep {
         col("event_type"), col("value"), col("props"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dst/events.parquet")
-    val li = s.read.parquet(s"$src/lineitem.parquet")
-    (0 until Factor).map { r =>
-      if (r == 0) li
-      else li.withColumn("l_orderkey", col("l_orderkey") + r * 100000000L)
-    }.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+    FixedTables.foreach { t =>
+      s.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+    def scaled(table: String, offsets: (String, Long)*): Unit = {
+      val base = s.read.parquet(s"$src/$table.parquet")
+      (0 until Factor).map { r =>
+        if (r == 0) base
+        else offsets.foldLeft(base) { case (d, (k, o)) =>
+          d.withColumn(k, col(k) + r * o)
+        }
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dst/$table.parquet")
+    }
+    scaled("customer", "c_custkey" -> 10000000L)
+    scaled("orders", "o_orderkey" -> 100000000L, "o_custkey" -> 10000000L)
+    scaled("part", "p_partkey" -> 10000000L)
+    scaled("supplier", "s_suppkey" -> 10000000L)
+    // lineitem last: the resume check above keys on its _SUCCESS marker
+    scaled("lineitem", "l_orderkey" -> 100000000L,
+      "l_partkey" -> 10000000L, "l_suppkey" -> 10000000L)
     java.nio.file.Files.write(manifestPath, expected.getBytes("UTF-8"))
   }
 
