@@ -231,7 +231,15 @@ object Bench {
     // fall back to all pairs if every pair was credit-flipped
     val usedPairs = {
       val clean = pairResults.filter(_.deliveredGap <= 0.20)
-      if (clean.nonEmpty) clean else pairResults
+      val base = if (clean.nonEmpty) clean else pairResults
+      // an even survivor count would make the median the MEAN of two ratios
+      // measured under opposite run orders — the first-position drift the
+      // odd trial count exists to rule out. Restore odd parity by also
+      // dropping the survivor with the worst delivered-CPU gap (still a
+      // begin/measurement-condition criterion, not a result one).
+      if (base.size % 2 == 0 && base.size > 1)
+        base.sortBy(_.deliveredGap).dropRight(1)
+      else base
     }
     val discardedPairs = pairResults.size - usedPairs.size
     val efficiency = median(usedPairs.map(_.ratio).toSeq)
@@ -292,7 +300,7 @@ object Bench {
     // to always survive tail capture.
     println(f"""{"detail":"queries","sf":"$sfDir","queries":$qs,"total_sec":$total%.2f}""")
     println(
-      f"""{"detail":"scaling","pages_per_core":$pagesPerCore,"trials":$trials,"contended_trials":$contendedTrials,"throttled_trials":$throttledTrials,"discarded_pairs":$discardedPairs,"pinned":$pinnedOk,"attempts_n2":${attemptsJson(2)},"attempts_n8":${attemptsJson(8)},"pairs":$ratiosJson,"headline_bursts":$burstsJson,"headline_cores":$headCores,"note":"N=2 vs 4N=8 cores, weak scaling, $pinNote; back-to-back N/4N pairs (odd count, alternating order) gated once per pair, efficiency = median of per-pair ratios after discarding pairs whose legs' delivered-CPU gap exceeds 0.20 (credit state flipped INSIDE the pair — begin-condition filter, not result selection); per-level throughputs are medians; headline = median of 3 gated bursts pinned at the sustained-cap core count (hypervisor sustains ~11 of 32 advertised vCPUs — see BENCH.md)"}""")
+      f"""{"detail":"scaling","pages_per_core":$pagesPerCore,"trials":$trials,"contended_trials":$contendedTrials,"throttled_trials":$throttledTrials,"discarded_pairs":$discardedPairs,"pinned":$pinnedOk,"attempts_n2":${attemptsJson(2)},"attempts_n8":${attemptsJson(8)},"pairs":$ratiosJson,"headline_bursts":$burstsJson,"headline_cores":$headCores,"note":"N=2 vs 4N=8 cores, weak scaling, $pinNote; back-to-back N/4N pairs (odd count, alternating order) gated once per pair, efficiency = median of per-pair ratios after discarding pairs whose legs' delivered-CPU gap exceeds 0.20 (credit state flipped INSIDE the pair — begin-condition filter, not result selection; survivor count kept ODD by dropping the worst-gap pair so the median is never a mean across opposite run orders); per-level throughputs are medians; headline = median of 3 gated bursts pinned at the sustained-cap core count (hypervisor sustains ~11 of 32 advertised vCPUs — see BENCH.md)"}""")
     println(
       f"""{"metric":"urls_fetched_deduped_per_sec","value":$fullThr%.1f,"unit":"urls/sec","sf":"$sfDir","headline_cores":$headCores,"throughput_n2":$thrN%.1f,"throughput_n8":$thr4N%.1f,"efficiency":$efficiency%.3f,"pinned":$pinnedOk,"total_sec":$total%.2f}""")
   }

@@ -38,15 +38,37 @@ object SfSweep {
     "customer", "orders", "part", "supplier", "lineitem")
   private val FixedTables = Seq("region", "nation")
 
+  /** Shared timing primitive for the sweep mains (QuerySweep reuses it so
+    * the protocol cannot drift between them): two timed passes, min wall —
+    * the min discards one-off hypervisor stalls; callers add their own warm
+    * pass per BENCH.md's protocol notes.
+    */
+  private[graft] def min2(f: => Long): (Double, Long) = {
+    def one: (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val (wa, n) = one
+    val (wb, _) = one
+    (math.min(wa, wb), n)
+  }
+
   /** What the replica at `dst` MUST look like if it was built from `src` at
-    * the current Factor — src path, factor, and per-table row counts. A
-    * stale replica (different source dir, factor, or testdata regeneration)
-    * fails the compare and is rebuilt instead of silently skewing ratios.
+    * the current Factor — src path, factor, and per-table row counts PLUS an
+    * order-independent content hash (sum of xxhash64 over every column): a
+    * testdata regeneration that changes content but not cardinality must
+    * also fail the compare and rebuild, instead of silently skewing ratios
+    * against a replica of the OLD data.
     */
   private def expectedManifest(s: SparkSession, src: String): String = {
     val counts = (ScaledTables.map(t => (t, Factor)) ++ FixedTables.map(t => (t, 1)))
       .map { case (t, f) =>
-        s""""$t":${s.read.parquet(s"$src/$t.parquet").count() * f}"""
+        val base = s.read.parquet(s"$src/$t.parquet")
+        val row = base.agg(
+          count(lit(1)).as("n"),
+          sum(xxhash64(base.columns.map(col): _*)).as("h")).head()
+        s""""$t":{"rows":${row.getLong(0) * f},"hash":${row.getLong(1)}}"""
       }.mkString(",")
     s"""{"src":"$src","factor":$Factor,$counts}"""
   }
@@ -209,17 +231,11 @@ object SfSweep {
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     buildReplica(s, src, dst)
-    def time(f: () => Long): (Double, Long) = {
-      val t0 = System.nanoTime()
-      val n = f()
-      ((System.nanoTime() - t0) / 1e9, n)
-    }
     val rows = ops(s, src, 1).zip(ops(s, dst, Factor)).map {
       case ((name, at01, cand01), (_, at1, cand10)) =>
         at01() // warm (JIT + parquet footer cache)
-        val s1 = math.min(time(at01)._1, time(at01)._1)
-        val (w1a, n10) = time(at1)
-        val w1 = math.min(w1a, time(at1)._1)
+        val (s1, _) = min2(at01())
+        val (w1, n10) = min2(at1())
         // candidate counts run UNTIMED, after the timed passes: linear
         // cand_ratio ≈ Factor means blocking holds; super-linear names the
         // quadratic stage directly

@@ -441,9 +441,16 @@ object Crawl {
               else spark.createDataFrame(
                 spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], storeSchema)
             // head "fetch" seam: the crawl's page store, keyed by the same
-            // xxhash64(deep-canonical href) the expansion uses
+            // xxhash64(deep-canonical href) the expansion uses. Head data is
+            // built ONLY for the urls enrich will actually consult the seam
+            // for — the config-filtered request set minus TTL-fresh store
+            // hits; parsing heads for filtered-out or cached links is
+            // O(all extracted links) of discarded work per epoch.
             val headU = udf((html: String) => graft.scrape.Meta.headPeek(html))
-            val fetchHeads = lrows.select(col("href").as("url")).distinct()
+            val reqs = graft.sources.LinkPreview.requests(lrows, lp)
+            val fetchHeads = reqs
+              .join(graft.sources.LinkPreview.freshHits(reqs, store0, lp),
+                Seq("url"), "left_anti")
               .withColumn("url_hash", xxhash64(col("url")))
               .join(pages.select(col("url_hash"), col("html"), col("status_code")),
                 Seq("url_hash"), "left")

@@ -51,9 +51,14 @@ object LinkPreview {
     *         score, total_score), filtered-out links keep head_status
     *         "not_requested" and a null contextual score
     */
-  def enrich(links: DataFrame, store: DataFrame, fetch: DataFrame,
-             cfg: Config): (DataFrame, DataFrame) = {
-    // ---- _filter_links (:113-174): side gate, include/exclude globs, cap --
+  /** The DISTINCT head-request URLs `enrich` will ask the store/fetch seam
+    * for — _filter_links (:113-174): side gate, include/exclude globs,
+    * max-links cap. Exposed so the caller can build its fetch frame for
+    * exactly this set (minus TTL-fresh store hits) instead of computing head
+    * data for every extracted href — the fetch seam is only ever consulted
+    * for these urls, anything else is discarded work.
+    */
+  def requests(links: DataFrame, cfg: Config): DataFrame = {
     val side =
       (if (cfg.includeInternal) col("is_internal") else lit(false)) ||
       (if (cfg.includeExternal) !col("is_internal") else lit(false))
@@ -67,11 +72,25 @@ object LinkPreview {
         patterned.orderBy(col("is_internal").desc, col("page_url"),
           col("link_pos")).limit(cfg.maxLinks)
       else patterned
-    val requests = capped.select(col("href").as("url")).distinct()
+    capped.select(col("href").as("url")).distinct()
+  }
+
+  /** The TTL-fresh subset of `requests` already served by `store` — the
+    * complement (left_anti) is the set a caller must cover with its fetch
+    * frame. Mirrors [[Seeder.refreshHeadStore]]'s freshness rule exactly.
+    */
+  def freshHits(requests: DataFrame, store: DataFrame, cfg: Config): DataFrame =
+    requests.select("url").join(store, Seq("url"))
+      .where(lit(cfg.nowMs) - col("fetched_at") <= cfg.ttlMs)
+      .select("url")
+
+  def enrich(links: DataFrame, store: DataFrame, fetch: DataFrame,
+             cfg: Config): (DataFrame, DataFrame) = {
+    val requestUrls = requests(links, cfg)
 
     // ---- head extraction through the seeder's TTL cache (:176-221) --------
     val (served, newStore) =
-      Seeder.refreshHeadStore(store, requests, fetch, cfg.nowMs, cfg.ttlMs)
+      Seeder.refreshHeadStore(store, requestUrls, fetch, cfg.nowMs, cfg.ttlMs)
 
     // ---- contextual BM25 over VALID head text (:200-208) ------------------
     val contextual =
