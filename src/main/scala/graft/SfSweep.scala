@@ -59,7 +59,10 @@ object SfSweep {
     * order-independent content hash (sum of xxhash64 over every column): a
     * testdata regeneration that changes content but not cardinality must
     * also fail the compare and rebuild, instead of silently skewing ratios
-    * against a replica of the OLD data.
+    * against a replica of the OLD data. The per-row hashes sum as
+    * decimal(38,0): a long sum overflows ANSI arithmetic after a few rows
+    * (|xxh64| ≤ 2⁶³), while 6M rows × 2⁶³ stays 12 digits under the
+    * decimal cap.
     */
   private def expectedManifest(s: SparkSession, src: String): String = {
     val counts = (ScaledTables.map(t => (t, Factor)) ++ FixedTables.map(t => (t, 1)))
@@ -67,8 +70,10 @@ object SfSweep {
         val base = s.read.parquet(s"$src/$t.parquet")
         val row = base.agg(
           count(lit(1)).as("n"),
-          sum(xxhash64(base.columns.map(col): _*)).as("h")).head()
-        s""""$t":{"rows":${row.getLong(0) * f},"hash":${row.getLong(1)}}"""
+          sum(xxhash64(base.columns.map(col): _*)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("h")).head()
+        val h = row.getDecimal(1).toBigInteger
+        s""""$t":{"rows":${row.getLong(0) * f},"hash":$h}"""
       }.mkString(",")
     s"""{"src":"$src","factor":$Factor,$counts}"""
   }

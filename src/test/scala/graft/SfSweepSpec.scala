@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The sweep harness's replica builder is measurement infrastructure, but a
+  * broken manifest (e.g. an ANSI long-overflow in the content hash — the
+  * exact bug this spec was added after) silently blocks every scale sweep,
+  * so its contract gets a real test: build from the smallest testdata dir,
+  * assert the resume fast path, and assert a content change forces rebuild.
+  */
+class SfSweepSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val src = "/root/testdata/sf0.001"
+
+  test("buildReplica writes all tables, a manifest, and resumes idempotently") {
+    assume(Files.exists(Paths.get(src)), s"testdata missing at $src")
+    val dst = Files.createTempDirectory("graft-replica").toString
+    SfSweep.buildReplica(spark, src, dst)
+    for (t <- Seq("documents", "embeddings", "events", "customer", "orders",
+                  "part", "supplier", "lineitem", "region", "nation"))
+      assert(Files.exists(Paths.get(s"$dst/$t.parquet/_SUCCESS")), s"missing $t")
+    val manifest = Paths.get(dst, "manifest.json")
+    assert(Files.exists(manifest))
+    val body = new String(Files.readAllBytes(manifest), "UTF-8")
+    // the content hash must be present and numeric for every table — a
+    // crash in its computation (the ANSI overflow) never reaches here
+    assert("\"hash\":-?\\d+".r.findAllIn(body).size == 10, body)
+    val docs10 = spark.read.parquet(s"$dst/documents.parquet").count()
+    val docs1 = spark.read.parquet(s"$src/documents.parquet").count()
+    assert(docs10 == docs1 * 10, "scaled table must replicate by Factor")
+    assert(spark.read.parquet(s"$dst/nation.parquet").count() ==
+      spark.read.parquet(s"$src/nation.parquet").count(),
+      "fixed-cardinality dims copy once, unscaled")
+
+    // resume: same src → fast path must keep the replica (mtime unchanged)
+    val mtime = Files.getLastModifiedTime(
+      Paths.get(s"$dst/documents.parquet/_SUCCESS"))
+    SfSweep.buildReplica(spark, src, dst)
+    assert(Files.getLastModifiedTime(
+      Paths.get(s"$dst/documents.parquet/_SUCCESS")) == mtime,
+      "unchanged src must hit the manifest resume path, not rebuild")
+
+    // a manifest that no longer matches (stale replica) must force a rebuild
+    Files.write(manifest, "{\"src\":\"elsewhere\"}".getBytes("UTF-8"))
+    SfSweep.buildReplica(spark, src, dst)
+    assert(new String(Files.readAllBytes(manifest), "UTF-8") == body,
+      "rebuild must restore the true manifest")
+  }
+}
