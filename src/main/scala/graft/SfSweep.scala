@@ -11,10 +11,17 @@ import org.apache.spark.sql.functions._
   *
   * The 10× replica is synthesized (BASELINE.json mandates no external data):
   * replica r offsets every id by r·10⁷ and suffixes every document token
-  * with "x$r", so replicas are textually DISJOINT from the base corpus
-  * (near-dup operators scale on data volume, not on an artificial 10×
-  * blow-up of true duplicate pairs); embeddings rotate by r elements
-  * (norm-preserving, direction-changing); events offset user ids.
+  * with a LETTER marker "x{a..j}", so replicas are textually DISJOINT from
+  * the base corpus and from each other UNDER THE DEDUP TOKENIZER — which
+  * lowercases and splits on [^a-z]+ (Dedup.tokenizeFast). The first version
+  * of this builder used digit suffixes "x$r"; the tokenizer strips digits,
+  * so "wordx1".."wordx9" all collapsed to the token "wordx" and replicas
+  * 1..9 were token-level CLONES of each other — the round-5 candidate-count
+  * instrumentation exposed it (minhash candidates grew 872× for 10× data:
+  * 5 000 base docs × C(9,2)=36 cross-replica clique pairs). Near-dup
+  * operators must scale on data volume, not on an artificial blow-up of
+  * true duplicate pairs. Embeddings rotate by r elements (norm-preserving,
+  * direction-changing); events offset user ids.
   *
   * Timing protocol: per operator, one warm pass at sf0.1, then two timed
   * passes at each scale (min reported). Run EXCLUSIVELY — see BENCH.md's
@@ -75,7 +82,11 @@ object SfSweep {
         val h = row.getDecimal(1).toBigInteger
         s""""$t":{"rows":${row.getLong(0) * f},"hash":$h}"""
       }.mkString(",")
-    s"""{"src":"$src","factor":$Factor,$counts}"""
+    // scheme tag: the manifest hashes SOURCE tables, so a change to the
+    // replica TRANSFORM itself (e.g. digit→letter suffixes) is invisible to
+    // the content hash — bump the tag whenever the transform changes so
+    // stale replicas rebuild instead of being silently reused
+    s"""{"src":"$src","factor":$Factor,"scheme":"letter-suffix-v2",$counts}"""
   }
 
   private[graft] def buildReplica(s: SparkSession, src: String, dst: String): Unit = {
@@ -97,7 +108,7 @@ object SfSweep {
       else docs.select(
         (col("doc_id") + r * 10000000L).as("doc_id"),
         array_join(transform(split(col("text"), "\\s+"),
-          t => concat(t, lit(s"x$r"))), " ").as("text"),
+          t => concat(t, lit(s"x${('a' + r).toChar}"))), " ").as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")

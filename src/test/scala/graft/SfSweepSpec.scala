@@ -47,4 +47,31 @@ class SfSweepSpec extends AnyFunSuite {
     assert(new String(Files.readAllBytes(manifest), "UTF-8") == body,
       "rebuild must restore the true manifest")
   }
+
+  test("replicas are textually disjoint UNDER THE DEDUP TOKENIZER") {
+    // Regression: digit suffixes "x1".."x9" collapse to the same token under
+    // the [^a-z]+ tokenizer (digits stripped), making replicas 1..9 token-
+    // level clones — near-dup sweeps then measure an artificial n² duplicate
+    // clique, not data scale. Letter suffixes must keep every replica's
+    // token stream distinct from every other's and from the base.
+    assume(Files.exists(Paths.get(src)), s"testdata missing at $src")
+    val dst = Files.createTempDirectory("graft-replica-tok").toString
+    SfSweep.buildReplica(spark, src, dst)
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dst/documents.parquet")
+    val total = docs.count()
+    // same tokenizer semantics as Dedup.tokenizeFast (Column-spec twin)
+    val tokenized = docs.select(
+      array_join(graft.ops.TextAnalysis.tokens(col("text")), " ").as("tok"))
+    val distinctTok = tokenized.distinct().count()
+    val distinctBase = spark.read.parquet(s"$src/documents.parquet")
+      .select(array_join(graft.ops.TextAnalysis.tokens(col("text")), " ").as("tok"))
+      .distinct().count()
+    // every replica contributes its own distinct token streams: 10× the
+    // base's distinct count (exact because suffixing is injective per
+    // replica and replicas never share a suffix)
+    assert(distinctTok == distinctBase * 10,
+      s"cross-replica token-stream clones: $distinctTok distinct of $total " +
+        s"(base distinct $distinctBase — digit-suffix regression?)")
+  }
 }
