@@ -634,13 +634,18 @@ object SparkEntry {
         .withColumn("adc_d2", round(col("adc_d2"), 6))
     }),
     // SemDeDup (Abbas et al. 2023): trained-quantizer blocking + within-cell
-    // cosine pairs + connected-components canonical survivors
+    // cosine pairs + connected-components canonical survivors. Cells scale
+    // with the corpus (cellsFor: occupancy-bounded, the paper's cells ≈
+    // n/target) so the within-cell pair work stays linear at any sf — the
+    // fixture twin computes the identical formula from the same input size.
     "q_semdedup" -> ((s, dir) => {
       val e = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val dups = e.where(col("vec_id") < 100)
         .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
-      Dedup.semDedup(e.unionByName(dups), "vec_id", "embedding",
-        cells = 8, minCosine = 0.999, iters = 2, trainFraction = 0.5)
+      val input = e.unionByName(dups)
+      Dedup.semDedup(input, "vec_id", "embedding",
+        cells = Dedup.cellsFor(input.count()), minCosine = 0.999,
+        iters = 2, trainFraction = 0.5)
     }),
     "q_embedding_neardup" -> ((s, dir) => {
       val e = table(s, dir, "embeddings").where(col("vec_id") < 100)

@@ -486,6 +486,15 @@ object Dedup {
     }
   }
 
+  /** Cells needed so the EXPECTED quantizer-cell occupancy is ≤
+    * `targetCellSize` — the [[semDedup]] scaladoc's "pick cells ≈ n /
+    * targetCellSize" as a callable, mirroring [[planesFor]]: the within-cell
+    * self-join is then O(n·target) rows at ANY corpus size instead of
+    * O(n²/cells-fixed). SemDeDup's own LAION-440M run uses 50k clusters —
+    * exactly this ratio at target ≈ 9k. */
+  def cellsFor(n: Long, targetCellSize: Int = 256): Int =
+    math.max(1, math.ceil(n.toDouble / targetCellSize).toInt)
+
   /** Planes needed so the EXPECTED sign-bucket occupancy is ≤ `targetBucketSize`
     * (buckets = 2^planes): the in-bucket self-join is then O(n·target) rows
     * instead of O(n²/2^planes-fixed). */

@@ -266,9 +266,11 @@ object Fixtures {
     // sequential twin trains the same quantizer protocol, brute-forces
     // within-cell pairs, and union-finds components (no float columns in
     // the output, so the compare is exact)
+    val semInput = embAll ++ emb100.map { case (id, v) => (id + 100000L, v) }
     write("q_semdedup",
-      SeqOracle.semDedup(embAll ++ emb100.map { case (id, v) => (id + 100000L, v) },
-          cells = 8, minCosine = 0.999, iters = 2, trainFraction = 0.5)
+      SeqOracle.semDedup(semInput,
+          cells = graft.ops.Dedup.cellsFor(semInput.size.toLong),
+          minCosine = 0.999, iters = 2, trainFraction = 0.5)
         .toDF("vec_id", "cell", "component", "is_canonical"))
 
     // PDF pages: GENERATOR INTENT (what the builder put into each page),
