@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
   * behavior at sf0.1.
   *
   * The 10× replica is synthesized (BASELINE.json mandates no external data):
-  * replica r offsets every id by r·10⁷ and suffixes every document token
-  * with a LETTER marker "x{a..j}", so replicas are textually DISJOINT from
-  * the base corpus and from each other UNDER THE DEDUP TOKENIZER — which
+  * replica r (1..9; replica 0 is the raw base) offsets every id by r·10⁷
+  * and suffixes every document token with a LETTER marker "x{b..j}", so
+  * replicas are textually DISJOINT from the base corpus
+  * and from each other UNDER THE DEDUP TOKENIZER — which
   * lowercases and splits on [^a-z]+ (Dedup.tokenizeFast). The first version
   * of this builder used digit suffixes "x$r"; the tokenizer strips digits,
   * so "wordx1".."wordx9" all collapsed to the token "wordx" and replicas
@@ -75,10 +76,13 @@ object SfSweep {
     val counts = (ScaledTables.map(t => (t, Factor)) ++ FixedTables.map(t => (t, 1)))
       .map { case (t, f) =>
         val base = s.read.parquet(s"$src/$t.parquet")
+        // coalesce: sum over zero rows is null — an empty source table must
+        // manifest as hash 0, not NPE the builder
         val row = base.agg(
           count(lit(1)).as("n"),
-          sum(xxhash64(base.columns.map(col): _*)
-            .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("h")).head()
+          coalesce(sum(xxhash64(base.columns.map(col): _*)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+            lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("h")).head()
         val h = row.getDecimal(1).toBigInteger
         s""""$t":{"rows":${row.getLong(0) * f},"hash":$h}"""
       }.mkString(",")

@@ -636,15 +636,22 @@ object SparkEntry {
     // SemDeDup (Abbas et al. 2023): trained-quantizer blocking + within-cell
     // cosine pairs + connected-components canonical survivors. Cells scale
     // with the corpus (cellsFor: occupancy-bounded, the paper's cells ≈
-    // n/target) so the within-cell pair work stays linear at any sf — the
+    // n/target) so the within-cell pair work scales with n, not n²/cells —
+    // the assignment argmin is O(n·cells·dim), which is why cellsFor caps
+    // cells and semDedup offers maxCellSize sub-blocking past the cap. The
     // fixture twin computes the identical formula from the same input size.
     "q_semdedup" -> ((s, dir) => {
       val e = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val dups = e.where(col("vec_id") < 100)
         .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
-      val input = e.unionByName(dups)
-      Dedup.semDedup(input, "vec_id", "embedding",
-        cells = Dedup.cellsFor(input.count()), minCosine = 0.999,
+      // size cells from ONE aggregation pass (total + dup-eligible rows):
+      // input.count() would add a full union scan on top of semDedup's own
+      // train/assign passes just to pick a parameter
+      val sizes = e.agg(count(lit(1)),
+        count(when(col("vec_id") < 100, 1))).head()
+      val n = sizes.getLong(0) + sizes.getLong(1)
+      Dedup.semDedup(e.unionByName(dups), "vec_id", "embedding",
+        cells = Dedup.cellsFor(n), minCosine = 0.999,
         iters = 2, trainFraction = 0.5)
     }),
     "q_embedding_neardup" -> ((s, dir) => {

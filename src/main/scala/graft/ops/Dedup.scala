@@ -489,11 +489,21 @@ object Dedup {
   /** Cells needed so the EXPECTED quantizer-cell occupancy is ≤
     * `targetCellSize` — the [[semDedup]] scaladoc's "pick cells ≈ n /
     * targetCellSize" as a callable, mirroring [[planesFor]]: the within-cell
-    * self-join is then O(n·target) rows at ANY corpus size instead of
-    * O(n²/cells-fixed). SemDeDup's own LAION-440M run uses 50k clusters —
-    * exactly this ratio at target ≈ 9k. */
-  def cellsFor(n: Long, targetCellSize: Int = 256): Int =
-    math.max(1, math.ceil(n.toDouble / targetCellSize).toInt)
+    * self-join is then O(n·target) rows instead of O(n²/cells-fixed).
+    * SemDeDup's own LAION-440M run uses 50k clusters — this ratio at
+    * target ≈ 9k.
+    *
+    * NOT free: Lloyd's training and the per-row argmin assignment cost
+    * O(iters·n·cells·dim), so cells ∝ n makes ASSIGNMENT the quadratic
+    * stage. `maxCells` caps it (default 2¹⁶ — at the LAION-scale target
+    * occupancy that covers ~10⁹ rows); past the cap, occupancy grows with n
+    * again and the caller should bound the within-cell join with
+    * [[semDedup]]'s `maxCellSize` sub-blocking, which is O(log cell-size)
+    * sign-planes per oversized cell instead of more centroids. */
+  def cellsFor(n: Long, targetCellSize: Int = 256,
+               maxCells: Int = 1 << 16): Int =
+    math.min(maxCells,
+      math.max(1, math.ceil(n.toDouble / targetCellSize).toInt))
 
   /** Planes needed so the EXPECTED sign-bucket occupancy is ≤ `targetBucketSize`
     * (buckets = 2^planes): the in-bucket self-join is then O(n·target) rows

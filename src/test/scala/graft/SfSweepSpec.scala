@@ -12,11 +12,17 @@ import org.scalatest.funsuite.AnyFunSuite
 class SfSweepSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
   private val src = "/root/testdata/sf0.001"
+  // ONE replica build shared by both tests — the multi-table 10× build is
+  // the suite's most expensive fixture, and both tests only read it
+  private lazy val dst = {
+    val d = Files.createTempDirectory("graft-replica").toString
+    SfSweep.buildReplica(spark, src, d)
+    d
+  }
 
   test("buildReplica writes all tables, a manifest, and resumes idempotently") {
     assume(Files.exists(Paths.get(src)), s"testdata missing at $src")
-    val dst = Files.createTempDirectory("graft-replica").toString
-    SfSweep.buildReplica(spark, src, dst)
+    dst
     for (t <- Seq("documents", "embeddings", "events", "customer", "orders",
                   "part", "supplier", "lineitem", "region", "nation"))
       assert(Files.exists(Paths.get(s"$dst/$t.parquet/_SUCCESS")), s"missing $t")
@@ -52,26 +58,26 @@ class SfSweepSpec extends AnyFunSuite {
     // Regression: digit suffixes "x1".."x9" collapse to the same token under
     // the [^a-z]+ tokenizer (digits stripped), making replicas 1..9 token-
     // level clones — near-dup sweeps then measure an artificial n² duplicate
-    // clique, not data scale. Letter suffixes must keep every replica's
-    // token stream distinct from every other's and from the base.
+    // clique, not data scale. The property under test: no non-empty token
+    // stream appears in more than one replica. (NOT an exact 10×-distinct
+    // count: the suffix transform is only stream-injective for pure-letter
+    // text, so a testdata regen containing digits/punctuation could shift
+    // per-replica distinct counts while disjointness still holds.)
     assume(Files.exists(Paths.get(src)), s"testdata missing at $src")
-    val dst = Files.createTempDirectory("graft-replica-tok").toString
-    SfSweep.buildReplica(spark, src, dst)
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$dst/documents.parquet")
-    val total = docs.count()
     // same tokenizer semantics as Dedup.tokenizeFast (Column-spec twin)
-    val tokenized = docs.select(
-      array_join(graft.ops.TextAnalysis.tokens(col("text")), " ").as("tok"))
-    val distinctTok = tokenized.distinct().count()
-    val distinctBase = spark.read.parquet(s"$src/documents.parquet")
-      .select(array_join(graft.ops.TextAnalysis.tokens(col("text")), " ").as("tok"))
-      .distinct().count()
-    // every replica contributes its own distinct token streams: 10× the
-    // base's distinct count (exact because suffixing is injective per
-    // replica and replicas never share a suffix)
-    assert(distinctTok == distinctBase * 10,
-      s"cross-replica token-stream clones: $distinctTok distinct of $total " +
-        s"(base distinct $distinctBase — digit-suffix regression?)")
+    val perStream = docs.select(
+        (col("doc_id") / 10000000L).cast("long").as("replica"),
+        array_join(graft.ops.TextAnalysis.tokens(col("text")), " ").as("tok"))
+      .where(length(col("tok")) > 0)
+      .groupBy("tok").agg(countDistinct(col("replica")).as("replicas"))
+    val clones = perStream.where(col("replicas") > 1).count()
+    assert(clones == 0,
+      s"$clones token streams shared across replicas — digit-suffix regression?")
+    // and the build is not degenerate: every replica contributes streams
+    assert(perStream.count() >=
+      spark.read.parquet(s"$src/documents.parquet").count(),
+      "replica token streams missing")
   }
 }
