@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Quantization scale for bit-reproducible quantizer training: per-dim
+    * sums accumulate as longs of x·2⁴⁰ (truncation toward zero), so the
+    * trained centroids are identical under any partition/merge order.
+    * Shared by [[trainIvf]] and [[trainPq]] and mirrored by the sequential
+    * oracle twins. */
+  private[graft] val TrainQ = (1L << 40).toDouble
+
   /** Σ aᵢ·bᵢ over two float-array columns. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
@@ -257,17 +264,25 @@ object Similarity {
       // collect — a large quantizer times many iterations must not pile up
       // broadcasts for the session lifetime
       val (cellOf, bcHandle) = nearestCellKernelTracked(df.sparkSession, centroids)
+      // QUANTIZED-LONG sums (x·2⁴⁰ truncated toward zero), like trainPq:
+      // long addition is associative-commutative, so the centroid means are
+      // bit-identical under ANY partition/merge order — double sums here
+      // would make the trained quantizer depend on executor scheduling at
+      // cluster scale (and desynchronize the sequential oracle twins)
       val sums = train
         .withColumn("cell", cellOf(col("v")))
         .select(col("cell"), posexplode(col("v")).as(Seq("j", "x")))
-        .groupBy("cell", "j").agg(sum("x").as("sx"), count(lit(1)).as("n"))
+        .select(col("cell"), col("j"), (col("x") * TrainQ).cast("long").as("xq"))
+        .groupBy("cell", "j").agg(sum("xq").as("sq"), count(lit(1)).as("n"))
         .collect()
       bcHandle.destroy()
       val byCell = sums.groupBy(_.getInt(0))
       centroids = centroids.zipWithIndex.map { case (old, c) =>
         byCell.get(c) match {
           case Some(rows) =>
-            rows.sortBy(_.getInt(1)).map(r => r.getDouble(2) / r.getLong(3)).toIndexedSeq
+            rows.sortBy(_.getInt(1))
+              .map(r => (r.getLong(2).toDouble / r.getLong(3)) / TrainQ)
+              .toIndexedSeq
           case None => old // empty cell: keep previous centroid
         }
       }

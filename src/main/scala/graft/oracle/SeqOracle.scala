@@ -354,13 +354,16 @@ object SeqOracle {
 
   /** The ONE sequential twin of Similarity.trainIvf's Lloyd's protocol —
     * first-C-vectors-by-id init, deterministic xxh64 hash-sample, first-min
-    * argmin assignment, per-cell mean update with empty cells keeping their
-    * centroid. Shared by [[ivfTrainedTopK]] and [[semDedup]] so a protocol
-    * change (sample seed, empty-cell rule, init order) cannot desynchronize
-    * one oracle from the other.
+    * argmin assignment, per-cell QUANTIZED-LONG mean update (`(x·2⁴⁰)
+    * .toLong` truncation toward zero, so the distributed trainer is
+    * bit-identical under any merge order AND to this twin), empty cells
+    * keeping their centroid. Shared by [[ivfTrainedTopK]] and [[semDedup]]
+    * so a protocol change (sample seed, empty-cell rule, init order,
+    * quantization) cannot desynchronize one oracle from the other.
     */
   private def trainCentroids(vecs: Seq[(Long, Seq[Float])], cells: Int,
                              iters: Int, trainFraction: Double): Seq[Seq[Double]] = {
+    val Q = (1L << 40).toDouble
     val mod = math.max(1L, (1.0 / trainFraction).toLong)
     val sample =
       if (trainFraction >= 1.0) vecs
@@ -375,10 +378,11 @@ object SeqOracle {
         byCell.get(c) match {
           case Some(ms) =>
             val dim = old.length
-            val sums = new Array[Double](dim)
+            val sums = new Array[Long](dim)
             ms.foreach { case (_, v) =>
-              var j = 0; while (j < dim) { sums(j) += v(j).toDouble; j += 1 } }
-            sums.map(_ / ms.length).toIndexedSeq
+              var j = 0
+              while (j < dim) { sums(j) += (v(j).toDouble * Q).toLong; j += 1 } }
+            sums.map(s => (s.toDouble / ms.length) / Q).toIndexedSeq
           case None => old
         }
       }
