@@ -624,7 +624,8 @@ object SparkEntry {
     }),
     // IVF-PQ composed (FAISS IVFADC layout): coarse cells + shared PQ on
     // residuals + per-cell ADC probe — cells partition-prune, codes replace
-    // the float column; fixture = independent seq twin
+    // the float column; TRUE SQL oracle re-derives assignment + encode +
+    // probe + ADC + topk in DuckDB from the engine-exported model
     "q_ann_ivfpq" -> ((s, dir) => {
       import s.implicits._
       val e = table(s, dir, "embeddings")
@@ -1280,7 +1281,11 @@ $accept"""
     // TRUE SQL: encode + ADC + top-k re-derived in DuckDB from the
     // engine-exported codebooks (exact unrolled arithmetic, no fixture rows)
     "q_ann_pq" -> graft.oracle.Fixtures.pqTrueSql(m = 8, subDim = 8, k = 10),
-    "q_ann_ivfpq" -> graft.oracle.Fixtures.sql("q_ann_ivfpq"),
+    // TRUE SQL: coarse assignment + residual encode + probe selection +
+    // per-cell ADC + top-k re-derived in DuckDB from the engine-exported
+    // centroids/codebooks
+    "q_ann_ivfpq" -> graft.oracle.Fixtures.ivfPqTrueSql(
+      cells = 8, m = 8, subDim = 8, k = 10, nProbe = 4),
     "q_semdedup" -> graft.oracle.Fixtures.sql("q_semdedup"),
     "q_pdf_pages" -> graft.oracle.Fixtures.sql("q_pdf_pages"),
     "q_bpe_merges" -> graft.oracle.Fixtures.sql("q_bpe_merges"),

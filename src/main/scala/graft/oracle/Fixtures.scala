@@ -68,6 +68,89 @@ object Fixtures {
        |FROM scored ORDER BY $total, vec_id LIMIT $k""".stripMargin
   }
 
+  /** TRUE-SQL oracle for q_ann_ivfpq (the composed IVFADC layout): DuckDB
+    * re-derives the coarse assignment (argmin cell over the exported
+    * centroids), the residual PQ ENCODE (argmin code per subspace over the
+    * exported codebooks), the query's nProbe-cell selection, the per-cell
+    * ADC tables from the query's residuals, and the ADC top-k. Only
+    * quantizer TRAINING stays engine-side — both the coarse trainer
+    * (`Similarity.trainIvf`) and the residual-PQ trainer (`trainPq`) use
+    * quantized-long sums, so the exported artifacts are bit-reproducible
+    * and pinned engine-vs-seq-twin in OpsSpec at the driver's exact params.
+    * Every squared distance is UNROLLED into left-to-right double additions
+    * in index order, and the residual delta keeps the engine's
+    * `(v − cellCentroid) − codebookCentroid` association — both sides
+    * produce bit-identical doubles, so argmin/probe/top-k selection is
+    * exact, not tolerance-based (first-min tie-breaks become
+    * `ORDER BY d2, cell|code`). */
+  def ivfPqTrueSql(cells: Int = 8, m: Int = 8, subDim: Int = 8, k: Int = 10,
+                   nProbe: Int = 4): String = {
+    val dim = m * subDim
+    // ||x − cellCentroid||² over the full vector, index-order accumulation —
+    // nearestCellKernel's loop
+    def cellDist(vec: String): String = (0 until dim).map { j =>
+      val t = s"($vec[${j + 1}]::DOUBLE - cc.centroid[${j + 1}])"
+      s"$t * $t"
+    }.mkString(" + ")
+    // ||(x − cellCentroid)_sub − codebookCentroid||² — residual first, then
+    // the codebook delta (the engine's association), index-order accumulation
+    def residDist(vec: String): String = (0 until subDim).map { j =>
+      val idx = s"cb.sub*$subDim+${j + 1}"
+      val t = s"(($vec[$idx]::DOUBLE - cc.centroid[$idx]) - cb.centroid[${j + 1}])"
+      s"$t * $t"
+    }.mkString(" + ")
+    val pivots = (0 until m).map(s =>
+      s"MAX(CASE WHEN enc.sub = $s THEN adc.qd2 END) AS t$s").mkString(", ")
+    val total = (0 until m).map(s => s"t$s").mkString(" + ")
+    s"""WITH cc AS MATERIALIZED (
+       |  SELECT cell, centroid
+       |  FROM parquet_scan('$dir/q_ann_ivfpq_centroids/*.parquet')
+       |), cb AS MATERIALIZED (
+       |  SELECT sub, code, centroid
+       |  FROM parquet_scan('$dir/q_ann_ivfpq_codebooks/*.parquet')
+       |), e AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+       |), q AS MATERIALIZED (
+       |  SELECT embedding FROM embeddings WHERE vec_id = 0
+       |), ed AS (
+       |  SELECT e.vec_id, cc.cell, ${cellDist("e.embedding")} AS d2
+       |  FROM e CROSS JOIN cc
+       |), ea AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+       |    FROM ed) WHERE rn = 1
+       |), qd AS (
+       |  SELECT cc.cell, ${cellDist("q.embedding")} AS d2
+       |  FROM cc CROSS JOIN q
+       |), qc AS MATERIALIZED (
+       |  SELECT cell FROM (
+       |    SELECT cell, row_number() OVER (ORDER BY d2, cell) AS rn
+       |    FROM qd) WHERE rn <= $nProbe
+       |), encd AS (
+       |  SELECT e.vec_id, ea.cell, cb.sub, cb.code, ${residDist("e.embedding")} AS d2
+       |  FROM e JOIN ea ON ea.vec_id = e.vec_id
+       |         JOIN cc ON cc.cell = ea.cell
+       |         CROSS JOIN cb
+       |), enc AS (
+       |  SELECT vec_id, cell, sub, code FROM (
+       |    SELECT vec_id, cell, sub, code,
+       |           row_number() OVER (PARTITION BY vec_id, sub
+       |                              ORDER BY d2, code) AS rn
+       |    FROM encd) WHERE rn = 1
+       |), adc AS (
+       |  SELECT cc.cell, cb.sub, cb.code, ${residDist("q.embedding")} AS qd2
+       |  FROM cc JOIN qc ON qc.cell = cc.cell CROSS JOIN cb CROSS JOIN q
+       |), scored AS (
+       |  SELECT enc.vec_id, $pivots
+       |  FROM enc JOIN adc ON adc.cell = enc.cell AND adc.sub = enc.sub
+       |                   AND adc.code = enc.code
+       |  GROUP BY enc.vec_id
+       |)
+       |SELECT vec_id, ROUND($total, 6) AS adc_d2
+       |FROM scored ORDER BY $total, vec_id LIMIT $k""".stripMargin
+  }
+
   def writeAll(spark: SparkSession, sfDir: String): Unit = {
     import spark.implicits._
     val site = graft.SparkEntry.siteCfg
@@ -255,12 +338,24 @@ object Fixtures {
       (for { s <- 0 until cbPq.m; c <- 0 until cbPq.k }
         yield (s, c, cbPq.centroids(s)(c).toSeq)).toDF("sub", "code", "centroid"))
 
-    write("q_ann_ivfpq",
-      SeqOracle.ivfPqTopK(embAll, q0, k = 10, cells = 8, m = 8, cbk = 16,
-          iters = 3, trainFraction = 0.5, nProbe = 4)
-        .map { case (id, d) =>
-          (id, BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
-        .toDF("vec_id", "adc_d2"))
+    // q_ann_ivfpq is a TRUE SQL oracle ([[ivfPqTrueSql]]): only the trained
+    // coarse centroids + residual codebooks are exported — assignment,
+    // encode, probe selection, per-cell ADC tables, and the top-k are all
+    // re-derived arithmetically in DuckDB. Both trainers are
+    // bit-reproducible (quantized-long sums) and the composed search is
+    // pinned engine-vs-seq-twin in OpsSpec at these exact params, so the
+    // export shares a VERIFIED artifact, not an answer.
+    val ivfPqModel = graft.ops.Similarity.trainIvfPq(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"),
+      "vec_id", "embedding", cells = 8, m = 8, cbk = 16, iters = 3,
+      trainFraction = 0.5)._1
+    write("q_ann_ivfpq_centroids",
+      ivfPqModel.centroids.zipWithIndex
+        .map { case (c, i) => (i, c) }.toDF("cell", "centroid"))
+    write("q_ann_ivfpq_codebooks",
+      (for { s <- 0 until ivfPqModel.cb.m; c <- 0 until ivfPqModel.cb.k }
+        yield (s, c, ivfPqModel.cb.centroids(s)(c).toSeq))
+        .toDF("sub", "code", "centroid"))
 
     // SemDeDup: full table + exact duplicates of the first 100 — the
     // sequential twin trains the same quantizer protocol, brute-forces

@@ -310,6 +310,24 @@ class OpsSpec extends AnyFunSuite {
     assert(engine == twin, s"engine $engine vs twin $twin")
   }
 
+  test("ivf-pq: engine equals the independent sequential twin at driver params") {
+    import graft.ops.Similarity
+    // the driver's q_ann_ivfpq protocol (cells=8, m=8, cbk=16, iters=3,
+    // half-sample training, nProbe=4) — the seq twin re-derives BOTH
+    // trainers and the composed search from scratch, keeping training
+    // independently verified now that the driver oracle re-derives only
+    // assignment+encode+probe+ADC+topk from the exported model
+    val vecs = embs.select(col("vec_id"), col("embedding"))
+    val q = vecs.where(col("vec_id") === 0).select("embedding").as[Seq[Float]].head()
+    val engine = Similarity.ivfPqTopK(vecs, "vec_id", "embedding", q, 10,
+        cells = 8, m = 8, cbk = 16, iters = 3, trainFraction = 0.5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val seqVecs = vecs.as[(Long, Seq[Float])].collect().toSeq
+    val twin = graft.oracle.SeqOracle.ivfPqTopK(seqVecs, q, k = 10, cells = 8,
+      m = 8, cbk = 16, iters = 3, trainFraction = 0.5, nProbe = 4)
+    assert(engine == twin, s"engine $engine vs twin $twin")
+  }
+
   test("embedding near-dup: a null vector drops the row, not the job") {
     val vecs = embs.select(col("vec_id"), col("embedding")).where(col("vec_id") < 20)
     val withNull = vecs
