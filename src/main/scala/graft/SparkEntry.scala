@@ -551,8 +551,9 @@ object SparkEntry {
       Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 10)
         .withColumn("sim", round(col("sim"), 4))
     }),
-    // ANN variants: hash-defined bucketing, ScalaTest-verified (subset +
-    // self-hit properties); rows-only here
+    // sign-bucket LSH with 1-bit-flip multi-probe; TRUE SQL oracle
+    // re-derives buckets + probes + exact cosine from the exported
+    // hyperplane matrix
     "q_ann_lsh_topk" -> ((s, dir) => {
       import s.implicits._
       val e = table(s, dir, "embeddings")
@@ -1260,6 +1261,56 @@ $accept"""
         |FROM a3""".stripMargin
   }
 
+  /** TRUE-SQL oracle for q_pagerank: DuckDB re-runs the ENTIRE fixed-point
+    * PageRank — the driver query's doc-id-arithmetic edge set, then `iters`
+    * chained CTE iterations of PageRank.step's exact integer recurrence
+    * (`damp(x) = (x div 100)·85 + ((x mod 100)·85) div 100`, per-edge
+    * `damped div deg`, dangling `sum div n`, teleport constant). All values
+    * are longs on both sides — bit-exact, no exported artifact, no
+    * tolerance. Chained (non-recursive) CTEs sidestep the single-reference
+    * restriction of recursive CTEs: each iteration reads the previous rank
+    * table three ways (damped, dangling aggregate, in-mass join). */
+  private def pageRankTrueSql(iters: Int, massBits: Int): String = {
+    val unit = 1L << massBits
+    val teleport = unit - graft.ops.PageRank.damp(unit)
+    val iterCtes = (1 to iters).map { k =>
+      s"""d$k AS (
+         |  SELECT r.id, o.deg,
+         |         (r.rank // 100) * 85 + ((r.rank % 100) * 85) // 100 AS damped
+         |  FROM r${k - 1} r LEFT JOIN outdeg o ON o.src = r.id),
+         |ds$k AS (
+         |  SELECT COALESCE(SUM(CASE WHEN deg IS NULL THEN damped END)::BIGINT, 0)
+         |           // (SELECT COUNT(*) FROM nodes) AS share
+         |  FROM d$k),
+         |r$k AS (
+         |  SELECT n.id,
+         |         $teleport + COALESCE(im.in_mass, 0) + ds.share AS rank
+         |  FROM nodes n
+         |  LEFT JOIN (
+         |    SELECT e.dst AS id, SUM(d.damped // d.deg)::BIGINT AS in_mass
+         |    FROM edges e JOIN d$k d ON d.id = e.src AND d.deg IS NOT NULL
+         |    GROUP BY e.dst) im ON im.id = n.id
+         |  CROSS JOIN ds$k ds)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH s AS (
+       |  SELECT doc_id::BIGINT AS src FROM documents
+       |  WHERE doc_id < 500 AND doc_id % 5 <> 0
+       |), edges AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, (src * 7 + 1) % 500 AS dst FROM s
+       |    UNION ALL SELECT src, (src * 13 + 3) % 500 FROM s
+       |    UNION ALL SELECT src, 0 FROM s)
+       |), nodes AS MATERIALIZED (
+       |  SELECT src AS id FROM edges UNION SELECT dst FROM edges
+       |), outdeg AS MATERIALIZED (
+       |  SELECT src, COUNT(*)::BIGINT AS deg FROM edges GROUP BY src
+       |), r0 AS (
+       |  SELECT id, $unit::BIGINT AS rank FROM nodes
+       |),
+       |$iterCtes
+       |SELECT id, rank FROM r$iters""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     // ---- expected-result fixtures (sequential oracles / generator intent /
     // reference-derived goldens), written by Verify → graft.oracle.Fixtures
@@ -1276,8 +1327,15 @@ $accept"""
     "q_quality_classifier" -> graft.oracle.Fixtures.sql("q_quality_classifier"),
     "q_simhash_pairs" -> graft.oracle.Fixtures.sql("q_simhash_pairs"),
     "q_embedding_neardup" -> graft.oracle.Fixtures.sql("q_embedding_neardup"),
-    "q_ann_lsh_topk" -> graft.oracle.Fixtures.sql("q_ann_lsh_topk"),
-    "q_ann_ivf_trained" -> graft.oracle.Fixtures.sql("q_ann_ivf_trained"),
+    // TRUE SQL: sign-buckets + multi-probe set + exact float-multiply
+    // cosine + top-k re-derived in DuckDB from the exported (data-
+    // independent) hyperplane matrix
+    "q_ann_lsh_topk" -> graft.oracle.Fixtures.lshTrueSql(
+      planes = 6, dim = 64, k = 10),
+    // TRUE SQL: coarse assignment + probe selection + exact cosine + top-k
+    // re-derived in DuckDB from the engine-exported trained centroids
+    "q_ann_ivf_trained" -> graft.oracle.Fixtures.ivfTrainedTrueSql(
+      cells = 8, dim = 64, k = 10, nProbe = 4),
     // TRUE SQL: encode + ADC + top-k re-derived in DuckDB from the
     // engine-exported codebooks (exact unrolled arithmetic, no fixture rows)
     "q_ann_pq" -> graft.oracle.Fixtures.pqTrueSql(m = 8, subDim = 8, k = 10),
@@ -1286,7 +1344,10 @@ $accept"""
     // centroids/codebooks
     "q_ann_ivfpq" -> graft.oracle.Fixtures.ivfPqTrueSql(
       cells = 8, m = 8, subDim = 8, k = 10, nProbe = 4),
-    "q_semdedup" -> graft.oracle.Fixtures.sql("q_semdedup"),
+    // TRUE SQL: coarse assignment + within-cell exact cosine pairs +
+    // recursive-CTE components + min-id canonical re-derived in DuckDB from
+    // the engine-exported trained centroids
+    "q_semdedup" -> graft.oracle.Fixtures.semDedupTrueSql(dim = 64),
     "q_pdf_pages" -> graft.oracle.Fixtures.sql("q_pdf_pages"),
     "q_bpe_merges" -> graft.oracle.Fixtures.sql("q_bpe_merges"),
     "q_bpe_tokens" -> graft.oracle.Fixtures.sql("q_bpe_tokens"),
@@ -1344,9 +1405,12 @@ $accept"""
         |            WHEN kind = 'video' THEN 2 + doc_id % 4
         |            ELSE 0 END AS INTEGER) AS n_frames
         |FROM v""".stripMargin,
-    // fixture: independent sequential PageRank with identical quantized long
-    // arithmetic — bit-exact, no tolerance
-    "q_pagerank" -> graft.oracle.Fixtures.sql("q_pagerank"),
+    // TRUE SQL: the whole fixed-point PageRank re-derived in DuckDB — edges
+    // from the same doc-id arithmetic, then `iters` chained CTE iterations
+    // of the exact integer recurrence (damp, floor divisions, dangling
+    // share); every value is a long on both sides, so the compare is
+    // bit-exact with NO exported artifact at all
+    "q_pagerank" -> pageRankTrueSql(iters = 8, massBits = 32),
     // TRUE oracle: token-set overlap over the same lowercase letter-run
     // tokenizer — substring hits must NOT count
     "q_blocklist" ->

@@ -103,6 +103,15 @@ object Similarity {
       }),
       lit(0L), (acc, bit) => acc.bitwiseOR(bit))
 
+  /** ±1 hyperplane component for (plane p, dim j) as a driver-side scalar —
+    * the exact xxh64 chain of [[signBucketFast]] (seed 42, IntegerType hash
+    * chaining), exposed so the LSH oracle export shares the one definition.
+    * Any drift from the kernel fails the driver compare, not silently. */
+  private[graft] def planeSign(p: Int, j: Int): Double = {
+    val seedP = graft.core.Xxh64.hashInt(p, 42L)
+    if ((graft.core.Xxh64.hashInt(j, seedP) & 1L) == 1L) 1.0 else -1.0
+  }
+
   /** Compiled per-row twin of [[signBucket]] — BIT-IDENTICAL to the Column
     * spec form (asserted by OpsSpec): Spark 4 interprets HOF lambdas, so the
     * hot bucketing path runs as a JVM kernel while the Column form stays the

@@ -151,6 +151,175 @@ object Fixtures {
        |FROM scored ORDER BY $total, vec_id LIMIT $k""".stripMargin
   }
 
+  /** Bit-exact SQL form of the engine's float-multiply dot product
+    * (`Similarity.dot`): Spark's `zip_with(a, b, _ * _)` multiplies in
+    * FLOAT and widens each product into the double accumulator. The double
+    * product of two floats is EXACT (24-bit mantissas), and IEEE float
+    * multiplication is that exact product correctly rounded — so
+    * `(a::DOUBLE * b::DOUBLE)::REAL::DOUBLE` reproduces the JVM float
+    * multiply bit-for-bit. Terms add left-to-right in index order,
+    * matching the aggregate fold. */
+  private def dotFSql(a: String, b: String, dim: Int): String =
+    (0 until dim).map(j =>
+      s"(($a[${j + 1}]::DOUBLE * $b[${j + 1}]::DOUBLE)::REAL::DOUBLE)")
+      .mkString(" + ")
+
+  /** The engine cosine (`Similarity.cosine`) over one data vector and the
+    * q CTE's vector: `when(norm·norm = 0, 0).otherwise(dot / (norm·norm))`
+    * with qn.nq the pre-computed query norm. */
+  private def cosineSql(vec: String, dim: Int): String = {
+    val den = s"sqrt(${dotFSql(vec, vec, dim)}) * qn.nq"
+    s"CASE WHEN $den = 0 THEN 0.0 ELSE (${dotFSql(vec, "q.embedding", dim)}) / ($den) END"
+  }
+
+  /** TRUE-SQL oracle for q_ann_ivf_trained: DuckDB re-derives the coarse
+    * argmin assignment over the ENGINE-EXPORTED trained centroids
+    * (bit-reproducible quantized-long Lloyd's, pinned engine-vs-seq-twin
+    * in OpsSpec), the query's nProbe-cell selection, the exact
+    * float-multiply cosine within the probed cells, and the (sim DESC, id)
+    * top-k. All squared distances unroll left-to-right in index order —
+    * both sides produce bit-identical doubles, raw (unrounded) sim
+    * included. */
+  def ivfTrainedTrueSql(cells: Int = 8, dim: Int = 64, k: Int = 10,
+                        nProbe: Int = 4): String = {
+    def cellDist(vec: String): String = (0 until dim).map { j =>
+      val t = s"($vec[${j + 1}]::DOUBLE - cc.centroid[${j + 1}])"
+      s"$t * $t"
+    }.mkString(" + ")
+    s"""WITH cc AS MATERIALIZED (
+       |  SELECT cell, centroid
+       |  FROM parquet_scan('$dir/q_ann_ivf_centroids/*.parquet')
+       |), e AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings
+       |), q AS MATERIALIZED (
+       |  SELECT embedding FROM embeddings WHERE vec_id = 0
+       |), ed AS (
+       |  SELECT e.vec_id, cc.cell, ${cellDist("e.embedding")} AS d2
+       |  FROM e CROSS JOIN cc
+       |), ea AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+       |    FROM ed) WHERE rn = 1
+       |), qd AS (
+       |  SELECT cc.cell, ${cellDist("q.embedding")} AS d2
+       |  FROM cc CROSS JOIN q
+       |), qc AS MATERIALIZED (
+       |  SELECT cell FROM (
+       |    SELECT cell, row_number() OVER (ORDER BY d2, cell) AS rn
+       |    FROM qd) WHERE rn <= $nProbe
+       |), qn AS MATERIALIZED (
+       |  SELECT sqrt(${dotFSql("q.embedding", "q.embedding", dim)}) AS nq FROM q
+       |), scored AS (
+       |  SELECT e.vec_id, ${cosineSql("e.embedding", dim)} AS sim
+       |  FROM e JOIN ea ON ea.vec_id = e.vec_id
+       |         JOIN qc ON qc.cell = ea.cell
+       |         CROSS JOIN q CROSS JOIN qn
+       |)
+       |SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT $k""".stripMargin
+  }
+
+  /** TRUE-SQL oracle for q_ann_lsh_topk: DuckDB re-derives the sign-bucket
+    * of every vector over the EXPORTED ±1 hyperplane matrix (a
+    * data-independent constant — `Similarity.planeSign`'s xxh64 chain, the
+    * exact kernel definition), the query bucket, the multi-probe set
+    * (bucket plus every 1-bit flip), the exact float-multiply cosine over
+    * the probed buckets, and the (sim DESC, id) top-k. Projections are
+    * float·(±1.0) products — exact in either engine — summed left-to-right
+    * in index order; bucket bits assemble as sums of distinct powers of
+    * two, order-invariant. */
+  def lshTrueSql(planes: Int = 6, dim: Int = 64, k: Int = 10): String = {
+    def proj(vec: String): String = (0 until dim).map(j =>
+      s"($vec[${j + 1}]::DOUBLE * pl.plane[${j + 1}])").mkString(" + ")
+    s"""WITH pl AS MATERIALIZED (
+       |  SELECT p, plane
+       |  FROM parquet_scan('$dir/q_ann_lsh_planes/*.parquet')
+       |), e AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings
+       |), q AS MATERIALIZED (
+       |  SELECT embedding FROM embeddings WHERE vec_id = 0
+       |), eproj AS (
+       |  SELECT e.vec_id, pl.p, ${proj("e.embedding")} AS proj
+       |  FROM e CROSS JOIN pl
+       |), ebuck AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         SUM(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+       |  FROM eproj GROUP BY vec_id
+       |), qproj AS (
+       |  SELECT pl.p, ${proj("q.embedding")} AS proj
+       |  FROM pl CROSS JOIN q
+       |), qb AS MATERIALIZED (
+       |  SELECT SUM(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+       |  FROM qproj
+       |), probes AS (
+       |  SELECT xor(qb.bucket, (1::BIGINT << pp.p)) AS b
+       |  FROM qb CROSS JOIN (SELECT DISTINCT p FROM pl) pp
+       |  UNION ALL SELECT bucket FROM qb
+       |), qn AS MATERIALIZED (
+       |  SELECT sqrt(${dotFSql("q.embedding", "q.embedding", dim)}) AS nq FROM q
+       |), scored AS (
+       |  SELECT e.vec_id, ${cosineSql("e.embedding", dim)} AS sim
+       |  FROM e JOIN ebuck ON ebuck.vec_id = e.vec_id
+       |         CROSS JOIN q CROSS JOIN qn
+       |  WHERE ebuck.bucket IN (SELECT b FROM probes)
+       |)
+       |SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT $k""".stripMargin
+  }
+
+  /** TRUE-SQL oracle for q_semdedup: DuckDB re-derives the coarse argmin
+    * assignment over the ENGINE-EXPORTED trained centroids (bit-reproducible
+    * quantized-long Lloyd's), every within-cell pair's exact float-multiply
+    * cosine against the 0.999 threshold, the transitive closure (recursive
+    * CTE, same pattern as q_dedup_clusters), and the min-id canonical rule.
+    * The union input (embeddings + id+100000 duplicates of vec_id < 100) is
+    * the driver query's own construction, re-stated in SQL. */
+  def semDedupTrueSql(dim: Int = 64): String = {
+    def cellDist(vec: String): String = (0 until dim).map { j =>
+      val t = s"($vec[${j + 1}]::DOUBLE - cc.centroid[${j + 1}])"
+      s"$t * $t"
+    }.mkString(" + ")
+    def pairCos: String = {
+      val den = s"sqrt(${dotFSql("a.embedding", "a.embedding", dim)}) * " +
+        s"sqrt(${dotFSql("b.embedding", "b.embedding", dim)})"
+      s"CASE WHEN $den = 0 THEN 0.0 ELSE (${dotFSql("a.embedding", "b.embedding", dim)}) / ($den) END"
+    }
+    s"""WITH RECURSIVE cc AS MATERIALIZED (
+       |  SELECT cell, centroid
+       |  FROM parquet_scan('$dir/q_semdedup_centroids/*.parquet')
+       |), u AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+       |  WHERE vec_id < 100
+       |), ed AS (
+       |  SELECT u.vec_id, cc.cell, ${cellDist("u.embedding")} AS d2
+       |  FROM u CROSS JOIN cc
+       |), ea AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+       |    FROM ed) WHERE rn = 1
+       |), m AS MATERIALIZED (
+       |  SELECT u.vec_id, u.embedding, ea.cell
+       |  FROM u JOIN ea ON ea.vec_id = u.vec_id
+       |), pr AS MATERIALIZED (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE $pairCos >= 0.999::DOUBLE
+       |), edges AS (
+       |  SELECT id_a AS eu, id_b AS ev FROM pr
+       |  UNION SELECT id_b, id_a FROM pr
+       |), reach AS (
+       |  SELECT vec_id AS src, vec_id AS dst FROM u
+       |  UNION
+       |  SELECT r.src, e.ev FROM reach r JOIN edges e ON r.dst = e.eu
+       |)
+       |SELECT r.src AS vec_id, ea.cell, MIN(r.dst) AS component,
+       |       (MIN(r.dst) = r.src) AS is_canonical
+       |FROM reach r JOIN ea ON ea.vec_id = r.src
+       |GROUP BY r.src, ea.cell""".stripMargin
+  }
+
   def writeAll(spark: SparkSession, sfDir: String): Unit = {
     import spark.implicits._
     val site = graft.SparkEntry.siteCfg
@@ -249,16 +418,10 @@ object Fixtures {
       SeqOracle.minHashLsh(docDups, k = 32, bands = 8, shingleLen = 3, minEstJaccard = 0.5)
         .toDF("id_a", "id_b", "est_jaccard"))
 
-    // link-graph authority: the same deterministic doc-id-derived edges as
-    // the driver query, ranked by the independent sequential PageRank —
-    // quantized long arithmetic on both sides makes the compare bit-exact
-    val prSrc = spark.read.parquet(s"$sfDir/documents.parquet")
-      .where($"doc_id" < 500 && $"doc_id" % 5 =!= 0)
-      .select($"doc_id".cast("long")).as[Long].collect().toSeq
-    val prEdges = prSrc.flatMap(i =>
-      Seq((i, (i * 7 + 1) % 500), (i, (i * 13 + 3) % 500), (i, 0L)))
-    write("q_pagerank",
-      SeqOracle.pageRank(prEdges, iters = 8).toDF("id", "rank"))
+    // q_pagerank is a TRUE SQL oracle ([[graft.SparkEntry.oracleSql]]):
+    // DuckDB re-runs the whole fixed-point recurrence from the doc-id
+    // arithmetic — nothing to export (the independent SeqOracle.pageRank
+    // twin stays pinned bit-exact against the engine in OpsSpec).
 
     write("q_simhash_pairs",
       SeqOracle.simHashPairs(docDups, maxDist = 3).toDF("id_a", "id_b", "hamming"))
@@ -318,13 +481,24 @@ object Fixtures {
           (a, b, BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
         .toDF("id_a", "id_b", "cosine"))
 
-    val q0 = embAll.find(_._1 == 0L).get._2
-    write("q_ann_lsh_topk",
-      SeqOracle.lshTopK(embAll, q0, k = 10, planes = 6).toDF("vec_id", "sim"))
-
-    write("q_ann_ivf_trained",
-      SeqOracle.ivfTrainedTopK(embAll, q0, k = 10, cells = 8, iters = 3,
-        trainFraction = 0.5, nProbe = 4).toDF("vec_id", "sim"))
+    // q_ann_lsh_topk / q_ann_ivf_trained are TRUE SQL oracles ([[lshTrueSql]]
+    // / [[ivfTrainedTrueSql]]): only the data-independent ±1 hyperplane
+    // matrix (Similarity.planeSign — the signBucketFast xxh64 chain) and the
+    // trained coarse centroids (bit-reproducible quantized-long Lloyd's,
+    // pinned engine-vs-seq-twin in OpsSpec) are exported — bucketing /
+    // assignment, probe selection, the exact float-multiply cosine, and the
+    // top-k are all re-derived arithmetically in DuckDB.
+    val embDim = embAll.head._2.length
+    write("q_ann_lsh_planes",
+      (0 until 6).map(p =>
+        (p, (0 until embDim).map(j => graft.ops.Similarity.planeSign(p, j))))
+        .toDF("p", "plane"))
+    val ivfCentroids = graft.ops.Similarity.trainIvf(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"),
+      "vec_id", "embedding", cells = 8, iters = 3, trainFraction = 0.5)
+    write("q_ann_ivf_centroids",
+      ivfCentroids.zipWithIndex.map { case (c, i) => (i, c) }
+        .toDF("cell", "centroid"))
 
     // q_ann_pq is a TRUE SQL oracle ([[pqTrueSql]]): only the trained
     // codebooks are exported here — encode, the query ADC table, and the
@@ -357,16 +531,24 @@ object Fixtures {
         yield (s, c, ivfPqModel.cb.centroids(s)(c).toSeq))
         .toDF("sub", "code", "centroid"))
 
-    // SemDeDup: full table + exact duplicates of the first 100 — the
-    // sequential twin trains the same quantizer protocol, brute-forces
-    // within-cell pairs, and union-finds components (no float columns in
-    // the output, so the compare is exact)
+    // q_semdedup is a TRUE SQL oracle ([[semDedupTrueSql]]): only the
+    // trained coarse centroids are exported (bit-reproducible quantized-long
+    // Lloyd's over the SAME union input and cellsFor sizing as the driver
+    // query) — assignment, within-cell exact-cosine pairs, the recursive-CTE
+    // transitive closure, and the min-id canonical rule are all re-derived
+    // in DuckDB. The independent SeqOracle.semDedup twin stays pinned
+    // against the engine in OpsSpec.
     val semInput = embAll ++ emb100.map { case (id, v) => (id + 100000L, v) }
-    write("q_semdedup",
-      SeqOracle.semDedup(semInput,
-          cells = graft.ops.Dedup.cellsFor(semInput.size.toLong),
-          minCosine = 0.999, iters = 2, trainFraction = 0.5)
-        .toDF("vec_id", "cell", "component", "is_canonical"))
+    val semDf = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val semUnion = semDf.unionByName(semDf.where($"vec_id" < 100)
+      .select(($"vec_id" + 100000).as("vec_id"), $"embedding"))
+    val semCentroids = graft.ops.Similarity.trainIvf(semUnion, "vec_id",
+      "embedding", cells = graft.ops.Dedup.cellsFor(semInput.size.toLong),
+      iters = 2, trainFraction = 0.5)
+    write("q_semdedup_centroids",
+      semCentroids.zipWithIndex.map { case (c, i) => (i, c) }
+        .toDF("cell", "centroid"))
 
     // PDF pages: GENERATOR INTENT (what the builder put into each page),
     // computed without the parser — the distributed query must real-parse

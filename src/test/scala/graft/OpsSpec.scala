@@ -328,6 +328,41 @@ class OpsSpec extends AnyFunSuite {
     assert(engine == twin, s"engine $engine vs twin $twin")
   }
 
+  test("lsh topk: engine equals the independent sequential twin at driver params") {
+    import graft.ops.Similarity
+    // the driver's q_ann_lsh_topk protocol (planes=6, k=10) — the seq twin
+    // re-derives bucketing, the 1-bit-flip probe set, and the cosine from
+    // scratch, keeping the kernel independently verified now that the
+    // driver oracle re-derives the search from the exported plane matrix
+    val vecs = embs.select(col("vec_id"), col("embedding"))
+    val q = vecs.where(col("vec_id") === 0).select("embedding").as[Seq[Float]].head()
+    val engine = Similarity.lshTopK(vecs, "vec_id", "embedding", q, 10, planes = 6)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val seqVecs = vecs.as[(Long, Seq[Float])].collect().toSeq
+    val twin = graft.oracle.SeqOracle.lshTopK(seqVecs, q, k = 10, planes = 6)
+    assert(engine == twin, s"engine $engine vs twin $twin")
+  }
+
+  test("trained ivf topk: engine equals the independent sequential twin at driver params") {
+    import graft.ops.Similarity
+    // the driver's q_ann_ivf_trained protocol (cells=8, iters=3,
+    // half-sample training, nProbe=4) — the seq twin re-derives training
+    // and the probe from scratch, keeping training independently verified
+    // now that the driver oracle re-derives assignment+probe+cosine+topk
+    // from the exported centroids
+    val vecs = embs.select(col("vec_id"), col("embedding"))
+    val q = vecs.where(col("vec_id") === 0).select("embedding").as[Seq[Float]].head()
+    val centroids = Similarity.trainIvf(vecs, "vec_id", "embedding",
+      cells = 8, iters = 3, trainFraction = 0.5)
+    val engine = Similarity.ivfTopKTrained(vecs, "vec_id", "embedding", q, 10,
+        centroids, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val seqVecs = vecs.as[(Long, Seq[Float])].collect().toSeq
+    val twin = graft.oracle.SeqOracle.ivfTrainedTopK(seqVecs, q, k = 10,
+      cells = 8, iters = 3, trainFraction = 0.5, nProbe = 4)
+    assert(engine == twin, s"engine $engine vs twin $twin")
+  }
+
   test("embedding near-dup: a null vector drops the row, not the job") {
     val vecs = embs.select(col("vec_id"), col("embedding")).where(col("vec_id") < 20)
     val withNull = vecs
