@@ -1326,7 +1326,11 @@ $accept"""
     "q_minhash_incremental" -> graft.oracle.Fixtures.sql("q_minhash_incremental"),
     "q_quality_classifier" -> graft.oracle.Fixtures.sql("q_quality_classifier"),
     "q_simhash_pairs" -> graft.oracle.Fixtures.sql("q_simhash_pairs"),
-    "q_embedding_neardup" -> graft.oracle.Fixtures.sql("q_embedding_neardup"),
+    // TRUE SQL: sign-buckets + same-bucket pairs + exact float-multiply
+    // cosine threshold re-derived in DuckDB from the exported hyperplane
+    // matrix
+    "q_embedding_neardup" -> graft.oracle.Fixtures.neardupTrueSql(
+      planes = 8, dim = 64),
     // TRUE SQL: sign-buckets + multi-probe set + exact float-multiply
     // cosine + top-k re-derived in DuckDB from the exported (data-
     // independent) hyperplane matrix

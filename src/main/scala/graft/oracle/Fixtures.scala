@@ -320,6 +320,46 @@ object Fixtures {
        |GROUP BY r.src, ea.cell""".stripMargin
   }
 
+  /** TRUE-SQL oracle for q_embedding_neardup (single band, 8 planes):
+    * DuckDB re-derives every vector's sign bucket over the EXPORTED ±1
+    * hyperplane matrix, the same-bucket candidate pairs, the exact
+    * float-multiply cosine against the 0.999 threshold, and the 4-dp
+    * rounding. The union input (vec_id < 100 plus id+100000 duplicates) is
+    * the driver query's own construction, re-stated in SQL. */
+  def neardupTrueSql(planes: Int = 8, dim: Int = 64): String = {
+    def proj(vec: String): String = (0 until dim).map(j =>
+      s"($vec[${j + 1}]::DOUBLE * pl.plane[${j + 1}])").mkString(" + ")
+    def pairCos: String = {
+      val den = s"sqrt(${dotFSql("a.embedding", "a.embedding", dim)}) * " +
+        s"sqrt(${dotFSql("b.embedding", "b.embedding", dim)})"
+      s"CASE WHEN $den = 0 THEN 0.0 ELSE (${dotFSql("a.embedding", "b.embedding", dim)}) / ($den) END"
+    }
+    s"""WITH pl AS MATERIALIZED (
+       |  SELECT p, plane
+       |  FROM parquet_scan('$dir/q_neardup_planes/*.parquet')
+       |), u AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100
+       |  UNION ALL
+       |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+       |  WHERE vec_id < 100
+       |), eproj AS (
+       |  SELECT u.vec_id, pl.p, ${proj("u.embedding")} AS proj
+       |  FROM u CROSS JOIN pl
+       |), ebuck AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         SUM(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+       |  FROM eproj GROUP BY vec_id
+       |), m AS MATERIALIZED (
+       |  SELECT u.vec_id, u.embedding, eb.bucket
+       |  FROM u JOIN ebuck eb ON eb.vec_id = u.vec_id
+       |), scored AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, $pairCos AS c
+       |  FROM m a JOIN m b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |)
+       |SELECT id_a, id_b, ROUND(c, 4) AS cosine
+       |FROM scored WHERE c >= 0.999::DOUBLE""".stripMargin
+  }
+
   def writeAll(spark: SparkSession, sfDir: String): Unit = {
     import spark.implicits._
     val site = graft.SparkEntry.siteCfg
@@ -473,13 +513,18 @@ object Fixtures {
     val embAll = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
     val emb100 = embAll.filter(_._1 < 100)
-    val embDups = emb100 ++ emb100.map { case (id, v) => (id + 100000L, v) }
+    val embDim = embAll.head._2.length
 
-    write("q_embedding_neardup",
-      SeqOracle.embeddingNearDup(embDups, planes = 8, minCosine = 0.999)
-        .map { case (a, b, c) =>
-          (a, b, BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
-        .toDF("id_a", "id_b", "cosine"))
+    // q_embedding_neardup is a TRUE SQL oracle ([[neardupTrueSql]]): only
+    // the data-independent ±1 hyperplane matrix (8 planes, band 0) is
+    // exported — bucketing, candidate pairs, the exact float-multiply
+    // cosine, and the rounding are all re-derived in DuckDB. The
+    // independent SeqOracle.embeddingNearDup twin stays pinned against the
+    // engine in OpsSpec at the driver's params.
+    write("q_neardup_planes",
+      (0 until 8).map(p =>
+        (p, (0 until embDim).map(j => graft.ops.Similarity.planeSign(p, j))))
+        .toDF("p", "plane"))
 
     // q_ann_lsh_topk / q_ann_ivf_trained are TRUE SQL oracles ([[lshTrueSql]]
     // / [[ivfTrainedTrueSql]]): only the data-independent ±1 hyperplane
@@ -488,7 +533,6 @@ object Fixtures {
     // pinned engine-vs-seq-twin in OpsSpec) are exported — bucketing /
     // assignment, probe selection, the exact float-multiply cosine, and the
     // top-k are all re-derived arithmetically in DuckDB.
-    val embDim = embAll.head._2.length
     write("q_ann_lsh_planes",
       (0 until 6).map(p =>
         (p, (0 until embDim).map(j => graft.ops.Similarity.planeSign(p, j))))

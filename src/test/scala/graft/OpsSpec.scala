@@ -363,6 +363,26 @@ class OpsSpec extends AnyFunSuite {
     assert(engine == twin, s"engine $engine vs twin $twin")
   }
 
+  test("embedding near-dup: engine equals the independent sequential twin at driver params") {
+    // the driver's q_embedding_neardup protocol (planes=8, minCosine=0.999,
+    // one band, vec_id<100 + exact dups) — the seq twin re-derives
+    // bucketing and the cosine from scratch, keeping the kernel
+    // independently verified now that the driver oracle re-derives the
+    // search from the exported plane matrix
+    val vecs = embs.select(col("vec_id"), col("embedding")).where(col("vec_id") < 100)
+    val dups = vecs.unionByName(
+      vecs.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    val engine = Dedup.embeddingNearDup(dups, "vec_id", "embedding",
+        planes = 8, minCosine = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sortBy(p => (p._1, p._2))
+    val seqVecs = dups.as[(Long, Seq[Float])].collect().toSeq
+    val twin = graft.oracle.SeqOracle.embeddingNearDup(seqVecs,
+        planes = 8, minCosine = 0.999)
+      .sortBy(p => (p._1, p._2))
+    assert(engine == twin, s"engine ${engine.take(5)}... vs twin ${twin.take(5)}...")
+  }
+
   test("embedding near-dup: a null vector drops the row, not the job") {
     val vecs = embs.select(col("vec_id"), col("embedding")).where(col("vec_id") < 20)
     val withNull = vecs
