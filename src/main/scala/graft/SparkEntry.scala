@@ -308,14 +308,19 @@ object SparkEntry {
       val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 2, minJaccard = 0.08)
       Dedup.clusterLabels(d, "doc_id", pairs)
     }),
-    // MinHash+LSH near-dup candidates (no SQL twin — hash-defined; verified
-    // against true Jaccard in the ScalaTest suite)
+    // MinHash+LSH near-dup pairs on the md5 basis, so the WHOLE pipeline —
+    // signatures, band blocking, pair dedup, signature-agreement estimate,
+    // threshold — is a TRUE SQL oracle recomputed from scratch in DuckDB
+    // (no fixture, no export). The xxh64 production basis runs the same
+    // code path modulo the hash kernel and stays driver-oracled through
+    // q_minhash_incremental's independent sequential twin.
     "q_minhash_lsh" -> ((s, dir) => {
       val d = table(s, dir, "documents").where(col("doc_id") < 200)
         .select(col("doc_id"), col("text"))
       val dups = d.unionByName(
         d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
-      Dedup.minHashLsh(dups, "doc_id", "text", k = 32, bands = 8, minEstJaccard = 0.5)
+      Dedup.minHashLsh(dups, "doc_id", "text", k = 32, bands = 8,
+        minEstJaccard = 0.5, basis = "md5")
     }),
     // cross-snapshot incremental dedup: probe an LSH index of docs < 150
     // with a later batch (fresh 150..249 + marked near-copies of indexed
@@ -1322,7 +1327,46 @@ $accept"""
     "crawl_metadata" -> graft.oracle.Fixtures.sql("crawl_metadata"),
     "crawl_markdown" -> graft.oracle.Fixtures.sql("crawl_markdown"),
     "crawl_media_variants" -> graft.oracle.Fixtures.sql("crawl_media_variants"),
-    "q_minhash_lsh" -> graft.oracle.Fixtures.sql("q_minhash_lsh"),
+    // TRUE SQL (no fixture, no export): md5 minhash signatures, 8×4 band
+    // blocking via exact slice equality (the engine's band_hash is xxhash64
+    // OF the same slice — equal slices collide identically; a 2^-64 hash
+    // collision is the only divergence), pair dedup, the 32-position
+    // agreement estimate, and the 0.5 threshold — all recomputed from the
+    // raw text in DuckDB
+    "q_minhash_lsh" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id < 200),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 3
+        |         THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+        |         ELSE [array_to_string(t, ' ')] END AS s
+        |  FROM tk),
+        |u AS MATERIALIZED (
+        |  SELECT doc_id, s FROM sh
+        |  UNION ALL SELECT doc_id + 100000 AS doc_id, s FROM sh),
+        |sig AS MATERIALIZED (
+        |  SELECT doc_id, list_transform(range(0, 32),
+        |    i -> list_min(list_transform(s, x -> md5(i || '|' || x)))) AS sig
+        |  FROM u),
+        |bk AS MATERIALIZED (
+        |  SELECT sig.doc_id, bb.b,
+        |         array_to_string(sig.sig[bb.b*4+1 : bb.b*4+4], ',') AS key
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b) bb),
+        |pr AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+        |  FROM bk a JOIN bk b2
+        |    ON a.b = b2.b AND a.key = b2.key AND a.doc_id < b2.doc_id)
+        |SELECT id_a, id_b, est_jaccard FROM (
+        |  SELECT pr.id_a, pr.id_b,
+        |         list_sum(list_transform(range(1, 33),
+        |           i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))::DOUBLE
+        |           / 32.0 AS est_jaccard
+        |  FROM pr JOIN sig sa ON sa.doc_id = pr.id_a
+        |          JOIN sig sb ON sb.doc_id = pr.id_b)
+        |WHERE est_jaccard >= 0.5""".stripMargin,
     "q_minhash_incremental" -> graft.oracle.Fixtures.sql("q_minhash_incremental"),
     "q_quality_classifier" -> graft.oracle.Fixtures.sql("q_quality_classifier"),
     "q_simhash_pairs" -> graft.oracle.Fixtures.sql("q_simhash_pairs"),

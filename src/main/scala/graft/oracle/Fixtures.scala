@@ -454,9 +454,10 @@ object Fixtures {
       .as[(Long, String)].collect().toSeq
     val docDups = docs200 ++ docs200.map { case (id, t) => (id + 100000L, t) }
 
-    write("q_minhash_lsh",
-      SeqOracle.minHashLsh(docDups, k = 32, bands = 8, shingleLen = 3, minEstJaccard = 0.5)
-        .toDF("id_a", "id_b", "est_jaccard"))
+    // q_minhash_lsh needs no fixture anymore: the driver query runs the md5
+    // basis, whose whole pipeline the oracle SQL recomputes from the raw
+    // text. The xxh64-basis sequential twin (SeqOracle.minHashLsh) stays
+    // the oracle for q_minhash_incremental below.
 
     // q_pagerank is a TRUE SQL oracle ([[graft.SparkEntry.oracleSql]]):
     // DuckDB re-runs the whole fixed-point recurrence from the doc-id
