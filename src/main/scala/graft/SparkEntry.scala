@@ -553,8 +553,9 @@ object SparkEntry {
       import s.implicits._
       val e = table(s, dir, "embeddings")
       val q = e.where(col("vec_id") === 0).select("embedding").as[Seq[Float]].head()
+      // RAW sim doubles — the TRUE SQL oracle reproduces the float-multiply
+      // cosine bit-for-bit, so no rounding (and no rounding flake surface)
       Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 10)
-        .withColumn("sim", round(col("sim"), 4))
     }),
     // sign-bucket LSH with 1-bit-flip multi-probe; TRUE SQL oracle
     // re-derives buckets + probes + exact cosine from the exported
@@ -625,8 +626,11 @@ object SparkEntry {
       val q = e.where(col("vec_id") === 0).select("embedding").as[Seq[Float]].head()
       val cb = Similarity.trainPq(e, "vec_id", "embedding",
         m = 8, k = 16, iters = 3, trainFraction = 0.5)
+      // RAW adc_d2 doubles: the TRUE SQL oracle reproduces them bit-for-bit
+      // (unrolled index-order arithmetic), so no rounding is needed — and
+      // rounding would only ADD a flake surface (Spark's BigDecimal HALF_UP
+      // vs DuckDB's multiply-based ROUND can disagree on decimal ties)
       Similarity.pqTopK(e, "vec_id", "embedding", q, 10, cb)
-        .withColumn("adc_d2", round(col("adc_d2"), 6))
     }),
     // IVF-PQ composed (FAISS IVFADC layout): coarse cells + shared PQ on
     // residuals + per-cell ADC probe — cells partition-prune, codes replace
@@ -636,9 +640,9 @@ object SparkEntry {
       import s.implicits._
       val e = table(s, dir, "embeddings")
       val q = e.where(col("vec_id") === 0).select("embedding").as[Seq[Float]].head()
+      // RAW adc_d2 doubles — bit-exact vs the TRUE SQL oracle, see q_ann_pq
       Similarity.ivfPqTopK(e, "vec_id", "embedding", q, 10,
           cells = 8, m = 8, cbk = 16, iters = 3, trainFraction = 0.5, nProbe = 4)
-        .withColumn("adc_d2", round(col("adc_d2"), 6))
     }),
     // SemDeDup (Abbas et al. 2023): trained-quantizer blocking + within-cell
     // cosine pairs + connected-components canonical survivors. Cells scale
@@ -666,8 +670,8 @@ object SparkEntry {
         .select(col("vec_id"), col("embedding"))
       val dups = e.unionByName(
         e.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      // RAW cosine doubles — bit-exact vs the TRUE SQL oracle, see q_ann_pq
       Dedup.embeddingNearDup(dups, "vec_id", "embedding", planes = 8, minCosine = 0.999)
-        .withColumn("cosine", round(col("cosine"), 4))
     }),
 
     // ---- CosineStrategy: semantic pre-filter skeleton (md5-twin, oracled) --
@@ -1373,17 +1377,15 @@ $accept"""
     // TRUE SQL: sign-buckets + same-bucket pairs + exact float-multiply
     // cosine threshold re-derived in DuckDB from the exported hyperplane
     // matrix
-    "q_embedding_neardup" -> graft.oracle.Fixtures.neardupTrueSql(
-      planes = 8, dim = 64),
+    "q_embedding_neardup" -> graft.oracle.Fixtures.neardupTrueSql(dim = 64),
     // TRUE SQL: sign-buckets + multi-probe set + exact float-multiply
     // cosine + top-k re-derived in DuckDB from the exported (data-
     // independent) hyperplane matrix
-    "q_ann_lsh_topk" -> graft.oracle.Fixtures.lshTrueSql(
-      planes = 6, dim = 64, k = 10),
+    "q_ann_lsh_topk" -> graft.oracle.Fixtures.lshTrueSql(dim = 64, k = 10),
     // TRUE SQL: coarse assignment + probe selection + exact cosine + top-k
     // re-derived in DuckDB from the engine-exported trained centroids
     "q_ann_ivf_trained" -> graft.oracle.Fixtures.ivfTrainedTrueSql(
-      cells = 8, dim = 64, k = 10, nProbe = 4),
+      dim = 64, k = 10, nProbe = 4),
     // TRUE SQL: encode + ADC + top-k re-derived in DuckDB from the
     // engine-exported codebooks (exact unrolled arithmetic, no fixture rows)
     "q_ann_pq" -> graft.oracle.Fixtures.pqTrueSql(m = 8, subDim = 8, k = 10),
@@ -1391,7 +1393,7 @@ $accept"""
     // per-cell ADC + top-k re-derived in DuckDB from the engine-exported
     // centroids/codebooks
     "q_ann_ivfpq" -> graft.oracle.Fixtures.ivfPqTrueSql(
-      cells = 8, m = 8, subDim = 8, k = 10, nProbe = 4),
+      m = 8, subDim = 8, k = 10, nProbe = 4),
     // TRUE SQL: coarse assignment + within-cell exact cosine pairs +
     // recursive-CTE components + min-id canonical re-derived in DuckDB from
     // the engine-exported trained centroids
@@ -2185,14 +2187,11 @@ $accept"""
         |             (tf.tf + 1.5 * (0.25 + 0.75 * lens.dl / ad.avgdl))), 4) AS score
         |FROM tf JOIN idf USING (term) JOIN lens ON tf.doc_id = lens.doc_id, ad
         |GROUP BY tf.doc_id""".stripMargin,
-    "q_embedding_topk" ->
-      """SELECT vec_id,
-        |  round(list_cosine_similarity(embedding,
-        |    (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS sim
-        |FROM embeddings
-        |ORDER BY list_cosine_similarity(embedding,
-        |    (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
-        |LIMIT 10""".stripMargin,
+    // TRUE SQL (bit-exact): the engine's float-multiply cosine unrolled in
+    // index order — DuckDB's own list_cosine_similarity evaluates float
+    // lists in FLOAT32 and would need rounding on both sides
+    "q_embedding_topk" -> graft.oracle.Fixtures.bruteTopKTrueSql(
+      dim = 64, k = 10),
     "q_minhash_signature" ->
       """WITH tk AS (
         |  SELECT doc_id,

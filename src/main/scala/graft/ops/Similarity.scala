@@ -23,8 +23,10 @@ object Similarity {
   /** Quantization scale for bit-reproducible quantizer training: per-dim
     * sums accumulate as longs of x·2⁴⁰ (truncation toward zero), so the
     * trained centroids are identical under any partition/merge order.
-    * Shared by [[trainIvf]] and [[trainPq]] and mirrored by the sequential
-    * oracle twins. */
+    * Shared by [[trainIvf]] and [[trainPq]]; the sequential oracle twins
+    * deliberately RESTATE the constant (they share no engine code), so a
+    * change here must be mirrored in `SeqOracle.trainCentroids` and
+    * `SeqOracle.pqTrainD` or the bit-exact twin pins fail. */
   private[graft] val TrainQ = (1L << 40).toDouble
 
   /** Σ aᵢ·bᵢ over two float-array columns. */
@@ -387,7 +389,7 @@ object Similarity {
   def trainPq(df: DataFrame, idCol: String, vecCol: String, m: Int,
               k: Int = 16, iters: Int = 5,
               trainFraction: Double = 1.0): PqCodebooks = {
-    val Q = 1L << 40
+    val Q = TrainQ // the ONE engine-side training-quantization scale
     val sample =
       if (trainFraction >= 1.0) df
       else df.where(pmod(xxhash64(col(idCol)), lit(math.max(1L, (1.0 / trainFraction).toLong))) === 0)

@@ -11,9 +11,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `SELECT * FROM parquet_scan('<fixture>')` — the expected-vs-actual compare
   * then runs through the exact same driver pipeline as the SQL twins.
   *
-  * Written by `graft.Verify` before it dumps oracle_sql.json; everything here
-  * is bounded driver-side work (the sequential crawl of the synthetic site,
-  * a few hundred collected rows per dedup/ANN slice).
+  * Written by `graft.Verify` before it dumps oracle_sql.json; the classic
+  * fixtures are bounded driver-side work (the sequential crawl of the
+  * synthetic site, a few hundred collected rows per dedup/ANN slice), and
+  * the round-5 exported-model oracles additionally RE-RUN the driver
+  * queries' quantizer training as Spark jobs (trainIvf / trainIvfPq over
+  * the embeddings table) — bit-reproducible by the quantized-long protocol,
+  * so the export equals the query-run training; the duplicate cost is the
+  * price of exporting a verified artifact instead of an answer.
   */
 object Fixtures {
 
@@ -64,7 +69,7 @@ object Fixtures {
        |  FROM enc JOIN adc ON adc.sub = enc.sub AND adc.code = enc.code
        |  GROUP BY enc.vec_id
        |)
-       |SELECT vec_id, ROUND($total, 6) AS adc_d2
+       |SELECT vec_id, $total AS adc_d2
        |FROM scored ORDER BY $total, vec_id LIMIT $k""".stripMargin
   }
 
@@ -83,8 +88,10 @@ object Fixtures {
     * produce bit-identical doubles, so argmin/probe/top-k selection is
     * exact, not tolerance-based (first-min tie-breaks become
     * `ORDER BY d2, cell|code`). */
-  def ivfPqTrueSql(cells: Int = 8, m: Int = 8, subDim: Int = 8, k: Int = 10,
+  def ivfPqTrueSql(m: Int = 8, subDim: Int = 8, k: Int = 10,
                    nProbe: Int = 4): String = {
+    // cell count is carried by the exported centroids table itself — the
+    // SQL iterates whatever cc contains, so there is no cells knob here
     val dim = m * subDim
     // ||x − cellCentroid||² over the full vector, index-order accumulation —
     // nearestCellKernel's loop
@@ -147,7 +154,7 @@ object Fixtures {
        |                   AND adc.code = enc.code
        |  GROUP BY enc.vec_id
        |)
-       |SELECT vec_id, ROUND($total, 6) AS adc_d2
+       |SELECT vec_id, $total AS adc_d2
        |FROM scored ORDER BY $total, vec_id LIMIT $k""".stripMargin
   }
 
@@ -172,6 +179,26 @@ object Fixtures {
     s"CASE WHEN $den = 0 THEN 0.0 ELSE (${dotFSql(vec, "q.embedding", dim)}) / ($den) END"
   }
 
+  /** TRUE-SQL oracle for q_embedding_topk (exact brute-force cosine top-k):
+    * the same bit-exact float-multiply cosine as the ANN oracles, over the
+    * whole table — no bucketing, no export, no rounding, no tolerance.
+    * Replaces the original `list_cosine_similarity` twin, which DuckDB
+    * evaluates in FLOAT32 over float lists (~1e-8 off the engine's
+    * float-multiply→double-accumulate cosine) and therefore needed 4-dp
+    * rounding on both sides. */
+  def bruteTopKTrueSql(dim: Int = 64, k: Int = 10): String =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings
+       |), q AS MATERIALIZED (
+       |  SELECT embedding FROM embeddings WHERE vec_id = 0
+       |), qn AS MATERIALIZED (
+       |  SELECT sqrt(${dotFSql("q.embedding", "q.embedding", dim)}) AS nq FROM q
+       |), scored AS (
+       |  SELECT e.vec_id, ${cosineSql("e.embedding", dim)} AS sim
+       |  FROM e CROSS JOIN q CROSS JOIN qn
+       |)
+       |SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT $k""".stripMargin
+
   /** TRUE-SQL oracle for q_ann_ivf_trained: DuckDB re-derives the coarse
     * argmin assignment over the ENGINE-EXPORTED trained centroids
     * (bit-reproducible quantized-long Lloyd's, pinned engine-vs-seq-twin
@@ -180,8 +207,9 @@ object Fixtures {
     * top-k. All squared distances unroll left-to-right in index order —
     * both sides produce bit-identical doubles, raw (unrounded) sim
     * included. */
-  def ivfTrainedTrueSql(cells: Int = 8, dim: Int = 64, k: Int = 10,
+  def ivfTrainedTrueSql(dim: Int = 64, k: Int = 10,
                         nProbe: Int = 4): String = {
+    // cell count is carried by the exported centroids table itself
     def cellDist(vec: String): String = (0 until dim).map { j =>
       val t = s"($vec[${j + 1}]::DOUBLE - cc.centroid[${j + 1}])"
       s"$t * $t"
@@ -228,7 +256,9 @@ object Fixtures {
     * float·(±1.0) products — exact in either engine — summed left-to-right
     * in index order; bucket bits assemble as sums of distinct powers of
     * two, order-invariant. */
-  def lshTrueSql(planes: Int = 6, dim: Int = 64, k: Int = 10): String = {
+  def lshTrueSql(dim: Int = 64, k: Int = 10): String = {
+    // the plane count is carried by the exported plane table itself — the
+    // bucket SUM and the probe set iterate whatever pl contains
     def proj(vec: String): String = (0 until dim).map(j =>
       s"($vec[${j + 1}]::DOUBLE * pl.plane[${j + 1}])").mkString(" + ")
     s"""WITH pl AS MATERIALIZED (
@@ -326,7 +356,8 @@ object Fixtures {
     * float-multiply cosine against the 0.999 threshold, and the 4-dp
     * rounding. The union input (vec_id < 100 plus id+100000 duplicates) is
     * the driver query's own construction, re-stated in SQL. */
-  def neardupTrueSql(planes: Int = 8, dim: Int = 64): String = {
+  def neardupTrueSql(dim: Int = 64): String = {
+    // the plane count is carried by the exported plane table itself
     def proj(vec: String): String = (0 until dim).map(j =>
       s"($vec[${j + 1}]::DOUBLE * pl.plane[${j + 1}])").mkString(" + ")
     def pairCos: String = {
@@ -356,7 +387,7 @@ object Fixtures {
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, $pairCos AS c
        |  FROM m a JOIN m b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |)
-       |SELECT id_a, id_b, ROUND(c, 4) AS cosine
+       |SELECT id_a, id_b, c AS cosine
        |FROM scored WHERE c >= 0.999::DOUBLE""".stripMargin
   }
 
