@@ -1373,7 +1373,11 @@ $accept"""
         |WHERE est_jaccard >= 0.5""".stripMargin,
     "q_minhash_incremental" -> graft.oracle.Fixtures.sql("q_minhash_incremental"),
     "q_quality_classifier" -> graft.oracle.Fixtures.sql("q_quality_classifier"),
-    "q_simhash_pairs" -> graft.oracle.Fixtures.sql("q_simhash_pairs"),
+    // TRUE SQL: fingerprints re-derived from the exported token→xxh64
+    // tabulation (per-occurrence votes, integer arithmetic), pairs by BRUTE
+    // all-pairs Hamming — verifying the Manku blocking's pigeonhole
+    // completeness on every driver run
+    "q_simhash_pairs" -> graft.oracle.Fixtures.simHashTrueSql(maxDist = 3),
     // TRUE SQL: sign-buckets + same-bucket pairs + exact float-multiply
     // cosine threshold re-derived in DuckDB from the exported hyperplane
     // matrix

@@ -179,6 +179,56 @@ object Fixtures {
     s"CASE WHEN $den = 0 THEN 0.0 ELSE (${dotFSql(vec, "q.embedding", dim)}) / ($den) END"
   }
 
+  /** TRUE-SQL oracle for q_simhash_pairs: DuckDB re-derives every
+    * fingerprint from the EXPORTED token→xxh64 tabulation (a pure-function
+    * table over the corpus vocabulary — the hash kernel itself is pinned
+    * Column-spec == compiled twin in OpsSpec and xxh64 twin == Spark
+    * xxhash64 in PropertySpec), then finds near-dup pairs by BRUTE all-pairs
+    * Hamming — which is the point: the engine's Manku 20-table blocking is
+    * pigeonhole-COMPLETE for Hamming ≤ 3, so its output must equal the
+    * brute-force set, and this oracle verifies that completeness claim on
+    * every run instead of replicating the blocking. All arithmetic is
+    * integer (votes, masks, bit_count) — the compare is exact by
+    * construction. Per-occurrence votes (not per-distinct-token): the
+    * tokenizer multiset matches `TextAnalysis.tokens`. */
+  def simHashTrueSql(maxDist: Int = 3): String = {
+    // (j, 1L<<j) literals; j=63 spelled to stay inside BIGINT parsing
+    val bits = (0 until 64).map { j =>
+      val m = if (j == 63) "(-9223372036854775807 - 1)" else (1L << j).toString
+      s"($j, $m::BIGINT)"
+    }.mkString(", ")
+    s"""WITH hs AS MATERIALIZED (
+       |  SELECT tok, h FROM parquet_scan('$dir/q_simhash_hashes/*.parquet')
+       |), bits(j, mask) AS (VALUES $bits),
+       |d AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS t
+       |  FROM documents WHERE doc_id < 200),
+       |u AS MATERIALIZED (
+       |  SELECT doc_id, t FROM d
+       |  UNION ALL SELECT doc_id + 100000 AS doc_id, t FROM d),
+       |occ AS (
+       |  SELECT u.doc_id, x.tok
+       |  FROM u, LATERAL (SELECT unnest(u.t) AS tok) x),
+       |votes AS (
+       |  SELECT o.doc_id, b.j, b.mask,
+       |         SUM(CASE WHEN (hs.h & b.mask) <> 0 THEN 1 ELSE -1 END) AS v
+       |  FROM occ o JOIN hs ON hs.tok = o.tok
+       |  CROSS JOIN bits b
+       |  GROUP BY o.doc_id, b.j, b.mask),
+       |fp0 AS (
+       |  SELECT doc_id,
+       |         SUM(CASE WHEN v > 0 THEN mask ELSE 0 END)::BIGINT AS sim
+       |  FROM votes GROUP BY doc_id),
+       |fp AS MATERIALIZED (
+       |  SELECT u.doc_id, COALESCE(fp0.sim, 0) AS sim
+       |  FROM u LEFT JOIN fp0 ON fp0.doc_id = u.doc_id)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sim, b.sim)) <= $maxDist""".stripMargin
+  }
+
   /** TRUE-SQL oracle for q_embedding_topk (exact brute-force cosine top-k):
     * the same bit-exact float-multiply cosine as the ANN oracles, over the
     * whole table — no bucketing, no export, no rounding, no tolerance.
@@ -480,11 +530,6 @@ object Fixtures {
       }.toDF("doc_id", "raw_markdown", "markdown_with_citations", "references_markdown"))
 
     // ---- sequential twins of the bucketed dedup/ANN plans -------------------
-    val docs200 = spark.read.parquet(s"$sfDir/documents.parquet")
-      .where($"doc_id" < 200).select("doc_id", "text")
-      .as[(Long, String)].collect().toSeq
-    val docDups = docs200 ++ docs200.map { case (id, t) => (id + 100000L, t) }
-
     // q_minhash_lsh needs no fixture anymore: the driver query runs the md5
     // basis, whose whole pipeline the oracle SQL recomputes from the raw
     // text. The xxh64-basis sequential twin (SeqOracle.minHashLsh) stays
@@ -495,8 +540,21 @@ object Fixtures {
     // arithmetic — nothing to export (the independent SeqOracle.pageRank
     // twin stays pinned bit-exact against the engine in OpsSpec).
 
-    write("q_simhash_pairs",
-      SeqOracle.simHashPairs(docDups, maxDist = 3).toDF("id_a", "id_b", "hamming"))
+    // q_simhash_pairs is a TRUE SQL oracle ([[simHashTrueSql]]): only the
+    // token→xxh64 tabulation over the corpus vocabulary is exported (the
+    // hash kernel is pinned spec==twin in OpsSpec/PropertySpec) — DuckDB
+    // re-derives every fingerprint from scratch (per-occurrence votes, no
+    // engine kernel) and brute-forces ALL pairs' Hamming, verifying the
+    // Manku blocking's pigeonhole completeness on every run. OpsSpec keeps
+    // its own brute-force blocking-completeness pin; the old shared-kernel
+    // sequential twin (which reused Dedup.simHashFast) is superseded.
+    write("q_simhash_hashes",
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .where($"doc_id" < 200)
+        .select(org.apache.spark.sql.functions.explode(
+          graft.ops.TextAnalysis.tokens($"text")).as("tok"))
+        .distinct()
+        .select($"tok", org.apache.spark.sql.functions.xxhash64($"tok").as("h")))
 
     // incremental cross-snapshot probe: the sequential full self-join over
     // old ∪ incoming, restricted to cross pairs (old ids all < 150 < every

@@ -151,23 +151,12 @@ object SeqOracle {
     out.toSeq.collect { case ((a, b2), est) if est >= minEstJaccard => (a, b2, est) }
   }
 
-  /** SimHash pairs via 16-bit band blocking + Hamming verify. */
-  def simHashPairs(docs: Seq[(Long, String)], maxDist: Int): Seq[(Long, Long, Int)] = {
-    val sigs = docs.map { case (id, t) => (id, graft.ops.Dedup.simHashFast(t)) }
-    val out = scala.collection.mutable.LinkedHashMap.empty[(Long, Long), Int]
-    for (b <- 0 until 4) {
-      val buckets = sigs.groupBy { case (_, s) => (s >>> (b * 16)) & 0xffffL }
-      buckets.values.foreach { members =>
-        for (i <- members.indices; j <- i + 1 until members.length) {
-          val (idA, sA) = members(i); val (idB, sB) = members(j)
-          val (a, b2) = if (idA < idB) (idA, idB) else (idB, idA)
-          if (!out.contains((a, b2)))
-            out((a, b2)) = java.lang.Long.bitCount(sA ^ sB)
-        }
-      }
-    }
-    out.toSeq.collect { case ((a, b2), d) if d <= maxDist => (a, b2, d) }
-  }
+  // (the former simHashPairs twin — a shared-kernel fixture that reused
+  // Dedup.simHashFast with the old 4×16 band blocking — was superseded in
+  // round 5 by the TRUE SQL oracle, which re-derives fingerprints from the
+  // exported token→xxh64 tabulation with no engine kernel at all and
+  // brute-forces the pair set; OpsSpec keeps its own brute-force
+  // blocking-completeness pin over the compiled kernel)
 
   /** Bit-exact twin of Similarity.dot/cosine Column arithmetic: FLOAT
     * products accumulated into a double in index order. */
