@@ -190,7 +190,10 @@ object Fixtures {
     * every run instead of replicating the blocking. All arithmetic is
     * integer (votes, masks, bit_count) — the compare is exact by
     * construction. Per-occurrence votes (not per-distinct-token): the
-    * tokenizer multiset matches `TextAnalysis.tokens`. */
+    * tokenizer multiset matches `TextAnalysis.tokens`. The +100000
+    * duplicate rows carry their base row's text verbatim, so fingerprints
+    * are derived once over the base docs and the duplicate half is a
+    * doc_id-shifted copy of `fpb`. */
   def simHashTrueSql(maxDist: Int = 3): String = {
     // (j, 1L<<j) literals; j=63 spelled to stay inside BIGINT parsing
     val bits = (0 until 64).map { j =>
@@ -204,12 +207,9 @@ object Fixtures {
        |  SELECT doc_id,
        |         list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS t
        |  FROM documents WHERE doc_id < 200),
-       |u AS MATERIALIZED (
-       |  SELECT doc_id, t FROM d
-       |  UNION ALL SELECT doc_id + 100000 AS doc_id, t FROM d),
        |occ AS (
-       |  SELECT u.doc_id, x.tok
-       |  FROM u, LATERAL (SELECT unnest(u.t) AS tok) x),
+       |  SELECT d.doc_id, x.tok
+       |  FROM d, LATERAL (SELECT unnest(d.t) AS tok) x),
        |votes AS (
        |  SELECT o.doc_id, b.j, b.mask,
        |         SUM(CASE WHEN (hs.h & b.mask) <> 0 THEN 1 ELSE -1 END) AS v
@@ -220,9 +220,12 @@ object Fixtures {
        |  SELECT doc_id,
        |         SUM(CASE WHEN v > 0 THEN mask ELSE 0 END)::BIGINT AS sim
        |  FROM votes GROUP BY doc_id),
+       |fpb AS MATERIALIZED (
+       |  SELECT d.doc_id, COALESCE(fp0.sim, 0) AS sim
+       |  FROM d LEFT JOIN fp0 ON fp0.doc_id = d.doc_id),
        |fp AS MATERIALIZED (
-       |  SELECT u.doc_id, COALESCE(fp0.sim, 0) AS sim
-       |  FROM u LEFT JOIN fp0 ON fp0.doc_id = u.doc_id)
+       |  SELECT doc_id, sim FROM fpb
+       |  UNION ALL SELECT doc_id + 100000 AS doc_id, sim FROM fpb)
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |       CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
