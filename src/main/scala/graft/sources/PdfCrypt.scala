@@ -21,13 +21,20 @@ import javax.crypto.spec.{IvParameterSpec, SecretKeySpec}
   *    hash; data decrypted directly with the 32-byte file key (no
   *    per-object derivation at V5);
   *  - Algorithm 4/5 (R2 / R ≥ 3) /U user-password verification, and the
-  *    R6 validation-salt check — a failed check means "needs a password we
-  *    don't have" and the caller falls back to the stub kernel.
+  *    R6 validation-salt check;
+  *  - Algorithm 3 /O computation and Algorithm 7 owner-password
+  *    authentication (R ≤ 4): the owner key RC4-decrypts /O back to the
+  *    padded user password, which is then verified via Algorithm 6 — so a
+  *    caller holding only the OWNER password opens the document; at R6 the
+  *    owner path validates against /O's validation salt (with the full
+  *    48-byte /U as extra hash data) and unwraps the file key from /OE.
   *
-  * Only the empty-user-password case is wired through [[PdfParse.parse]]
-  * (the overwhelmingly common "encrypted for permissions" shape); a caller
-  * with a real password can pass it to [[StdSecurityHandler.forDocument]].
-  * Owner-password recovery is out of scope.
+  * A failed check under BOTH roles means "needs a password we don't have"
+  * and the caller falls back to the stub kernel. The empty password is
+  * wired through [[PdfParse.parse]] by default (the overwhelmingly common
+  * "encrypted for permissions" shape); a caller with a real user OR owner
+  * password can pass it — [[StdSecurityHandler.forDocument]] tries the
+  * supplied password in both roles, user first.
   */
 object PdfCrypt {
 
@@ -37,7 +44,7 @@ object PdfCrypt {
     0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
     0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
 
-  private[sources] def padPassword(pw: Array[Byte]): Array[Byte] = {
+  def padPassword(pw: Array[Byte]): Array[Byte] = {
     val out = new Array[Byte](32)
     val n = math.min(pw.length, 32)
     System.arraycopy(pw, 0, out, 0, n)
@@ -133,6 +140,44 @@ object PdfCrypt {
     java.util.Arrays.copyOf(h, math.min(fileKey.length + 5, 16))
   }
 
+  /** Algorithm 3 steps (a)–(d): the RC4 key derived from the owner
+    * password (the user password stands in when no owner password was set,
+    * per step (a)). Unlike Algorithm 2's 50-round loop, step (c) re-hashes
+    * the FULL 16-byte digest each round; R2 keys are fixed at 40 bits. */
+  private def ownerKey(ownerPw: Array[Byte], r: Int, lengthBits: Int): Array[Byte] = {
+    var h = md5(padPassword(ownerPw))
+    if (r >= 3) (0 until 50).foreach(_ => h = md5(h))
+    java.util.Arrays.copyOf(h, if (r == 2) 5 else lengthBits / 8)
+  }
+
+  /** Algorithm 3 (R ≤ 4): the /O entry — the padded USER password
+    * RC4-encrypted under the owner key, with the 19 XOR-salted extra passes
+    * for R ≥ 3. Forward direction (document creation / test corpus). */
+  def computeO(ownerPw: Array[Byte], userPw: Array[Byte], r: Int,
+               lengthBits: Int): Array[Byte] = {
+    val key = ownerKey(if (ownerPw.isEmpty) userPw else ownerPw, r, lengthBits)
+    var data = rc4(key, padPassword(userPw))
+    if (r >= 3)
+      for (i <- 1 to 19) data = rc4(key.map(b => (b ^ i).toByte), data)
+    data
+  }
+
+  /** Algorithm 7 steps (a)–(b): recover the padded user password from /O
+    * under a candidate owner password — the encryption passes of
+    * Algorithm 3 undone in reverse order (i = 19 down to 0). The caller
+    * completes authentication by running the Algorithm 6 user check on the
+    * result. */
+  def ownerToUser(ownerPw: Array[Byte], o: Array[Byte], r: Int,
+                  lengthBits: Int): Array[Byte] = {
+    val key = ownerKey(ownerPw, r, lengthBits)
+    if (r == 2) rc4(key, o)
+    else {
+      var data = o
+      for (i <- 19 to 0 by -1) data = rc4(key.map(b => (b ^ i).toByte), data)
+      data
+    }
+  }
+
   /** Algorithm 4 (R2) / Algorithm 5 (R ≥ 3) expected /U value for a
     * password; used for both verification and test-corpus generation. */
   def computeU(fileKey: Array[Byte], id0: Array[Byte], r: Int): Array[Byte] =
@@ -194,6 +239,24 @@ object PdfCrypt {
     val ik = hash2B(pw, kSalt)
     Some(aesCbc(Cipher.DECRYPT_MODE, ik, new Array[Byte](16),
       java.util.Arrays.copyOf(ue, 32)))
+  }
+
+  /** Algorithm 2.A (R6, OWNER-password path): /O has the same 48-byte
+    * hash ‖ validationSalt ‖ keySalt layout as /U, but both owner hashes
+    * take the FULL 48-byte /U as additional data; the file key unwraps
+    * from /OE. */
+  def fileKeyR6Owner(password: Array[Byte], o: Array[Byte], u: Array[Byte],
+                     oe: Array[Byte]): Option[Array[Byte]] = {
+    if (o.length < 48 || u.length < 48 || oe.length < 32) return None
+    val pw = java.util.Arrays.copyOf(password, math.min(password.length, 127))
+    val u48 = java.util.Arrays.copyOf(u, 48)
+    val hash = java.util.Arrays.copyOfRange(o, 0, 32)
+    val vSalt = java.util.Arrays.copyOfRange(o, 32, 40)
+    val kSalt = java.util.Arrays.copyOfRange(o, 40, 48)
+    if (!java.util.Arrays.equals(hash2B(pw, vSalt, u48), hash)) return None
+    val ik = hash2B(pw, kSalt, u48)
+    Some(aesCbc(Cipher.DECRYPT_MODE, ik, new Array[Byte](16),
+      java.util.Arrays.copyOf(oe, 32)))
   }
 
   // ---- handler ---------------------------------------------------------------
@@ -278,8 +341,10 @@ object PdfCrypt {
       (out.toArray, i)
     }
 
-    /** Build a handler from the /Encrypt dict + first file ID, verifying the
-      * user password. None = unsupported scheme or wrong password (caller
+    /** Build a handler from the /Encrypt dict + first file ID, trying the
+      * supplied password first as the USER password (Algorithm 6 / 2.A),
+      * then as the OWNER password (Algorithm 7 / the R6 /OE path). None =
+      * unsupported scheme or a password valid in neither role (caller
       * falls back to the stub kernel). */
     def forDocument(encryptDict: String, id0: Array[Byte],
                     password: Array[Byte] = Array.emptyByteArray): Option[StdSecurityHandler] = {
@@ -291,22 +356,32 @@ object PdfCrypt {
       val o = strValue(encryptDict, "/O").getOrElse(return None)
       val u = strValue(encryptDict, "/U").getOrElse(return None)
       val encMeta = !encryptDict.contains("/EncryptMetadata false")
+      // classic path: the file key for a candidate user password, verified
+      // against /U; the owner role recovers the padded user password from
+      // /O (Algorithm 7) and re-enters the same check
+      def classicKey(bits: Int): Option[Array[Byte]] = {
+        val userKey = fileKeyClassic(password, o, p, id0, r, bits, encMeta)
+        if (userPasswordMatches(userKey, id0, r, u)) Some(userKey)
+        else {
+          val recovered = ownerToUser(password, o, r, bits)
+          val ownKey = fileKeyClassic(recovered, o, p, id0, r, bits, encMeta)
+          if (userPasswordMatches(ownKey, id0, r, u)) Some(ownKey) else None
+        }
+      }
       v match {
         case 1 | 2 =>
-          val bits = if (v == 1) 40 else lengthBits
-          val key = fileKeyClassic(password, o, p, id0, r, bits, encMeta)
-          if (userPasswordMatches(key, id0, r, u)) Some(StdSecurityHandler(key, CfRc4))
-          else None
+          classicKey(if (v == 1) 40 else lengthBits).map(StdSecurityHandler(_, CfRc4))
         case 4 =>
           // /CF /StdCF /CFM names the cipher; V2 = RC4, AESV2 = AES-128
           val aes = encryptDict.contains("/AESV2")
-          val key = fileKeyClassic(password, o, p, id0, r, lengthBits, encMeta)
-          if (userPasswordMatches(key, id0, r, u))
-            Some(StdSecurityHandler(key, if (aes) CfAesV2 else CfRc4))
-          else None
+          classicKey(lengthBits)
+            .map(StdSecurityHandler(_, if (aes) CfAesV2 else CfRc4))
         case 5 =>
           val ue = strValue(encryptDict, "/UE").getOrElse(return None)
-          fileKeyR6(password, u, ue).map(StdSecurityHandler(_, CfAesV3))
+          fileKeyR6(password, u, ue)
+            .orElse(strValue(encryptDict, "/OE")
+              .flatMap(oe => fileKeyR6Owner(password, o, u, oe)))
+            .map(StdSecurityHandler(_, CfAesV3))
         case _ => None
       }
     }

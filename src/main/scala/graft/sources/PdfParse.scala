@@ -47,8 +47,10 @@ package graft.sources
   *    geometry.
   *
   * Out of scope (returns what it can, never throws): JBIG2/JPX image
-  * codecs (no JVM codec), owner-password recovery — those fall back to the
-  * deterministic stub kernel in [[Pdf]].
+  * codecs (no JVM codec) — those fall back to the deterministic stub
+  * kernel in [[Pdf]]. A supplied password is tried in BOTH roles (user
+  * via Algorithm 6/2.A, owner via Algorithm 7 / the R6 /OE unwrap); only
+  * a document whose passwords are both unknown falls back.
   */
 object PdfParse {
 

@@ -46,6 +46,53 @@ class PdfCryptSpec extends AnyFunSuite {
     }
   }
 
+  for (variant <- Seq("rc4-40", "rc4-128", "aes-128", "aes-256")) {
+    test(s"$variant owner password opens the document (Algorithm 7 / R6 /OE)") {
+      val plain = plainDoc
+      val userPw = "hunter2".getBytes("US-ASCII")
+      val ownerPw = "the-owner-secret".getBytes("US-ASCII")
+      val enc = encryptPdf(plain, variant, userPw, ownerPw)
+      assert(extract(enc, ownerPw) == extract(plain), "owner password must decrypt")
+      assert(extract(enc, userPw) == extract(plain), "user password still works")
+      assert(extract(enc).isEmpty, "empty password valid in neither role")
+      assert(extract(enc, "wrong".getBytes("US-ASCII")).isEmpty,
+        "a password valid in neither role must fall back to None")
+    }
+  }
+
+  test("owner password with EMPTY user password: both roles open, garbage does not") {
+    // the common "encrypted for permissions" shape: anyone reads, only the
+    // owner edits — empty password authenticates as user, the owner
+    // password authenticates via /O
+    val plain = plainDoc
+    val ownerPw = "admin-only".getBytes("US-ASCII")
+    for (variant <- Seq("rc4-128", "aes-256")) {
+      val enc = encryptPdf(plain, variant, Array.emptyByteArray, ownerPw)
+      assert(extract(enc) == extract(plain), s"$variant: empty user password opens")
+      assert(extract(enc, ownerPw) == extract(plain), s"$variant: owner password opens")
+      assert(extract(enc, "nope".getBytes("US-ASCII")).isEmpty, s"$variant: junk rejected")
+    }
+  }
+
+  test("Algorithm 3/7 round trip: owner key recovers the padded user password") {
+    import org.scalacheck.Gen
+    val gen = for {
+      owner <- Gen.nonEmptyListOf(Gen.asciiPrintableChar).map(_.mkString.take(40))
+      user <- Gen.listOf(Gen.asciiPrintableChar).map(_.mkString.take(40))
+      r128 <- Gen.oneOf(true, false)
+    } yield (owner.getBytes("UTF-8"), user.getBytes("UTF-8"), r128)
+    val seed0 = org.scalacheck.rng.Seed(0xC0FFEEL)
+    var seed = seed0
+    (0 until 100).foreach { _ =>
+      val (owner, user, r128) = gen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val (r, bits) = if (r128) (3, 128) else (2, 40)
+      val o = PdfCrypt.computeO(owner, user, r, bits)
+      val recovered = PdfCrypt.ownerToUser(owner, o, r, bits)
+      assert(recovered.sameElements(PdfCrypt.padPassword(user)))
+    }
+  }
+
   test("encrypted object stream: container decrypts, packed objects parse") {
     // pages live inside an /ObjStm; the CONTAINER stream is encrypted,
     // strings inside it are not individually re-encrypted (§7.6.2)

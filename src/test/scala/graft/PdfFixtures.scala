@@ -94,26 +94,32 @@ object PdfFixtures {
     * stream and dict strings, an /Encrypt dict appended, trailer keyword
     * carrying /Encrypt + /ID (xref-stream objects are dropped — their byte
     * offsets are stale after re-serialization and §7.6.2 exempts them from
-    * encryption anyway). */
+    * encryption anyway). /O is the REAL Algorithm 3 value (R6: the real
+    * owner hash + /OE key wrap), so the parser's owner-password path is
+    * exercised against spec-faithful entries; an empty `ownerPassword`
+    * falls back to the user password per Algorithm 3 step (a). */
   def encryptPdf(plain: Array[Byte], variant: String,
-                         password: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+                 password: Array[Byte] = Array.emptyByteArray,
+                 ownerPassword: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
     val objs = PdfParse.scanObjects(plain).toSeq.sortBy(_._1)
     val encNum = objs.map(_._1).max + 1
     val p = -44
-    val oVal = Array.tabulate(if (variant == "aes-256") 48 else 32)(i => ((i * 31 + 7) & 0xff).toByte)
 
     val (encDict, encFn): (String, (Int, Array[Byte]) => Array[Byte]) = variant match {
       case "rc4-40" =>
+        val oVal = PdfCrypt.computeO(ownerPassword, password, r = 2, lengthBits = 40)
         val key = PdfCrypt.fileKeyClassic(password, oVal, p, id0, r = 2, lengthBits = 40)
         val u = PdfCrypt.computeU(key, id0, 2)
         (s"<< /Filter /Standard /V 1 /R 2 /P $p /O <${hexs(oVal)}> /U <${hexs(u)}> >>",
           (n, d) => PdfCrypt.rc4(PdfCrypt.objectKey(key, n, 0, aes = false), d))
       case "rc4-128" =>
+        val oVal = PdfCrypt.computeO(ownerPassword, password, r = 3, lengthBits = 128)
         val key = PdfCrypt.fileKeyClassic(password, oVal, p, id0, r = 3, lengthBits = 128)
         val u = PdfCrypt.computeU(key, id0, 3)
         (s"<< /Filter /Standard /V 2 /R 3 /Length 128 /P $p /O <${hexs(oVal)}> /U <${hexs(u)}> >>",
           (n, d) => PdfCrypt.rc4(PdfCrypt.objectKey(key, n, 0, aes = false), d))
       case "aes-128" =>
+        val oVal = PdfCrypt.computeO(ownerPassword, password, r = 4, lengthBits = 128)
         val key = PdfCrypt.fileKeyClassic(password, oVal, p, id0, r = 4, lengthBits = 128)
         val u = PdfCrypt.computeU(key, id0, 4)
         (s"<< /Filter /Standard /V 4 /R 4 /Length 128 /P $p /O <${hexs(oVal)}> /U <${hexs(u)}> " +
@@ -123,12 +129,19 @@ object PdfFixtures {
         val fileKey = Array.tabulate(32)(i => ((i * 53 + 11) & 0xff).toByte)
         val vSalt = Array.tabulate(8)(i => (i + 1).toByte)
         val kSalt = Array.tabulate(8)(i => (i + 101).toByte)
+        val oVSalt = Array.tabulate(8)(i => (i + 51).toByte)
+        val oKSalt = Array.tabulate(8)(i => (i + 151).toByte)
         val pw = java.util.Arrays.copyOf(password, math.min(password.length, 127))
+        val opw0 = if (ownerPassword.isEmpty) password else ownerPassword
+        val opw = java.util.Arrays.copyOf(opw0, math.min(opw0.length, 127))
         val u = PdfCrypt.hash2B(pw, vSalt) ++ vSalt ++ kSalt
         val ue = PdfCrypt.aesCbcNoPad(encrypt = true,
           PdfCrypt.hash2B(pw, kSalt), new Array[Byte](16), fileKey)
+        val oVal = PdfCrypt.hash2B(opw, oVSalt, u) ++ oVSalt ++ oKSalt
+        val oe = PdfCrypt.aesCbcNoPad(encrypt = true,
+          PdfCrypt.hash2B(opw, oKSalt, u), new Array[Byte](16), fileKey)
         (s"<< /Filter /Standard /V 5 /R 6 /Length 256 /P $p /O <${hexs(oVal)}> /U <${hexs(u)}> " +
-          s"/UE <${hexs(ue)}> /OE <${hexs(new Array[Byte](32))}> " +
+          s"/UE <${hexs(ue)}> /OE <${hexs(oe)}> " +
           "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF /StrF /StdCF >>",
           (n, d) => PdfCrypt.aesEncrypt(fileKey, ivFor(n), d))
       case other => throw new IllegalArgumentException(s"unknown variant $other")
