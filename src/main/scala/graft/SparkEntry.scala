@@ -596,6 +596,24 @@ object SparkEntry {
         }
         .toDF("doc_id", "page_no", "img_index", "filter", "width", "height")
     }),
+    // in-PDF JBIG2 decode (ITU-T T.88 MQ coder + template-0 generic region)
+    // under a TRUE arithmetic oracle: each synthetic PDF embeds a real
+    // /JBIG2Decode XObject (odd ids split page info into a /JBIG2Globals
+    // stream, id%4==2 adds a Flate chain, odd ids code with TPGDON) whose
+    // bitmap is doc-id arithmetic — dims AND the dark-pixel count are
+    // recomputed per-pixel in SQL, so only a genuine MQ entropy decode can
+    // match; the dict's lying /Width is pinned out by Jbig2Spec
+    "q_pdf_jbig2" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "documents").where(col("doc_id") < 60)
+        .select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          graft.sources.Pdf.extractImages(graft.sources.Pdf.PdfBinary(
+              id.toString, 0L, graft.sources.Pdf.syntheticJbig2Pdf(id)))
+            .map(r => (id, r.img_index, r.filter, r.width, r.height, r.dark))
+        }
+        .toDF("doc_id", "img_index", "filter", "width", "height", "dark_px")
+    }),
     // corpus-trained embedding, step 1 (the exact-integer surface): windowed
     // token co-occurrence — per-row pair generation, NO self-join, one
     // aggregation shuffle (ops/CorpusEmbed trains PPMI + random-projection
@@ -1935,6 +1953,23 @@ $accept"""
         |  CAST(20 + (doc_id + 13 * k) % 30 AS INTEGER) AS width,
         |  CAST(15 + (doc_id * 7 + 11 * k) % 25 AS INTEGER) AS height
         |FROM i""".stripMargin,
+    // JBIG2 decode: dims and the per-pixel dark count re-derived from the
+    // generator arithmetic — the oracle enumerates every pixel of every
+    // bitmap and applies the same (3x + 5y + id) % 7 < 3 predicate the
+    // encoder rasterised, so a matching dark_px proves a true MQ decode
+    "q_pdf_jbig2" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+        |px AS (
+        |  SELECT d.doc_id, x.x, y.y
+        |  FROM d
+        |  CROSS JOIN range(0, 44) AS x(x)
+        |  CROSS JOIN range(0, 30) AS y(y)
+        |  WHERE x.x < 24 + d.doc_id % 20 AND y.y < 16 + (3 * d.doc_id) % 14)
+        |SELECT doc_id, CAST(0 AS INTEGER) AS img_index, 'jbig2' AS filter,
+        |  CAST(24 + doc_id % 20 AS INTEGER) AS width,
+        |  CAST(16 + (3 * doc_id) % 14 AS INTEGER) AS height,
+        |  CAST(SUM(CASE WHEN (3 * x + 5 * y + doc_id) % 7 < 3 THEN 1 ELSE 0 END) AS BIGINT) AS dark_px
+        |FROM px GROUP BY doc_id""".stripMargin,
     // curation through the embedding fuzzy path: same gates/exact chain,
     // then Md5Bow hashed-BoW vectors re-derived from md5 hex digits (the
     // q_cosine_filter slot/sign arithmetic), brute-force pairwise cosine

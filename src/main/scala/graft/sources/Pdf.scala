@@ -220,15 +220,17 @@ object Pdf {
   }
 
   final case class PdfImageRow(doc_id: String, page_no: Int, img_index: Int,
-                               filter: String, width: Int, height: Int)
+                               filter: String, width: Int, height: Int,
+                               dark: Long = -1L)
 
   /** Real parse → decoded image rows per page ([[PdfParse.PdfImage]] —
-    * bitstream-authoritative dims); empty when the document doesn't parse.
+    * bitstream-authoritative dims; `dark` = decoded 1-pixel count for
+    * bi-level codecs); empty when the document doesn't parse.
     */
   def extractImages(doc: PdfBinary): Seq[PdfImageRow] =
     PdfParse.parse(doc.content, decodeImages = true).toSeq.flatten.zipWithIndex.flatMap {
       case (p, i) => p.images.zipWithIndex.map { case (im, k) =>
-        PdfImageRow(doc.path, i, k, im.filter, im.width, im.height)
+        PdfImageRow(doc.path, i, k, im.filter, im.width, im.height, im.dark)
       }
     }
 
@@ -277,6 +279,67 @@ object Pdf {
         s"/BitsPerComponent 8 /ColorSpace /DeviceRGB /Filter $filter " +
         s"/Length ${payload.length} >>\nstream\n")
       out.write(payload)
+      w("\nendstream\nendobj\n")
+    }
+    w("%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Deterministic synthetic PDF embedding a REAL JBIG2 image XObject:
+    * one page, one /JBIG2Decode image whose bitmap is pure doc-id
+    * arithmetic — w = 24 + id%20, h = 16 + (3·id)%14, pixel(x,y) black iff
+    * (3x + 5y + id) % 7 < 3 — so the q_pdf_jbig2 DuckDB oracle recomputes
+    * dims AND the dark-pixel count in SQL, and only a genuine MQ +
+    * generic-region decode can match. Variants keep every engine path
+    * exercised: odd ids split the page-info segment into a /JBIG2Globals
+    * stream; id%4==2 wraps the image stream in [/FlateDecode /JBIG2Decode];
+    * odd ids code with TPGDON; id%3==0 moves the A1 adaptive pixel.
+    */
+  def syntheticJbig2Pdf(id: Long): Array[Byte] = {
+    val w0 = 24 + (id % 20).toInt
+    val h0 = 16 + ((3 * id) % 14).toInt
+    val bits = new Array[Byte](w0 * h0)
+    var y = 0
+    while (y < h0) {
+      var x = 0
+      while (x < w0) {
+        if ((3 * x + 5 * y + id) % 7 < 3) bits(y * w0 + x) = 1
+        x += 1
+      }
+      y += 1
+    }
+    val bm = Jbig2.Bitmap(w0, h0, bits)
+    val tpgdon = id % 2 == 1
+    val at = if (id % 3 == 0) Jbig2.AtPixels(a1 = (2, -1)) else Jbig2.AtPixels()
+    val (pageSeg, regionSeg) = Jbig2.encodeSegments(bm, tpgdon, at)
+    val split = id % 2 == 1
+    val flated = id % 4 == 2
+    val imgStream0 = if (split) regionSeg else pageSeg ++ regionSeg
+    val imgStream = if (flated) deflateBytes(imgStream0) else imgStream0
+    val filter = if (flated) "[ /FlateDecode /JBIG2Decode ]" else "/JBIG2Decode"
+    val parms =
+      if (split && flated) "/DecodeParms [ null << /JBIG2Globals 6 0 R >> ]"
+      else if (split) "/DecodeParms << /JBIG2Globals 6 0 R >>"
+      else ""
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    w("2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n")
+    w("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /XObject << /Im0 5 0 R >> >> >>\nendobj\n")
+    val content = s"BT /F1 12 Tf 72 720 Td (jbig2 doc $id) Tj ET"
+    w(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+    // the dict LIES about /Width|/Height on purpose: the decoded region
+    // header is authoritative, exactly like the DCT path's JPEG dims
+    w(s"5 0 obj\n<< /Subtype /Image /Width ${w0 + 7} /Height ${h0 + 3} " +
+      s"/BitsPerComponent 1 /ColorSpace /DeviceGray /Filter $filter $parms " +
+      s"/Length ${imgStream.length} >>\nstream\n")
+    out.write(imgStream)
+    w("\nendstream\nendobj\n")
+    if (split) {
+      w(s"6 0 obj\n<< /Length ${pageSeg.length} >>\nstream\n")
+      out.write(pageSeg)
       w("\nendstream\nendobj\n")
     }
     w("%%EOF\n")

@@ -42,13 +42,17 @@ package graft.sources
   *
   *  - embedded images: /DCTDecode (JPEG) XObjects decode through the JDK
   *    codec — alone or behind a Flate chain — with BITSTREAM-authoritative
-  *    dimensions; raw bitmaps behind the standard filter chain keep their
-  *    dict dims only when the decoded payload length matches the declared
-  *    geometry.
+  *    dimensions; /JBIG2Decode XObjects (with or without a /JBIG2Globals
+  *    stream) decode through the [[Jbig2]] MQ + generic-region decoder,
+  *    dims AND dark-pixel count taken from the decoded bitmap; raw bitmaps
+  *    behind the standard filter chain keep their dict dims only when the
+  *    decoded payload length matches the declared geometry.
   *
-  * Out of scope (returns what it can, never throws): JBIG2/JPX image
-  * codecs (no JVM codec) — those fall back to the deterministic stub
-  * kernel in [[Pdf]]. A supplied password is tried in BOTH roles (user
+  * Out of scope (returns what it can, never throws): the JPX image codec
+  * (no JVM codec) and JBIG2 coding modes beyond arithmetic template-0
+  * generic regions (MMR, symbol/text/halftone/refinement) — those fall
+  * back to the deterministic stub kernel in [[Pdf]] or a -1-dim row. A
+  * supplied password is tried in BOTH roles (user
   * via Algorithm 6/2.A, owner via Algorithm 7 / the R6 /OE unwrap); only
   * a document whose passwords are both unknown falls back.
   */
@@ -59,11 +63,16 @@ object PdfParse {
   /** One image XObject on a page. `width`/`height` are BITSTREAM-
     * authoritative: for /DCTDecode the JDK JPEG codec's decoded dimensions
     * (the dict is not trusted — a lying /Width cannot leak through); for
-    * raw bitmaps behind the standard filter chain the dict dims, accepted
-    * only when the decoded payload length matches the declared geometry
-    * (w·h·components·bpc/8). `width = -1` marks an undecodable payload
-    * (JBIG2/JPX — no JVM codec). */
-  final case class PdfImage(name: String, filter: String, width: Int, height: Int)
+    * /JBIG2Decode the decoded generic-region dimensions from [[Jbig2]];
+    * for raw bitmaps behind the standard filter chain the dict dims,
+    * accepted only when the decoded payload length matches the declared
+    * geometry (w·h·components·bpc/8). `width = -1` marks an undecodable
+    * payload (JPX — no JVM codec — or a JBIG2 coding mode outside the
+    * generic-region decoder). `dark` counts the 1-pixels of a decoded
+    * bi-level bitmap (-1 where the codec doesn't produce one) — the
+    * content statistic only a true entropy decode can reproduce. */
+  final case class PdfImage(name: String, filter: String, width: Int, height: Int,
+                            dark: Long = -1L)
 
   final case class Page(text: String, nImages: Int, links: Seq[String],
                         images: Seq[PdfImage] = Nil)
@@ -560,7 +569,7 @@ object PdfParse {
     * /DCTDecode payloads (optionally behind Flate) go to the JDK JPEG codec;
     * raw bitmaps go through the standard filter chain and keep the dict
     * dims only when the payload length matches the declared geometry. */
-  private def imageOf(name: String, o: Obj): PdfImage = {
+  private def imageOf(name: String, o: Obj, objs: Map[Int, Obj]): PdfImage = {
     val filters = dictValue(o.dict, "/Filter").toSeq
       .flatMap(v => nameRe.findAllMatchIn(v).map(_.group(1))).toList
     val dictW = dictInt(o.dict, "/Width")
@@ -586,7 +595,37 @@ object PdfParse {
           case None => PdfImage(name, "dct", -1, -1)
         }
       }
-    } else if (filters.exists(f => f == "JPXDecode" || f == "JBIG2Decode")) {
+    } else if (filters.lastOption.contains("JBIG2Decode")) {
+      // same chain rule as DCT: only Flate predecessors are unwrappable
+      if (filters.dropRight(1).exists(f => f != "FlateDecode" && f != "Fl"))
+        PdfImage(name, "unsupported", -1, -1)
+      else {
+        val payload = filters.dropRight(1).foldLeft(o.stream) {
+          case (Some(d), "FlateDecode" | "Fl") => inflate(d)
+          case _ => None
+        }
+        // /DecodeParms /JBIG2Globals N 0 R — a shared segment stream the
+        // embedded stream's segments may refer into; parsed as its own
+        // segment stream ahead of the image's per ISO 32000 §7.4.7
+        val globals: Array[Byte] = (for {
+          parms <- dictValue(o.dict, "/DecodeParms").orElse(dictValue(o.dict, "/DP"))
+          gv    <- dictValue(parms, "/JBIG2Globals")
+          ref   <- refsIn(gv).headOption
+          gobj  <- objs.get(ref)
+          gdata <- decodedStream(gobj)
+        } yield gdata).getOrElse(Array.emptyByteArray)
+        payload.flatMap(Jbig2.decodeFirstGenericRegion(globals, _)) match {
+          case Some(r) =>
+            val dark = {
+              var n = 0L; var i = 0
+              while (i < r.bitmap.bits.length) { if (r.bitmap.bits(i) != 0) n += 1; i += 1 }
+              n
+            }
+            PdfImage(name, "jbig2", r.bitmap.width, r.bitmap.height, dark)
+          case None => PdfImage(name, "jbig2", -1, -1)
+        }
+      }
+    } else if (filters.exists(_ == "JPXDecode")) {
       PdfImage(name, "unsupported", -1, -1) // no JVM codec
     } else {
       val bpc = math.max(1, dictInt(o.dict, "/BitsPerComponent") match {
@@ -963,7 +1002,7 @@ object PdfParse {
       val images =
         if (!decodeImages) Nil
         else imageObjs.zipWithIndex.map { case (o, i) =>
-          try imageOf(s"Im$i", o)
+          try imageOf(s"Im$i", o, objs)
           catch { case _: Exception => PdfImage(s"Im$i", "error", -1, -1) }
         }
       val nImages = imageObjs.size

@@ -1,0 +1,188 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{Jbig2, Pdf}
+
+/** JBIG2 (ITU-T T.88) codec tests. The decoder's testable property is the
+  * same one [[PdfCryptSpec]] uses for the cipher family: the spec's own
+  * forward direction (MQ encoder + generic-region encoder + embedded-stream
+  * writer) produces streams the decoder must reproduce exactly — bit-for-bit
+  * bitmap equality across TPGDON, moved AT pixels, and the PDF
+  * /JBIG2Globals split organisation.
+  */
+class Jbig2Spec extends AnyFunSuite {
+
+  // ---- MQ coder -------------------------------------------------------------
+
+  test("MQ round-trip: random bits under random contexts") {
+    val rnd = new scala.util.Random(42)
+    val bits = Array.fill(5000)(rnd.nextInt(2))
+    val cxs = Array.fill(5000)(rnd.nextInt(1 << 16))
+    val enc = new Jbig2.MqEncoder
+    val ectx = new Jbig2.Contexts(1 << 16)
+    bits.indices.foreach(i => enc.encode(ectx, cxs(i), bits(i)))
+    val coded = enc.finish()
+    val dec = new Jbig2.MqDecoder(coded)
+    val dctx = new Jbig2.Contexts(1 << 16)
+    val back = bits.indices.map(i => dec.decode(dctx, cxs(i))).toArray
+    assert(back.sameElements(bits))
+  }
+
+  test("MQ round-trip: skewed sources compress and still round-trip") {
+    // heavily-biased bits exercise the MPS/LPS exchange + renorm paths the
+    // uniform source rarely hits, and the adaptive table should pay off
+    for (p <- Seq(0.02, 0.5, 0.98)) {
+      val rnd = new scala.util.Random((p * 1000).toInt)
+      val bits = Array.fill(8000)(if (rnd.nextDouble() < p) 1 else 0)
+      val enc = new Jbig2.MqEncoder
+      val ectx = new Jbig2.Contexts(1)
+      bits.foreach(b => enc.encode(ectx, 0, b))
+      val coded = enc.finish()
+      val dec = new Jbig2.MqDecoder(coded)
+      val dctx = new Jbig2.Contexts(1)
+      val back = bits.indices.map(_ => dec.decode(dctx, 0)).toArray
+      assert(back.sameElements(bits), s"p=$p")
+      if (p != 0.5) assert(coded.length < 8000 / 8 + 32, s"p=$p did not compress: ${coded.length}")
+    }
+  }
+
+  test("MQ round-trip: all-zero and all-one runs (byte-stuffing path)") {
+    for (v <- Seq(0, 1)) {
+      val bits = Array.fill(4096)(v)
+      val enc = new Jbig2.MqEncoder
+      val ectx = new Jbig2.Contexts(1)
+      bits.foreach(b => enc.encode(ectx, 0, b))
+      val coded = enc.finish()
+      val dec = new Jbig2.MqDecoder(coded)
+      val dctx = new Jbig2.Contexts(1)
+      assert(bits.indices.forall(_ => dec.decode(dctx, 0) == v), s"v=$v")
+    }
+  }
+
+  // ---- Generic region -------------------------------------------------------
+
+  private def randomBitmap(w: Int, h: Int, seed: Int, density: Int = 3): Jbig2.Bitmap = {
+    val rnd = new scala.util.Random(seed)
+    Jbig2.Bitmap(w, h, Array.fill[Byte](w * h)(if (rnd.nextInt(7) < density) 1 else 0))
+  }
+
+  test("generic region round-trip: template 0, nominal AT") {
+    for (seed <- 0 until 5; tp <- Seq(false, true)) {
+      val bm = randomBitmap(37, 23, seed)
+      val coded = Jbig2.encodeGenericRegion(bm, tp)
+      val back = Jbig2.decodeGenericRegion(coded, 37, 23, tp)
+      assert(java.util.Arrays.equals(back.bits, bm.bits), s"seed=$seed tpgdon=$tp")
+    }
+  }
+
+  test("generic region round-trip: moved AT pixels") {
+    val bm = randomBitmap(41, 19, seed = 7)
+    for (at <- Seq(
+        Jbig2.AtPixels(a1 = (2, -1)),
+        Jbig2.AtPixels(a1 = (-2, 0), a2 = (-4, -1)),
+        Jbig2.AtPixels(a1 = (8, -1), a3 = (5, -2)))) {
+      val coded = Jbig2.encodeGenericRegion(bm, tpgdon = false, at)
+      val back = Jbig2.decodeGenericRegion(coded, 41, 19, tpgdon = false, at)
+      assert(java.util.Arrays.equals(back.bits, bm.bits), s"at=$at")
+    }
+  }
+
+  test("TPGDON: repeated rows take the typical-prediction path and shrink") {
+    val w = 64; val h = 48
+    val row = Array.tabulate[Byte](w)(x => if (x % 3 == 0) 1 else 0)
+    val bm = Jbig2.Bitmap(w, h, Array.fill(h)(row).flatten)
+    val plain = Jbig2.encodeGenericRegion(bm, tpgdon = false)
+    val tpgd = Jbig2.encodeGenericRegion(bm, tpgdon = true)
+    assert(java.util.Arrays.equals(
+      Jbig2.decodeGenericRegion(tpgd, w, h, tpgdon = true).bits, bm.bits))
+    assert(tpgd.length < plain.length,
+      s"typical rows should compress: tpgd=${tpgd.length} plain=${plain.length}")
+  }
+
+  test("packed rows are MSB-first 1-bpp") {
+    val bm = Jbig2.Bitmap(10, 2, Array[Byte](
+      1, 0, 0, 0, 0, 0, 0, 1, 1, 1,
+      0, 1, 0, 0, 0, 0, 0, 0, 0, 0))
+    assert(bm.packed.toSeq == Seq(0x81.toByte, 0xC0.toByte, 0x40.toByte, 0x00.toByte))
+  }
+
+  // ---- Embedded segment stream ----------------------------------------------
+
+  test("embedded stream round-trip: segments parse, region decodes") {
+    val bm = randomBitmap(33, 21, seed = 3)
+    val stream = Jbig2.encodeEmbedded(bm, tpgdon = true)
+    val segs = Jbig2.parseSegments(stream).get
+    assert(segs.map(_.segType) == Seq(48, 39))
+    val r = Jbig2.decodeFirstGenericRegion(stream).get
+    assert(r.bitmap.width == 33 && r.bitmap.height == 21)
+    assert(java.util.Arrays.equals(r.bitmap.bits, bm.bits))
+  }
+
+  test("split organisation: globals page segment + image region segment") {
+    val bm = randomBitmap(25, 17, seed = 11)
+    val (page, region) = Jbig2.encodeSegments(bm)
+    val r = Jbig2.decodeFirstGenericRegion(page ++ region).get
+    assert(java.util.Arrays.equals(r.bitmap.bits, bm.bits))
+    // region segment alone still decodes (globals optional for generic-only)
+    val alone = Jbig2.decodeFirstGenericRegion(region).get
+    assert(java.util.Arrays.equals(alone.bitmap.bits, bm.bits))
+  }
+
+  test("malformed and out-of-scope streams return None, never throw") {
+    assert(Jbig2.parseSegments(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Jbig2.decodeFirstGenericRegion(Array.emptyByteArray).isEmpty)
+    // an MMR-flagged region header must fall back
+    val bm = randomBitmap(9, 9, seed = 1)
+    val (_, region) = Jbig2.encodeSegments(bm)
+    val mmr = region.clone()
+    // region segment: 11-byte header, 17 bytes of region info, flags at +17
+    mmr(11 + 17) = (mmr(11 + 17) | 1).toByte
+    assert(Jbig2.decodeFirstGenericRegion(mmr).isEmpty)
+    // truncated MQ data decodes without throwing (marker-byte tail) but a
+    // truncated segment header is malformed
+    assert(Jbig2.parseSegments(region.take(6)).isEmpty)
+  }
+
+  // ---- PDF end-to-end -------------------------------------------------------
+
+  test("synthetic JBIG2 PDFs: dims and dark count are bitstream-authoritative") {
+    for (id <- 0L until 12L) {
+      val rows = Pdf.extractImages(Pdf.PdfBinary(id.toString, 0, Pdf.syntheticJbig2Pdf(id)))
+      assert(rows.size == 1, s"id=$id")
+      val r = rows.head
+      val w0 = 24 + (id % 20).toInt
+      val h0 = 16 + ((3 * id) % 14).toInt
+      val dark = (for (y <- 0 until h0; x <- 0 until w0
+                       if (3 * x + 5 * y + id) % 7 < 3) yield 1).size.toLong
+      assert(r.filter == "jbig2", s"id=$id: ${r.filter}")
+      // the PDF dict deliberately lies (/Width w0+7): decode must win
+      assert(r.width == w0 && r.height == h0, s"id=$id: ${r.width}x${r.height}")
+      assert(r.dark == dark, s"id=$id: dark=${r.dark} expected $dark")
+    }
+  }
+
+  test("JPX stays unsupported; non-Flate JBIG2 chain labeled unsupported") {
+    val bm = randomBitmap(12, 12, seed = 2)
+    val stream = Jbig2.encodeEmbedded(bm)
+    def onePdf(filter: String, payload: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+      w("%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+      w("2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n")
+      w("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /XObject << /Im0 5 0 R >> >> >>\nendobj\n")
+      w("4 0 obj\n<< /Length 2 >>\nstream\nBT\nendstream\nendobj\n")
+      w(s"5 0 obj\n<< /Subtype /Image /Width 12 /Height 12 /BitsPerComponent 1 " +
+        s"/Filter $filter /Length ${payload.length} >>\nstream\n")
+      out.write(payload)
+      w("\nendstream\nendobj\n%%EOF\n")
+      out.toByteArray
+    }
+    val jpx = Pdf.extractImages(Pdf.PdfBinary("a", 0, onePdf("/JPXDecode", stream)))
+    assert(jpx.head.filter == "unsupported" && jpx.head.width == -1)
+    val hexed = stream.map(b => f"${b & 0xff}%02x").mkString.getBytes("ISO-8859-1") ++ Array('>'.toByte)
+    val chain = Pdf.extractImages(Pdf.PdfBinary("b", 0,
+      onePdf("[ /ASCIIHexDecode /JBIG2Decode ]", hexed)))
+    assert(chain.head.filter == "unsupported" && chain.head.width == -1)
+  }
+}
