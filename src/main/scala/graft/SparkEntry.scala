@@ -614,6 +614,42 @@ object SparkEntry {
         }
         .toDF("doc_id", "img_index", "filter", "width", "height", "dark_px")
     }),
+    // in-PDF CCITT G3/G4 fax decode (ITU-T T.4/T.6 through the JDK TIFF
+    // codec behind a minimal container bridge) under a TRUE arithmetic
+    // oracle: each synthetic PDF embeds a real /CCITTFaxDecode XObject
+    // (id%3==0 Modified Huffman K=0 + byte align, else G4 K=-1; odd ids
+    // behind Flate) whose bitmap is doc-id arithmetic — dims AND the
+    // dark-pixel count are recomputed per-pixel in SQL, so only a genuine
+    // run-length decode can match
+    "q_pdf_ccitt" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "documents").where(col("doc_id") < 60)
+        .select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          graft.sources.Pdf.extractImages(graft.sources.Pdf.PdfBinary(
+              id.toString, 0L, graft.sources.Pdf.syntheticCcittPdf(id)))
+            .map(r => (id, r.img_index, r.filter, r.width, r.height, r.dark))
+        }
+        .toDF("doc_id", "img_index", "filter", "width", "height", "dark_px")
+    }),
+    // in-PDF JPEG 2000 decode (ITU-T T.800: EBCOT Tier-1 on the MQ coder,
+    // tag-tree packet headers, reversible 5/3 wavelet) under a TRUE
+    // arithmetic oracle: each synthetic PDF embeds a real LOSSLESS
+    // /JPXDecode grayscale XObject (id%3 picks the DWT depth, odd ids ship
+    // the JP2 box container) whose samples are doc-id arithmetic — dims
+    // AND the exact sample sum are recomputed per-pixel in SQL, so only a
+    // genuine wavelet + entropy decode can match
+    "q_pdf_jpx" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "documents").where(col("doc_id") < 60)
+        .select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          graft.sources.Pdf.extractImages(graft.sources.Pdf.PdfBinary(
+              id.toString, 0L, graft.sources.Pdf.syntheticJpxPdf(id)))
+            .map(r => (id, r.img_index, r.filter, r.width, r.height, r.dark))
+        }
+        .toDF("doc_id", "img_index", "filter", "width", "height", "sample_sum")
+    }),
     // corpus-trained embedding, step 1 (the exact-integer surface): windowed
     // token co-occurrence — per-row pair generation, NO self-join, one
     // aggregation shuffle (ops/CorpusEmbed trains PPMI + random-projection
@@ -1969,6 +2005,36 @@ $accept"""
         |  CAST(24 + doc_id % 20 AS INTEGER) AS width,
         |  CAST(16 + (3 * doc_id) % 14 AS INTEGER) AS height,
         |  CAST(SUM(CASE WHEN (3 * x + 5 * y + doc_id) % 7 < 3 THEN 1 ELSE 0 END) AS BIGINT) AS dark_px
+        |FROM px GROUP BY doc_id""".stripMargin,
+    // CCITT fax decode: same per-pixel re-derivation with the q_pdf_ccitt
+    // generator's geometry and predicate
+    "q_pdf_ccitt" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+        |px AS (
+        |  SELECT d.doc_id, x.x, y.y
+        |  FROM d
+        |  CROSS JOIN range(0, 45) AS x(x)
+        |  CROSS JOIN range(0, 33) AS y(y)
+        |  WHERE x.x < 20 + d.doc_id % 25 AND y.y < 14 + (5 * d.doc_id) % 19)
+        |SELECT doc_id, CAST(0 AS INTEGER) AS img_index, 'ccitt' AS filter,
+        |  CAST(20 + doc_id % 25 AS INTEGER) AS width,
+        |  CAST(14 + (5 * doc_id) % 19 AS INTEGER) AS height,
+        |  CAST(SUM(CASE WHEN (5 * x + 3 * y + 2 * doc_id) % 11 < 4 THEN 1 ELSE 0 END) AS BIGINT) AS dark_px
+        |FROM px GROUP BY doc_id""".stripMargin,
+    // JPEG 2000 decode: the lossless pipeline must reproduce every 8-bit
+    // sample exactly, so the oracle sums the generator's per-pixel values
+    "q_pdf_jpx" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+        |px AS (
+        |  SELECT d.doc_id, x.x, y.y
+        |  FROM d
+        |  CROSS JOIN range(0, 40) AS x(x)
+        |  CROSS JOIN range(0, 30) AS y(y)
+        |  WHERE x.x < 17 + d.doc_id % 23 AND y.y < 13 + (7 * d.doc_id) % 17)
+        |SELECT doc_id, CAST(0 AS INTEGER) AS img_index, 'jpx' AS filter,
+        |  CAST(17 + doc_id % 23 AS INTEGER) AS width,
+        |  CAST(13 + (7 * doc_id) % 17 AS INTEGER) AS height,
+        |  CAST(SUM((7 * x + 11 * y + 3 * doc_id) % 256) AS BIGINT) AS sample_sum
         |FROM px GROUP BY doc_id""".stripMargin,
     // curation through the embedding fuzzy path: same gates/exact chain,
     // then Md5Bow hashed-BoW vectors re-derived from md5 hex digits (the

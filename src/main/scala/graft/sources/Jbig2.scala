@@ -143,8 +143,12 @@ object Jbig2 {
       if (b == 0xff) { push(); b = (c >>> 20).toInt; c &= 0xFFFFFL; ct = 7 }
       else if (c < 0x8000000L) { push(); b = (c >>> 19).toInt; c &= 0x7FFFFL; ct = 8 }
       else {
+        // carry: fold bit 27 into the pending byte, then CLEAR it before
+        // extracting the next byte — leaving it set would leak the carry
+        // into b a second time (visible only near flush on short streams)
         b += 1
-        if (b == 0xff) { c &= 0x7FFFFFFL; push(); b = (c >>> 20).toInt; c &= 0xFFFFFL; ct = 7 }
+        c &= 0x7FFFFFFL
+        if (b == 0xff) { push(); b = (c >>> 20).toInt; c &= 0xFFFFFL; ct = 7 }
         else { push(); b = (c >>> 19).toInt; c &= 0x7FFFFL; ct = 8 }
       }
     }
@@ -181,8 +185,12 @@ object Jbig2 {
 
     /** FLUSH: SETBITS + two byteouts + the FF AC terminator. */
     def finish(): Array[Byte] = {
-      val temp = ((c + a - 1) & 0xFFFF0000L)
-      c = if (temp < c) temp + 0x8000 else temp
+      // SETBITS: raise the low 16 bits, stepping back half an interval if
+      // that overshoots [C, C+A) — always lands inside because A >= 0x8000
+      // after renormalisation
+      val temp = c + a
+      c |= 0xFFFFL
+      if (c >= temp) c -= 0x8000L
       c = (c << ct) & 0xFFFFFFFFL
       byteout()
       c = (c << ct) & 0xFFFFFFFFL
@@ -390,14 +398,22 @@ object Jbig2 {
         val mmr = (flags & 1) != 0
         val template = (flags >> 1) & 3
         val tpgdon = (flags & 8) != 0
-        if (mmr || template != 0) return None
         if (w <= 0 || h <= 0 || w.toLong * h > 64L * 1024 * 1024) return None
-        if (d.length < 18 + 8) return None
-        val at = AtPixels(
-          (d(18), d(19)), (d(20), d(21)), (d(22), d(23)), (d(24), d(25)))
-        val mq = java.util.Arrays.copyOfRange(d, 26, d.length)
-        try Some(Region(x, y, decodeGenericRegion(mq, w, h, tpgdon, at)))
-        catch { case _: Exception => None }
+        if (mmr) {
+          // MMR regions are T.6-coded, full-width, no AT bytes in the
+          // header (T.88 §7.4.6.2) and no typical prediction (§6.2.6)
+          if (tpgdon) return None
+          val data = java.util.Arrays.copyOfRange(d, 18, d.length)
+          Ccitt.decodeG4(data, w, h).map(Region(x, y, _))
+        } else if (template != 0) None
+        else {
+          if (d.length < 18 + 8) return None
+          val at = AtPixels(
+            (d(18), d(19)), (d(20), d(21)), (d(22), d(23)), (d(24), d(25)))
+          val mq = java.util.Arrays.copyOfRange(d, 26, d.length)
+          try Some(Region(x, y, decodeGenericRegion(mq, w, h, tpgdon, at)))
+          catch { case _: Exception => None }
+        }
       }
   }
 
@@ -421,21 +437,25 @@ object Jbig2 {
 
   /** The two embedded-stream segments for `bm`: the page information
     * segment (type 48) and an immediate lossless generic region segment
-    * (type 39, template 0) — separately, so a caller can ship the page
-    * info in a PDF /JBIG2Globals stream and the region in the image
-    * stream (the split organisation ISO 32000 §7.4.7 allows). */
+    * (type 39; arithmetic template 0, or T.6-coded when `mmr`) —
+    * separately, so a caller can ship the page info in a PDF
+    * /JBIG2Globals stream and the region in the image stream (the split
+    * organisation ISO 32000 §7.4.7 allows). */
   def encodeSegments(bm: Bitmap, tpgdon: Boolean = false,
-                     at: AtPixels = AtPixels()): (Array[Byte], Array[Byte]) = {
+                     at: AtPixels = AtPixels(),
+                     mmr: Boolean = false): (Array[Byte], Array[Byte]) = {
     // page information segment: width, height, xres, yres, flags, striping
     val pageInfo = be32b(bm.width.toLong) ++ be32b(bm.height.toLong) ++
       be32b(0) ++ be32b(0) ++ Array(0x01.toByte) ++ Array(0x00.toByte, 0x00.toByte)
-    val regionFlags = (if (tpgdon) 8 else 0) // MMR=0, template=0
+    val regionFlags = (if (mmr) 1 else 0) | (if (tpgdon && !mmr) 8 else 0)
+    val coded =
+      if (mmr) Ccitt.encode(bm) // T.6, no AT bytes in the header
+      else Array(at.a1._1, at.a1._2, at.a2._1, at.a2._2,
+        at.a3._1, at.a3._2, at.a4._1, at.a4._2).map(_.toByte) ++
+        encodeGenericRegion(bm, tpgdon, at)
     val regionInfo = be32b(bm.width.toLong) ++ be32b(bm.height.toLong) ++
       be32b(0) ++ be32b(0) ++ Array(0x00.toByte) ++ // combOp OR
-      Array(regionFlags.toByte) ++
-      Array(at.a1._1, at.a1._2, at.a2._1, at.a2._2,
-        at.a3._1, at.a3._2, at.a4._1, at.a4._2).map(_.toByte) ++
-      encodeGenericRegion(bm, tpgdon, at)
+      Array(regionFlags.toByte) ++ coded
     (segmentBytes(0, 48, 1, pageInfo), segmentBytes(1, 39, 1, regionInfo))
   }
 

@@ -293,7 +293,8 @@ object Pdf {
     * generic-region decode can match. Variants keep every engine path
     * exercised: odd ids split the page-info segment into a /JBIG2Globals
     * stream; id%4==2 wraps the image stream in [/FlateDecode /JBIG2Decode];
-    * odd ids code with TPGDON; id%3==0 moves the A1 adaptive pixel.
+    * odd ids code with TPGDON; id%3==0 moves the A1 adaptive pixel;
+    * id%5==4 codes the region as MMR (T.6) instead of arithmetic.
     */
   def syntheticJbig2Pdf(id: Long): Array[Byte] = {
     val w0 = 24 + (id % 20).toInt
@@ -311,7 +312,7 @@ object Pdf {
     val bm = Jbig2.Bitmap(w0, h0, bits)
     val tpgdon = id % 2 == 1
     val at = if (id % 3 == 0) Jbig2.AtPixels(a1 = (2, -1)) else Jbig2.AtPixels()
-    val (pageSeg, regionSeg) = Jbig2.encodeSegments(bm, tpgdon, at)
+    val (pageSeg, regionSeg) = Jbig2.encodeSegments(bm, tpgdon, at, mmr = id % 5 == 4)
     val split = id % 2 == 1
     val flated = id % 4 == 2
     val imgStream0 = if (split) regionSeg else pageSeg ++ regionSeg
@@ -342,6 +343,117 @@ object Pdf {
       out.write(pageSeg)
       w("\nendstream\nendobj\n")
     }
+    w("%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Deterministic synthetic PDF embedding a REAL CCITT fax image XObject:
+    * one page, one /CCITTFaxDecode image whose bitmap is pure doc-id
+    * arithmetic — w = 20 + id%25, h = 14 + (5·id)%19, pixel(x,y) black iff
+    * (5x + 3y + 2·id) % 11 < 4 — so the q_pdf_ccitt DuckDB oracle
+    * recomputes dims AND the dark-pixel count in SQL, and only a genuine
+    * T.4/T.6 run-length decode can match. Variants: id%3==0 codes Modified
+    * Huffman (K=0 + /EncodedByteAlign); everything else is G4 (K=-1); odd
+    * ids wrap the stream in [/FlateDecode /CCITTFaxDecode].
+    */
+  def syntheticCcittPdf(id: Long): Array[Byte] = {
+    val w0 = 20 + (id % 25).toInt
+    val h0 = 14 + ((5 * id) % 19).toInt
+    val bits = new Array[Byte](w0 * h0)
+    var y = 0
+    while (y < h0) {
+      var x = 0
+      while (x < w0) {
+        if ((5 * x + 3 * y + 2 * id) % 11 < 4) bits(y * w0 + x) = 1
+        x += 1
+      }
+      y += 1
+    }
+    val bm = Jbig2.Bitmap(w0, h0, bits)
+    val mh = id % 3 == 0
+    val raw = Ccitt.encode(bm, if (mh) "CCITT RLE" else "CCITT T.6")
+    val flated = id % 2 == 1
+    val payload = if (flated) deflateBytes(raw) else raw
+    val filter = if (flated) "[ /FlateDecode /CCITTFaxDecode ]" else "/CCITTFaxDecode"
+    val faxParms = s"<< /K ${if (mh) 0 else -1} /Columns $w0 /Rows $h0" +
+      (if (mh) " /EncodedByteAlign true" else "") + " >>"
+    val parms =
+      if (flated) s"/DecodeParms [ null $faxParms ]" else s"/DecodeParms $faxParms"
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    w("2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n")
+    w("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /XObject << /Im0 5 0 R >> >> >>\nendobj\n")
+    val content = s"BT /F1 12 Tf 72 720 Td (ccitt doc $id) Tj ET"
+    w(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+    // the dict height is authoritative only via /Rows; /Width lies so the
+    // coded /Columns geometry must win
+    w(s"5 0 obj\n<< /Subtype /Image /Width ${w0 + 9} /Height $h0 " +
+      s"/BitsPerComponent 1 /ColorSpace /DeviceGray /Filter $filter $parms " +
+      s"/Length ${payload.length} >>\nstream\n")
+    out.write(payload)
+    w("\nendstream\nendobj\n")
+    w("%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Deterministic synthetic PDF embedding a REAL JPEG 2000 image XObject:
+    * one page, one /JPXDecode grayscale image whose samples are pure
+    * doc-id arithmetic — w = 17 + id%23, h = 13 + (7·id)%17, sample(x,y) =
+    * (7x + 11y + 3·id) % 256 — coded LOSSLESSLY (reversible 5/3), so the
+    * q_pdf_jpx DuckDB oracle recomputes dims AND the exact sample sum in
+    * SQL and only a genuine EBCOT + wavelet decode can match. Variants:
+    * id%3 picks the DWT level count (0/1/2); odd ids ship the JP2 box
+    * container, even ids the raw codestream.
+    */
+  def syntheticJpxPdf(id: Long): Array[Byte] = {
+    val w0 = 17 + (id % 23).toInt
+    val h0 = 13 + ((7 * id) % 17).toInt
+    val samples = new Array[Int](w0 * h0)
+    var y = 0
+    while (y < h0) {
+      var x = 0
+      while (x < w0) {
+        samples(y * w0 + x) = ((7 * x + 11 * y + 3 * id) % 256).toInt
+        x += 1
+      }
+      y += 1
+    }
+    val cs = Jpx.encode(w0, h0, samples, levels = (id % 3).toInt, cbExp = 4)
+    val payload =
+      if (id % 2 == 1) {
+        // minimal JP2 container: signature box, ftyp box, jp2c codestream box
+        def box(typ: String, body: Array[Byte]): Array[Byte] = {
+          val out = new java.io.ByteArrayOutputStream()
+          val len = 8 + body.length
+          out.write(Array(((len >>> 24) & 0xff).toByte, ((len >>> 16) & 0xff).toByte,
+            ((len >>> 8) & 0xff).toByte, (len & 0xff).toByte))
+          out.write(typ.getBytes("US-ASCII"))
+          out.write(body)
+          out.toByteArray
+        }
+        box("jP  ", Array(0x0d, 0x0a, 0x87.toByte, 0x0a).map(_.toByte)) ++
+          box("ftyp", "jp2 ".getBytes("US-ASCII") ++ Array.fill(4)(0.toByte) ++
+            "jp2 ".getBytes("US-ASCII")) ++
+          box("jp2c", cs)
+      } else cs
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.5\n")
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    w("2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n")
+    w("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /XObject << /Im0 5 0 R >> >> >>\nendobj\n")
+    val content = s"BT /F1 12 Tf 72 720 Td (jpx doc $id) Tj ET"
+    w(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+    // the dict LIES about /Width|/Height: the SIZ header is authoritative
+    w(s"5 0 obj\n<< /Subtype /Image /Width ${w0 + 5} /Height ${h0 + 2} " +
+      s"/BitsPerComponent 8 /ColorSpace /DeviceGray /Filter /JPXDecode " +
+      s"/Length ${payload.length} >>\nstream\n")
+    out.write(payload)
+    w("\nendstream\nendobj\n")
     w("%%EOF\n")
     out.toByteArray
   }

@@ -43,16 +43,21 @@ package graft.sources
   *  - embedded images: /DCTDecode (JPEG) XObjects decode through the JDK
   *    codec — alone or behind a Flate chain — with BITSTREAM-authoritative
   *    dimensions; /JBIG2Decode XObjects (with or without a /JBIG2Globals
-  *    stream) decode through the [[Jbig2]] MQ + generic-region decoder,
-  *    dims AND dark-pixel count taken from the decoded bitmap; raw bitmaps
-  *    behind the standard filter chain keep their dict dims only when the
-  *    decoded payload length matches the declared geometry.
+  *    stream) decode through the [[Jbig2]] MQ + generic-region decoder
+  *    (arithmetic template 0 and T.6-coded MMR); /CCITTFaxDecode XObjects
+  *    decode through [[Ccitt]] (JDK TIFF codec behind a container bridge);
+  *    /JPXDecode XObjects decode through the [[Jpx]] JPEG 2000 codec
+  *    (lossless reversible subset) — dims AND the content statistic
+  *    (dark-pixel count / sample sum) taken from the decoded bitmap; raw
+  *    bitmaps behind the standard filter chain keep their dict dims only
+  *    when the decoded payload length matches the declared geometry.
   *
-  * Out of scope (returns what it can, never throws): the JPX image codec
-  * (no JVM codec) and JBIG2 coding modes beyond arithmetic template-0
-  * generic regions (MMR, symbol/text/halftone/refinement) — those fall
-  * back to the deterministic stub kernel in [[Pdf]] or a -1-dim row. A
-  * supplied password is tried in BOTH roles (user
+  * Out of scope (returns what it can, never throws): JBIG2 coding modes
+  * beyond generic regions (symbol/text/halftone/refinement), CCITT
+  * parameter sets TIFF cannot express (K ≥ 0 with neither EOLs nor byte
+  * alignment), and JPX streams outside the lossless single-tile grayscale
+  * subset — those fall back to the deterministic stub kernel in [[Pdf]]
+  * or a -1-dim row. A supplied password is tried in BOTH roles (user
   * via Algorithm 6/2.A, owner via Algorithm 7 / the R6 /OE unwrap); only
   * a document whose passwords are both unknown falls back.
   */
@@ -68,9 +73,10 @@ object PdfParse {
     * accepted only when the decoded payload length matches the declared
     * geometry (w·h·components·bpc/8). `width = -1` marks an undecodable
     * payload (JPX — no JVM codec — or a JBIG2 coding mode outside the
-    * generic-region decoder). `dark` counts the 1-pixels of a decoded
-    * bi-level bitmap (-1 where the codec doesn't produce one) — the
-    * content statistic only a true entropy decode can reproduce. */
+    * generic-region decoder). `dark` is the sum of decoded sample values
+    * (bi-level: the black-pixel count; JPX grayscale: the sum of 8-bit
+    * samples; -1 where the codec doesn't produce samples) — the content
+    * statistic only a true entropy decode can reproduce. */
   final case class PdfImage(name: String, filter: String, width: Int, height: Int,
                             dark: Long = -1L)
 
@@ -497,6 +503,9 @@ object PdfParse {
   private def parmInt(parms: String, key: String, dflt: Int): Int =
     dictValue(parms, key).flatMap(v => intRe.findFirstIn(v)).map(_.toInt).getOrElse(dflt)
 
+  private def parmBool(parms: String, key: String, dflt: Boolean): Boolean =
+    dictValue(parms, key).map(_.trim.startsWith("true")).getOrElse(dflt)
+
   /** Split an array-of-dicts /DecodeParms value into one dict string per
     * element (`null` elements become empty strings). */
   private def splitParms(v: String): Seq[String] = {
@@ -561,6 +570,13 @@ object PdfParse {
     }
   }
 
+  /** Black-pixel count of a decoded bi-level bitmap. */
+  private def darkOf(bm: Jbig2.Bitmap): Long = {
+    var n = 0L; var i = 0
+    while (i < bm.bits.length) { if (bm.bits(i) != 0) n += 1; i += 1 }
+    n
+  }
+
   private def dictInt(dict: String, key: String): Int =
     dictValue(dict, key).flatMap(v =>
       """-?\d+""".r.findFirstIn(v.trim)).map(_.toInt).getOrElse(0)
@@ -616,17 +632,51 @@ object PdfParse {
         } yield gdata).getOrElse(Array.emptyByteArray)
         payload.flatMap(Jbig2.decodeFirstGenericRegion(globals, _)) match {
           case Some(r) =>
-            val dark = {
-              var n = 0L; var i = 0
-              while (i < r.bitmap.bits.length) { if (r.bitmap.bits(i) != 0) n += 1; i += 1 }
-              n
-            }
-            PdfImage(name, "jbig2", r.bitmap.width, r.bitmap.height, dark)
+            PdfImage(name, "jbig2", r.bitmap.width, r.bitmap.height, darkOf(r.bitmap))
           case None => PdfImage(name, "jbig2", -1, -1)
         }
       }
+    } else if (filters.lastOption.exists(f => f == "CCITTFaxDecode" || f == "CCF")) {
+      if (filters.dropRight(1).exists(f => f != "FlateDecode" && f != "Fl"))
+        PdfImage(name, "unsupported", -1, -1)
+      else {
+        val payload = filters.dropRight(1).foldLeft(o.stream) {
+          case (Some(d), "FlateDecode" | "Fl") => inflate(d)
+          case _ => None
+        }
+        val parms = dictValue(o.dict, "/DecodeParms")
+          .orElse(dictValue(o.dict, "/DP")).getOrElse("")
+        val k = parmInt(parms, "/K", 0)
+        val columns = parmInt(parms, "/Columns", 1728)
+        val rows = parmInt(parms, "/Rows", 0) match {
+          case 0 => dictH // Rows unspecified: the image dict height
+          case r => r
+        }
+        val byteAlign = parmBool(parms, "/EncodedByteAlign", dflt = false)
+        val endOfLine = parmBool(parms, "/EndOfLine", dflt = false)
+        payload.flatMap(Ccitt.decode(_, columns, rows, k, byteAlign, endOfLine)) match {
+          case Some(bm) => PdfImage(name, "ccitt", bm.width, bm.height, darkOf(bm))
+          case None => PdfImage(name, "ccitt", -1, -1)
+        }
+      }
+    } else if (filters.lastOption.contains("JPXDecode")) {
+      if (filters.dropRight(1).exists(f => f != "FlateDecode" && f != "Fl"))
+        PdfImage(name, "unsupported", -1, -1)
+      else {
+        val payload = filters.dropRight(1).foldLeft(o.stream) {
+          case (Some(d), "FlateDecode" | "Fl") => inflate(d)
+          case _ => None
+        }
+        payload.flatMap(Jpx.decode) match {
+          case Some(d) =>
+            var sum = 0L; var i = 0
+            while (i < d.samples.length) { sum += d.samples(i); i += 1 }
+            PdfImage(name, "jpx", d.width, d.height, sum)
+          case None => PdfImage(name, "jpx", -1, -1)
+        }
+      }
     } else if (filters.exists(_ == "JPXDecode")) {
-      PdfImage(name, "unsupported", -1, -1) // no JVM codec
+      PdfImage(name, "unsupported", -1, -1) // JPXDecode mid-chain: unwrappable
     } else {
       val bpc = math.max(1, dictInt(o.dict, "/BitsPerComponent") match {
         case 0 => 8; case b => b })

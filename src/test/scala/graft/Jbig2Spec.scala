@@ -46,6 +46,32 @@ class Jbig2Spec extends AnyFunSuite {
     }
   }
 
+  test("MQ round-trip: short sequences stress the flush boundary") {
+    // a 2000-seed sweep of 1-80-decision sequences: this is the regime that
+    // exposed the carry-bit leak in BYTEOUT (bit 27 must be cleared after
+    // folding the carry into the pending byte) and pins SETBITS staying
+    // inside [C, C+A)
+    for (seed <- 0 until 2000) {
+      val rnd = new scala.util.Random(seed)
+      val n = 1 + rnd.nextInt(80)
+      val cxs = Array.fill(n)(rnd.nextInt(19))
+      val bits = Array.fill(n)(rnd.nextInt(2))
+      def ctx() = {
+        val c = new Jbig2.Contexts(19)
+        c.idx(18) = 46; c.idx(17) = 3; c.idx(0) = 4 // JPEG2000 initial states
+        c
+      }
+      val enc = new Jbig2.MqEncoder
+      val ectx = ctx()
+      for (i <- 0 until n) enc.encode(ectx, cxs(i), bits(i))
+      val coded = enc.finish()
+      val dec = new Jbig2.MqDecoder(coded)
+      val dctx = ctx()
+      val back = (0 until n).map(i => dec.decode(dctx, cxs(i)))
+      assert(back == bits.toSeq, s"seed=$seed n=$n")
+    }
+  }
+
   test("MQ round-trip: all-zero and all-one runs (byte-stuffing path)") {
     for (v <- Seq(0, 1)) {
       val bits = Array.fill(4096)(v)
@@ -161,7 +187,7 @@ class Jbig2Spec extends AnyFunSuite {
     }
   }
 
-  test("JPX stays unsupported; non-Flate JBIG2 chain labeled unsupported") {
+  test("undecodable JPX payload yields -1 dims; non-Flate JBIG2 chain labeled unsupported") {
     val bm = randomBitmap(12, 12, seed = 2)
     val stream = Jbig2.encodeEmbedded(bm)
     def onePdf(filter: String, payload: Array[Byte]): Array[Byte] = {
@@ -178,8 +204,10 @@ class Jbig2Spec extends AnyFunSuite {
       w("\nendstream\nendobj\n%%EOF\n")
       out.toByteArray
     }
+    // a JBIG2 stream behind /JPXDecode is not a JPEG 2000 codestream: the
+    // real decoder refuses it rather than guessing
     val jpx = Pdf.extractImages(Pdf.PdfBinary("a", 0, onePdf("/JPXDecode", stream)))
-    assert(jpx.head.filter == "unsupported" && jpx.head.width == -1)
+    assert(jpx.head.filter == "jpx" && jpx.head.width == -1)
     val hexed = stream.map(b => f"${b & 0xff}%02x").mkString.getBytes("ISO-8859-1") ++ Array('>'.toByte)
     val chain = Pdf.extractImages(Pdf.PdfBinary("b", 0,
       onePdf("[ /ASCIIHexDecode /JBIG2Decode ]", hexed)))
