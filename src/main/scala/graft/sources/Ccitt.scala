@@ -86,13 +86,21 @@ object Ccitt {
       case Some(i) if i.getWidth == columns && i.getHeight == rows => i
       case _ => return None
     }
+    // palette-independent but fast: resolve which SAMPLE value renders
+    // black ONCE from the color model, then read raster rows directly
+    // (getRGB per pixel converts through the color model every call — an
+    // order of magnitude slower on a 1728x2200 fax page)
+    val blackSample =
+      if ((img.getColorModel.getRGB(0) & 0xffffff) == 0) 0 else 1
     val bits = new Array[Byte](columns * rows)
+    val raster = img.getRaster
+    val row = new Array[Int](columns)
     var y = 0
     while (y < rows) {
+      raster.getSamples(0, y, columns, 1, 0, row)
       var x = 0
       while (x < columns) {
-        // palette-independent: black-coded pixels come back as RGB black
-        if ((img.getRGB(x, y) & 0xffffff) == 0) bits(y * columns + x) = 1
+        if (row(x) == blackSample) bits(y * columns + x) = 1
         x += 1
       }
       y += 1
@@ -112,6 +120,8 @@ object Ccitt {
   def encode(bm: Jbig2.Bitmap, compressionType: String = "CCITT T.6"): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(bm.width, bm.height,
       java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+    val raster = img.getRaster
+    val row = new Array[Int](bm.width)
     var y = 0
     while (y < bm.height) {
       var x = 0
@@ -119,9 +129,10 @@ object Ccitt {
         // binary palette: sample 0 = black; the plugin codes those as the
         // T.4/T.6 BLACK runs (verified against the published horizontal-
         // mode code sequence in CcittSpec)
-        img.getRaster.setSample(x, y, 0, if (bm.bits(y * bm.width + x) != 0) 0 else 1)
+        row(x) = if (bm.bits(y * bm.width + x) != 0) 0 else 1
         x += 1
       }
+      raster.setSamples(0, y, bm.width, 1, 0, row)
       y += 1
     }
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()

@@ -21,10 +21,11 @@ import scala.collection.mutable.ArrayBuffer
   *    forms, page information segments, and immediate (lossless) generic
   *    region segments.
   *
-  * Out of scope (returns None; the caller labels the image unsupported):
-  * MMR-coded regions (T.6 coding, MMR=1), GBTEMPLATE 1-3, symbol/text/
-  * halftone/refinement segments — a generic-region stream that uses them
-  * falls back rather than guessing.
+  * MMR-coded generic regions (T.6 coding, MMR=1) decode through [[Ccitt]]
+  * (T.88 §6.2.6 defers to the T.4/T.6 run-length decoder). Out of scope
+  * (returns None; the caller labels the image unsupported): GBTEMPLATE
+  * 1-3 and symbol/text/halftone/refinement segments — a stream that uses
+  * them falls back rather than guessing.
   */
 object Jbig2 {
 
@@ -368,8 +369,9 @@ object Jbig2 {
   final case class Region(x: Int, y: Int, bitmap: Bitmap)
 
   /** Decode the FIRST immediate generic region in an embedded JBIG2 stream:
-    * segment types 36/38/39, arithmetic template 0 only — MMR or other
-    * templates return None, as do symbol/text-region-only streams. */
+    * segment types 36/38/39, arithmetic template 0 or MMR (T.6 via
+    * [[Ccitt]]) — templates 1-3 return None, as do symbol/text-region-only
+    * streams. */
   def decodeFirstGenericRegion(data: Array[Byte]): Option[Region] =
     parseSegments(data).flatMap(firstGenericRegion)
 

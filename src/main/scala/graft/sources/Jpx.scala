@@ -794,14 +794,20 @@ object Jpx {
         ((data(i + 2) & 0xffL) << 8) | (data(i + 3) & 0xffL)
       val typ = new String(data, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val (hdr, boxLen) =
-        if (len == 1) (16, (((data(i + 8) & 0xffL) << 56) | ((data(i + 9) & 0xffL) << 48) |
-          ((data(i + 10) & 0xffL) << 40) | ((data(i + 11) & 0xffL) << 32) |
-          ((data(i + 12) & 0xffL) << 24) | ((data(i + 13) & 0xffL) << 16) |
-          ((data(i + 14) & 0xffL) << 8) | (data(i + 15) & 0xffL)))
+        if (len == 1) {
+          if (i + 16 > data.length) return Array.emptyByteArray
+          (16, (((data(i + 8) & 0xffL) << 56) | ((data(i + 9) & 0xffL) << 48) |
+            ((data(i + 10) & 0xffL) << 40) | ((data(i + 11) & 0xffL) << 32) |
+            ((data(i + 12) & 0xffL) << 24) | ((data(i + 13) & 0xffL) << 16) |
+            ((data(i + 14) & 0xffL) << 8) | (data(i + 15) & 0xffL)))
+        }
         else if (len == 0) (8, (data.length - i).toLong)
         else (8, len)
+      // hostile lengths must not stall the walk: a box shorter than its
+      // header, or one that doesn't advance/overruns, ends the parse
+      if (boxLen < hdr || i + boxLen > data.length) return Array.emptyByteArray
       if (typ == "jp2c")
-        return java.util.Arrays.copyOfRange(data, i + hdr, i + boxLen.toInt)
+        return java.util.Arrays.copyOfRange(data, i + hdr, (i + boxLen).toInt)
       i += boxLen.toInt
     }
     Array.emptyByteArray
@@ -830,9 +836,11 @@ object Jpx {
               width = u32(i + 4 + 2); height = u32(i + 4 + 6)
               val xo = u32(i + 4 + 10); val yo = u32(i + 4 + 14)
               val xt = u32(i + 4 + 18); val yt = u32(i + 4 + 22)
+              val xto = u32(i + 4 + 26); val yto = u32(i + 4 + 30)
               val nc = u16(i + 4 + 34)
               val ssiz = cs(i + 4 + 36) & 0xff
-              if (xo != 0 || yo != 0 || xt < width || yt < height) return None
+              if (xo != 0 || yo != 0 || xto != 0 || yto != 0 ||
+                  xt < width || yt < height) return None // single whole-image tile only
               if (nc != 1 || ssiz != Depth - 1) return None // 8-bit unsigned only
             case 0x52 => // COD
               val scod = cs(i + 4) & 0xff
@@ -851,8 +859,11 @@ object Jpx {
               if ((cs(i + 4) & 0x1f) != 0) return None
               guard = (cs(i + 4) & 0xff) >> 5
               exps = (0 until l - 3).map(j => (cs(i + 5 + j) & 0xff) >> 3).toArray
-            case 0x90 => // SOT: Isot (tile 0) and TPsot (tile-part 0) only
-              if (u16(i + 4) != 0 || (cs(i + 10) & 0xff) != 0) return None
+            case 0x90 => // SOT: exactly one tile-part of tile 0 — a second
+              // tile-part would follow the packets and be consumed as
+              // packet data, so TNsot must say 1
+              if (u16(i + 4) != 0 || (cs(i + 10) & 0xff) != 0 ||
+                  (cs(i + 11) & 0xff) != 1) return None
             case _ => () // COM etc: skip
           }
           i += 2 + l
@@ -894,7 +905,10 @@ object Jpx {
               if (exps != null && expIdx < exps.length) exps(expIdx) + guard - 1
               else mbOf(band)
             val numbps = mb - zero
-            if (numbps < 0 || pos + len > cs.length) return None
+            // 28+ magnitude bit-planes cannot arise from 8-bit reversible
+            // data and would overflow the Int magnitude accumulator —
+            // refuse rather than wrap (1 << p is mod-32 in JVM)
+            if (numbps < 0 || numbps > 28 || pos + len > cs.length) return None
             val blockBytes = java.util.Arrays.copyOfRange(cs, pos, pos + len)
             val dec = t1Decode(band, w0, h0, numbps, passes, blockBytes)
             var yy = 0

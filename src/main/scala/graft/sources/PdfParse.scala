@@ -585,95 +585,99 @@ object PdfParse {
     * /DCTDecode payloads (optionally behind Flate) go to the JDK JPEG codec;
     * raw bitmaps go through the standard filter chain and keep the dict
     * dims only when the payload length matches the declared geometry. */
+  /** Unwrap the predecessor chain ahead of an image codec that sits LAST
+    * in /Filter: only Flate predecessors are unwrappable, each with its
+    * own /DecodeParms predictor applied per stage. Returns None for a
+    * chain with a non-Flate predecessor — an unsupported CHAIN, distinct
+    * from a codec decode failure — otherwise the payload (None when a
+    * Flate stage failed) and the LAST filter's own parms dict (indexed
+    * into an array-form /DecodeParms, so a predecessor's /Columns can
+    * never shadow the codec's). */
+  private def unwrapChain(o: Obj, filters: List[String]): Option[(Option[Array[Byte]], String)] = {
+    if (filters.dropRight(1).exists(f => f != "FlateDecode" && f != "Fl")) return None
+    val parmsVal = dictValue(o.dict, "/DecodeParms")
+      .orElse(dictValue(o.dict, "/DP")).getOrElse("")
+    val parmsSeq: Seq[String] =
+      if (parmsVal.trim.startsWith("[")) splitParms(parmsVal)
+      else if (parmsVal.nonEmpty) Seq(parmsVal)
+      else Seq.empty
+    val payload = filters.dropRight(1).zipWithIndex.foldLeft(o.stream) {
+      case (acc, (_, idx)) => acc.flatMap { d =>
+        val parms = parmsSeq.lift(idx).getOrElse("")
+        inflate(d).flatMap(b => unpredict(b, parmInt(parms, "/Predictor", 1),
+          parmInt(parms, "/Columns", 1), parmInt(parms, "/Colors", 1),
+          parmInt(parms, "/BitsPerComponent", 8)))
+      }
+    }
+    Some((payload, parmsSeq.lift(filters.length - 1).getOrElse("")))
+  }
+
   private def imageOf(name: String, o: Obj, objs: Map[Int, Obj]): PdfImage = {
     val filters = dictValue(o.dict, "/Filter").toSeq
       .flatMap(v => nameRe.findAllMatchIn(v).map(_.group(1))).toList
     val dictW = dictInt(o.dict, "/Width")
     val dictH = dictInt(o.dict, "/Height")
     if (filters.lastOption.exists(f => f == "DCTDecode" || f == "DCT")) {
-      // a non-Flate predecessor (ASCIIHexDecode, Crypt, …) is an unsupported
-      // CHAIN, not a DCT decode failure — label it so -1 dims stay
-      // attributable to "we can't unwrap this" vs "the JPEG didn't parse"
-      if (filters.dropRight(1).exists(f => f != "FlateDecode" && f != "Fl"))
-        PdfImage(name, "unsupported", -1, -1)
-      else {
-        val payload = filters.dropRight(1).foldLeft(o.stream) {
-          case (Some(d), "FlateDecode" | "Fl") => inflate(d)
-          case _ => None
-        }
-        val dims =
-          try payload.flatMap(b => Option(javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(b))))
-            .map(i => (i.getWidth, i.getHeight))
-          catch { case _: Exception => None }
-        dims match {
-          case Some((w, h)) => PdfImage(name, "dct", w, h)
-          case None => PdfImage(name, "dct", -1, -1)
-        }
+      unwrapChain(o, filters) match {
+        case None => PdfImage(name, "unsupported", -1, -1)
+        case Some((payload, _)) =>
+          val dims =
+            try payload.flatMap(b => Option(javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(b))))
+              .map(i => (i.getWidth, i.getHeight))
+            catch { case _: Exception => None }
+          dims match {
+            case Some((w, h)) => PdfImage(name, "dct", w, h)
+            case None => PdfImage(name, "dct", -1, -1)
+          }
       }
     } else if (filters.lastOption.contains("JBIG2Decode")) {
-      // same chain rule as DCT: only Flate predecessors are unwrappable
-      if (filters.dropRight(1).exists(f => f != "FlateDecode" && f != "Fl"))
-        PdfImage(name, "unsupported", -1, -1)
-      else {
-        val payload = filters.dropRight(1).foldLeft(o.stream) {
-          case (Some(d), "FlateDecode" | "Fl") => inflate(d)
-          case _ => None
-        }
-        // /DecodeParms /JBIG2Globals N 0 R — a shared segment stream the
-        // embedded stream's segments may refer into; parsed as its own
-        // segment stream ahead of the image's per ISO 32000 §7.4.7
-        val globals: Array[Byte] = (for {
-          parms <- dictValue(o.dict, "/DecodeParms").orElse(dictValue(o.dict, "/DP"))
-          gv    <- dictValue(parms, "/JBIG2Globals")
-          ref   <- refsIn(gv).headOption
-          gobj  <- objs.get(ref)
-          gdata <- decodedStream(gobj)
-        } yield gdata).getOrElse(Array.emptyByteArray)
-        payload.flatMap(Jbig2.decodeFirstGenericRegion(globals, _)) match {
-          case Some(r) =>
-            PdfImage(name, "jbig2", r.bitmap.width, r.bitmap.height, darkOf(r.bitmap))
-          case None => PdfImage(name, "jbig2", -1, -1)
-        }
+      unwrapChain(o, filters) match {
+        case None => PdfImage(name, "unsupported", -1, -1)
+        case Some((payload, parms)) =>
+          // /JBIG2Globals N 0 R — a shared segment stream the embedded
+          // stream's segments may refer into; parsed as its own segment
+          // stream ahead of the image's per ISO 32000 §7.4.7
+          val globals: Array[Byte] = (for {
+            gv    <- dictValue(parms, "/JBIG2Globals")
+            ref   <- refsIn(gv).headOption
+            gobj  <- objs.get(ref)
+            gdata <- decodedStream(gobj)
+          } yield gdata).getOrElse(Array.emptyByteArray)
+          payload.flatMap(Jbig2.decodeFirstGenericRegion(globals, _)) match {
+            case Some(r) =>
+              PdfImage(name, "jbig2", r.bitmap.width, r.bitmap.height, darkOf(r.bitmap))
+            case None => PdfImage(name, "jbig2", -1, -1)
+          }
       }
     } else if (filters.lastOption.exists(f => f == "CCITTFaxDecode" || f == "CCF")) {
-      if (filters.dropRight(1).exists(f => f != "FlateDecode" && f != "Fl"))
-        PdfImage(name, "unsupported", -1, -1)
-      else {
-        val payload = filters.dropRight(1).foldLeft(o.stream) {
-          case (Some(d), "FlateDecode" | "Fl") => inflate(d)
-          case _ => None
-        }
-        val parms = dictValue(o.dict, "/DecodeParms")
-          .orElse(dictValue(o.dict, "/DP")).getOrElse("")
-        val k = parmInt(parms, "/K", 0)
-        val columns = parmInt(parms, "/Columns", 1728)
-        val rows = parmInt(parms, "/Rows", 0) match {
-          case 0 => dictH // Rows unspecified: the image dict height
-          case r => r
-        }
-        val byteAlign = parmBool(parms, "/EncodedByteAlign", dflt = false)
-        val endOfLine = parmBool(parms, "/EndOfLine", dflt = false)
-        payload.flatMap(Ccitt.decode(_, columns, rows, k, byteAlign, endOfLine)) match {
-          case Some(bm) => PdfImage(name, "ccitt", bm.width, bm.height, darkOf(bm))
-          case None => PdfImage(name, "ccitt", -1, -1)
-        }
+      unwrapChain(o, filters) match {
+        case None => PdfImage(name, "unsupported", -1, -1)
+        case Some((payload, parms)) =>
+          val k = parmInt(parms, "/K", 0)
+          val columns = parmInt(parms, "/Columns", 1728)
+          val rows = parmInt(parms, "/Rows", 0) match {
+            case 0 => dictH // Rows unspecified: the image dict height
+            case r => r
+          }
+          val byteAlign = parmBool(parms, "/EncodedByteAlign", dflt = false)
+          val endOfLine = parmBool(parms, "/EndOfLine", dflt = false)
+          payload.flatMap(Ccitt.decode(_, columns, rows, k, byteAlign, endOfLine)) match {
+            case Some(bm) => PdfImage(name, "ccitt", bm.width, bm.height, darkOf(bm))
+            case None => PdfImage(name, "ccitt", -1, -1)
+          }
       }
     } else if (filters.lastOption.contains("JPXDecode")) {
-      if (filters.dropRight(1).exists(f => f != "FlateDecode" && f != "Fl"))
-        PdfImage(name, "unsupported", -1, -1)
-      else {
-        val payload = filters.dropRight(1).foldLeft(o.stream) {
-          case (Some(d), "FlateDecode" | "Fl") => inflate(d)
-          case _ => None
-        }
-        payload.flatMap(Jpx.decode) match {
-          case Some(d) =>
-            var sum = 0L; var i = 0
-            while (i < d.samples.length) { sum += d.samples(i); i += 1 }
-            PdfImage(name, "jpx", d.width, d.height, sum)
-          case None => PdfImage(name, "jpx", -1, -1)
-        }
+      unwrapChain(o, filters) match {
+        case None => PdfImage(name, "unsupported", -1, -1)
+        case Some((payload, _)) =>
+          payload.flatMap(Jpx.decode) match {
+            case Some(d) =>
+              var sum = 0L; var i = 0
+              while (i < d.samples.length) { sum += d.samples(i); i += 1 }
+              PdfImage(name, "jpx", d.width, d.height, sum)
+            case None => PdfImage(name, "jpx", -1, -1)
+          }
       }
     } else if (filters.exists(_ == "JPXDecode")) {
       PdfImage(name, "unsupported", -1, -1) // JPXDecode mid-chain: unwrappable

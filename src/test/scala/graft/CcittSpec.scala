@@ -102,6 +102,38 @@ class CcittSpec extends AnyFunSuite {
     }
   }
 
+  test("a Flate predecessor's /DecodeParms cannot shadow the codec's") {
+    // /DecodeParms [<</Predictor 1 /Columns 999>> <</K -1 ...>>]: the fax
+    // parameters must come from the LAST filter's dict — indexOf over the
+    // unsplit array string would find the predictor's /Columns 999 first
+    val bm = patternBitmap(26, 15, (x, y) => (x + 2 * y) % 5 < 2)
+    val raw = Ccitt.encode(bm, "CCITT T.6")
+    val flated = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length * 2 + 64)
+      val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    w("2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n")
+    w("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /XObject << /Im0 5 0 R >> >> >>\nendobj\n")
+    w("4 0 obj\n<< /Length 2 >>\nstream\nBT\nendstream\nendobj\n")
+    w(s"5 0 obj\n<< /Subtype /Image /Width 26 /Height 15 /BitsPerComponent 1 " +
+      "/Filter [ /FlateDecode /CCITTFaxDecode ] " +
+      "/DecodeParms [ << /Predictor 1 /Columns 999 >> << /K -1 /Columns 26 /Rows 15 >> ] " +
+      s"/Length ${flated.length} >>\nstream\n")
+    out.write(flated)
+    w("\nendstream\nendobj\n%%EOF\n")
+    val rows = Pdf.extractImages(Pdf.PdfBinary("p", 0, out.toByteArray))
+    val dark = bm.bits.count(_ != 0).toLong
+    assert(rows.head.filter == "ccitt" && rows.head.width == 26 &&
+      rows.head.height == 15 && rows.head.dark == dark, rows.head)
+  }
+
   test("synthetic JBIG2 PDFs now cover the MMR variant (id%5==4)") {
     for (id <- Seq(4L, 9L)) {
       val rows = Pdf.extractImages(Pdf.PdfBinary(id.toString, 0, Pdf.syntheticJbig2Pdf(id)))
