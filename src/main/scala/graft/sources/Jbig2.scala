@@ -22,10 +22,15 @@ import scala.collection.mutable.ArrayBuffer
   *    region segments.
   *
   * MMR-coded generic regions (T.6 coding, MMR=1) decode through [[Ccitt]]
-  * (T.88 §6.2.6 defers to the T.4/T.6 run-length decoder). Out of scope
-  * (returns None; the caller labels the image unsupported): GBTEMPLATE
-  * 1-3 and symbol/text/halftone/refinement segments — a stream that uses
-  * them falls back rather than guessing.
+  * (T.88 §6.2.6 defers to the T.4/T.6 run-length decoder). All four
+  * generic-region context templates (GBTEMPLATE 0-3, §6.2.5.3) decode and
+  * encode; scanned-text streams decode through symbol dictionary segments
+  * (§6.5, arithmetic non-refinement) and text region segments (§6.4) built
+  * on the Annex A arithmetic integer decoder, composed onto the page
+  * bitmap per the segment combination operators. Out of scope (returns
+  * None; the caller labels the image unsupported): Huffman-coded symbol
+  * data, refinement/aggregate coding, and halftone segments — a stream
+  * that uses them falls back rather than guessing.
   */
 object Jbig2 {
 
@@ -234,49 +239,98 @@ object Jbig2 {
   final case class AtPixels(a1: (Int, Int) = (3, -1), a2: (Int, Int) = (-3, -1),
                             a3: (Int, Int) = (2, -2), a4: (Int, Int) = (-2, -2))
 
-  /** The 16-bit template-0 context at (x, y): the spec figure read MSB-first,
-    * top row to bottom row, left to right, each slot keeping its bit position
-    * when its AT pixel moves. */
-  private def context0(bm: Bitmap, x: Int, y: Int, at: AtPixels): Int = {
-    var cx = bm.get(x + at.a4._1, y + at.a4._2)
-    cx = (cx << 1) | bm.get(x - 1, y - 2)
-    cx = (cx << 1) | bm.get(x, y - 2)
-    cx = (cx << 1) | bm.get(x + 1, y - 2)
-    cx = (cx << 1) | bm.get(x + at.a3._1, y + at.a3._2)
-    cx = (cx << 1) | bm.get(x + at.a2._1, y + at.a2._2)
-    cx = (cx << 1) | bm.get(x - 2, y - 1)
-    cx = (cx << 1) | bm.get(x - 1, y - 1)
-    cx = (cx << 1) | bm.get(x, y - 1)
-    cx = (cx << 1) | bm.get(x + 1, y - 1)
-    cx = (cx << 1) | bm.get(x + 2, y - 1)
-    cx = (cx << 1) | bm.get(x + at.a1._1, y + at.a1._2)
-    cx = (cx << 1) | bm.get(x - 4, y)
-    cx = (cx << 1) | bm.get(x - 3, y)
-    cx = (cx << 1) | bm.get(x - 2, y)
-    cx = (cx << 1) | bm.get(x - 1, y)
-    cx
-  }
+  /** The template context at (x, y), bits in raster order of the NOMINAL
+    * slot positions (MSB first) — a moved AT pixel keeps its bit slot. Any
+    * fixed pattern→label bijection interoperates (the adaptive state array
+    * is merely permuted, and both sides read the same pixel SET), so the
+    * raster ordering is safe for foreign streams too. Widths: template 0 =
+    * 16 bits, 1 = 13, 2-3 = 10 (§6.2.5.3 figures 4-7; templates 1-3 carry
+    * a single movable AT pixel, A1). */
+  private def contextOf(template: Int, bm: Bitmap, x: Int, y: Int, at: AtPixels): Int =
+    template match {
+      case 0 =>
+        var cx = bm.get(x + at.a4._1, y + at.a4._2)
+        cx = (cx << 1) | bm.get(x - 1, y - 2)
+        cx = (cx << 1) | bm.get(x, y - 2)
+        cx = (cx << 1) | bm.get(x + 1, y - 2)
+        cx = (cx << 1) | bm.get(x + at.a3._1, y + at.a3._2)
+        cx = (cx << 1) | bm.get(x + at.a2._1, y + at.a2._2)
+        cx = (cx << 1) | bm.get(x - 2, y - 1)
+        cx = (cx << 1) | bm.get(x - 1, y - 1)
+        cx = (cx << 1) | bm.get(x, y - 1)
+        cx = (cx << 1) | bm.get(x + 1, y - 1)
+        cx = (cx << 1) | bm.get(x + 2, y - 1)
+        cx = (cx << 1) | bm.get(x + at.a1._1, y + at.a1._2)
+        cx = (cx << 1) | bm.get(x - 4, y)
+        cx = (cx << 1) | bm.get(x - 3, y)
+        cx = (cx << 1) | bm.get(x - 2, y)
+        cx = (cx << 1) | bm.get(x - 1, y)
+        cx
+      case 1 =>
+        var cx = bm.get(x - 1, y - 2)
+        cx = (cx << 1) | bm.get(x, y - 2)
+        cx = (cx << 1) | bm.get(x + 1, y - 2)
+        cx = (cx << 1) | bm.get(x + 2, y - 2)
+        cx = (cx << 1) | bm.get(x - 2, y - 1)
+        cx = (cx << 1) | bm.get(x - 1, y - 1)
+        cx = (cx << 1) | bm.get(x, y - 1)
+        cx = (cx << 1) | bm.get(x + 1, y - 1)
+        cx = (cx << 1) | bm.get(x + 2, y - 1)
+        cx = (cx << 1) | bm.get(x + at.a1._1, y + at.a1._2)
+        cx = (cx << 1) | bm.get(x - 3, y)
+        cx = (cx << 1) | bm.get(x - 2, y)
+        cx = (cx << 1) | bm.get(x - 1, y)
+        cx
+      case 2 =>
+        var cx = bm.get(x - 1, y - 2)
+        cx = (cx << 1) | bm.get(x, y - 2)
+        cx = (cx << 1) | bm.get(x + 1, y - 2)
+        cx = (cx << 1) | bm.get(x - 2, y - 1)
+        cx = (cx << 1) | bm.get(x - 1, y - 1)
+        cx = (cx << 1) | bm.get(x, y - 1)
+        cx = (cx << 1) | bm.get(x + 1, y - 1)
+        cx = (cx << 1) | bm.get(x + at.a1._1, y + at.a1._2)
+        cx = (cx << 1) | bm.get(x - 2, y)
+        cx = (cx << 1) | bm.get(x - 1, y)
+        cx
+      case _ =>
+        var cx = bm.get(x - 3, y - 1)
+        cx = (cx << 1) | bm.get(x - 2, y - 1)
+        cx = (cx << 1) | bm.get(x - 1, y - 1)
+        cx = (cx << 1) | bm.get(x, y - 1)
+        cx = (cx << 1) | bm.get(x + 1, y - 1)
+        cx = (cx << 1) | bm.get(x + at.a1._1, y + at.a1._2)
+        cx = (cx << 1) | bm.get(x - 4, y)
+        cx = (cx << 1) | bm.get(x - 3, y)
+        cx = (cx << 1) | bm.get(x - 2, y)
+        cx = (cx << 1) | bm.get(x - 1, y)
+        cx
+    }
 
-  /** TPGDON pseudo-pixel context for template 0 (T.88 §6.2.5.7). */
-  private val TpgdCx0 = 0x9B25
+  /** Context width in bits per GBTEMPLATE. */
+  private val CtxBits = Array(16, 13, 10, 10)
 
-  /** Decode a template-0 generic region bitmap of w×h from MQ data. */
-  def decodeGenericRegion(data: Array[Byte], w: Int, h: Int, tpgdon: Boolean,
-                          at: AtPixels = AtPixels()): Bitmap = {
-    val dec = new MqDecoder(data)
-    val ctx = new Contexts(1 << 16)
+  /** TPGDON pseudo-pixel contexts per template (T.88 §6.2.5.7). */
+  private val TpgdCx = Array(0x9B25, 0x0795, 0x00E5, 0x0195)
+
+  /** Decode a w×h generic-region bitmap from an EXISTING decoder with an
+    * EXISTING context set — the form symbol-dictionary decoding requires
+    * (§6.5.8.1: every symbol bitmap shares one decoder and one GB context
+    * array). TPGDON row-copy prediction included for the region path. */
+  private def decodeGenericInto(dec: MqDecoder, ctx: Contexts, w: Int, h: Int,
+                                tpgdon: Boolean, template: Int, at: AtPixels): Bitmap = {
     val bm = Bitmap(w, h, new Array[Byte](w * h))
     var ltp = 0
     var y = 0
     while (y < h) {
-      if (tpgdon) ltp ^= dec.decode(ctx, TpgdCx0)
+      if (tpgdon) ltp ^= dec.decode(ctx, TpgdCx(template))
       if (tpgdon && ltp == 1) {
         // typical row: copy the row above (row 0 copies the all-0 border)
         if (y > 0) System.arraycopy(bm.bits, (y - 1) * w, bm.bits, y * w, w)
       } else {
         var x = 0
         while (x < w) {
-          bm.set(x, y, dec.decode(ctx, context0(bm, x, y, at)))
+          bm.set(x, y, dec.decode(ctx, contextOf(template, bm, x, y, at)))
           x += 1
         }
       }
@@ -285,12 +339,9 @@ object Jbig2 {
     bm
   }
 
-  /** Encode a bitmap as a template-0 generic region (test-corpus forward
-    * direction; the decoder must reproduce it exactly). */
-  def encodeGenericRegion(bm: Bitmap, tpgdon: Boolean,
-                          at: AtPixels = AtPixels()): Array[Byte] = {
-    val enc = new MqEncoder
-    val ctx = new Contexts(1 << 16)
+  /** Encoder twin of [[decodeGenericInto]] — shared encoder + contexts. */
+  private def encodeGenericInto(enc: MqEncoder, ctx: Contexts, bm: Bitmap,
+                                tpgdon: Boolean, template: Int, at: AtPixels): Unit = {
     var ltp = 0
     var y = 0
     while (y < bm.height) {
@@ -300,25 +351,126 @@ object Jbig2 {
           java.util.Arrays.copyOfRange(bm.bits, y * bm.width, (y + 1) * bm.width))
       if (tpgdon) {
         val want = if (typical) 1 else 0
-        enc.encode(ctx, TpgdCx0, ltp ^ want)
+        enc.encode(ctx, TpgdCx(template), ltp ^ want)
         ltp = want
       }
       if (!(tpgdon && typical)) {
         var x = 0
         while (x < bm.width) {
-          enc.encode(ctx, context0(bm, x, y, at), bm.get(x, y))
+          enc.encode(ctx, contextOf(template, bm, x, y, at), bm.get(x, y))
           x += 1
         }
       }
       y += 1
     }
+  }
+
+  /** Decode a generic region bitmap of w×h from MQ data (GBTEMPLATE 0-3). */
+  def decodeGenericRegion(data: Array[Byte], w: Int, h: Int, tpgdon: Boolean,
+                          at: AtPixels = AtPixels(), template: Int = 0): Bitmap = {
+    val dec = new MqDecoder(data)
+    val ctx = new Contexts(1 << CtxBits(template))
+    decodeGenericInto(dec, ctx, w, h, tpgdon, template, at)
+  }
+
+  /** Encode a bitmap as a generic region (test-corpus forward direction;
+    * the decoder must reproduce it exactly). */
+  def encodeGenericRegion(bm: Bitmap, tpgdon: Boolean,
+                          at: AtPixels = AtPixels(), template: Int = 0): Array[Byte] = {
+    val enc = new MqEncoder
+    val ctx = new Contexts(1 << CtxBits(template))
+    encodeGenericInto(enc, ctx, bm, tpgdon, template, at)
     enc.finish()
+  }
+
+  // ---- Arithmetic integer decoding (T.88 Annex A) -----------------------------
+
+  /** Decode one integer with the Annex A procedure over a 512-entry context
+    * set (IADH/IADW/IAEX/IADT/IAFS/IADS/IAIT all use this shape). None is
+    * the OOB value (S=1, V=0). */
+  def decodeInt(dec: MqDecoder, cx: Contexts): Option[Int] = {
+    var prev = 1
+    def bit(): Int = {
+      val b = dec.decode(cx, prev)
+      prev = if (prev < 256) (prev << 1) | b
+             else ((((prev << 1) | b) & 511) | 256)
+      b
+    }
+    def bits(n: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    val s = bit()
+    val v: Long =
+      if (bit() == 0) bits(2)
+      else if (bit() == 0) bits(4) + 4
+      else if (bit() == 0) bits(6) + 20
+      else if (bit() == 0) bits(8) + 84
+      else if (bit() == 0) bits(12) + 340
+      else bits(32) + 4436
+    if (s == 1 && v == 0) None // OOB
+    else if (v > Int.MaxValue) None // hostile 32-bit bucket: refuse, don't wrap
+    else Some(if (s == 1) -v.toInt else v.toInt)
+  }
+
+  /** Encoder twin of [[decodeInt]]; None encodes OOB. */
+  def encodeInt(enc: MqEncoder, cx: Contexts, value: Option[Int]): Unit = {
+    var prev = 1
+    def bit(b: Int): Unit = {
+      enc.encode(cx, prev, b)
+      prev = if (prev < 256) (prev << 1) | b
+             else ((((prev << 1) | b) & 511) | 256)
+    }
+    def bits(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { bit(((v >> i) & 1L).toInt); i -= 1 }
+    }
+    val (s, v) = value match {
+      case None => (1, 0L)
+      case Some(x) => (if (x < 0) 1 else 0, math.abs(x.toLong))
+    }
+    bit(s)
+    if (v < 4) { bit(0); bits(v, 2) }
+    else if (v < 20) { bit(1); bit(0); bits(v - 4, 4) }
+    else if (v < 84) { bit(1); bit(1); bit(0); bits(v - 20, 6) }
+    else if (v < 340) { bit(1); bit(1); bit(1); bit(0); bits(v - 84, 8) }
+    else if (v < 4436) { bit(1); bit(1); bit(1); bit(1); bit(0); bits(v - 340, 12) }
+    else { bit(1); bit(1); bit(1); bit(1); bit(1); bits(v - 4436, 32) }
+  }
+
+  /** IAID decode (T.88 A.3): `codeLen` bits through a context tree of
+    * 2^(codeLen+1) entries. */
+  private def decodeIaid(dec: MqDecoder, cx: Contexts, codeLen: Int): Int = {
+    var prev = 1; var i = 0
+    while (i < codeLen) { prev = (prev << 1) | dec.decode(cx, prev); i += 1 }
+    prev - (1 << codeLen)
+  }
+
+  private def encodeIaid(enc: MqEncoder, cx: Contexts, codeLen: Int, id: Int): Unit = {
+    var prev = 1; var i = codeLen - 1
+    while (i >= 0) {
+      val b = (id >> i) & 1
+      enc.encode(cx, prev, b)
+      prev = (prev << 1) | b
+      i -= 1
+    }
+  }
+
+  /** SBSYMCODELEN: the spec text says ceil(log2(SBNUMSYMS)) but deployed
+    * encoders (and the published erratum) use a 1-bit floor for the
+    * one-symbol case; both sides here agree, and foreign single-symbol
+    * streams are overwhelmingly written with the floor. */
+  private def symCodeLen(numSyms: Int): Int = {
+    var n = 1
+    while ((1 << n) < numSyms) n += 1
+    n
   }
 
   // ---- Embedded segment stream (T.88 §7; the PDF organisation) ---------------
 
   final case class Segment(number: Long, segType: Int, page: Long,
-                           data: Array[Byte])
+                           data: Array[Byte], refs: Seq[Long] = Nil)
 
   private def be32(b: Array[Byte], i: Int): Long =
     ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
@@ -349,9 +501,19 @@ object Jbig2 {
         refCount = (be32(data, j) & 0x1FFFFFFFL).toInt
         j += 4 + (refCount + 8) / 8 // long form: 4-byte count + retain bits
       } else j += 1
-      // referred segment numbers: sized by THIS segment's number
+      // referred segment numbers: sized by THIS segment's number — a text
+      // region finds its symbol dictionaries through these
       val refSize = if (number <= 256) 1 else if (number <= 65536) 2 else 4
+      if (j + refCount * refSize > data.length) return None
+      val refs = (0 until refCount).map { k =>
+        refSize match {
+          case 1 => data(j + k) & 0xffL
+          case 2 => ((data(j + 2 * k) & 0xffL) << 8) | (data(j + 2 * k + 1) & 0xffL)
+          case _ => be32(data, j + 4 * k)
+        }
+      }
       j += refCount * refSize
+      if (j + (if (pageAssoc4) 4 else 1) > data.length) return None
       val page = if (pageAssoc4) { val p = be32(data, j); j += 4; p }
                  else { val p = (data(j) & 0xffL); j += 1; p }
       if (j + 4 > data.length) return None
@@ -359,7 +521,7 @@ object Jbig2 {
       j += 4
       if (len == 0xFFFFFFFFL || j + len > data.length) return None
       out += Segment(number, segType, page,
-        java.util.Arrays.copyOfRange(data, j, j + len.toInt))
+        java.util.Arrays.copyOfRange(data, j, j + len.toInt), refs)
       i = j + len.toInt
     }
     Some(out.toSeq)
@@ -369,11 +531,14 @@ object Jbig2 {
   final case class Region(x: Int, y: Int, bitmap: Bitmap)
 
   /** Decode the FIRST immediate generic region in an embedded JBIG2 stream:
-    * segment types 36/38/39, arithmetic template 0 or MMR (T.6 via
-    * [[Ccitt]]) — templates 1-3 return None, as do symbol/text-region-only
-    * streams. */
+    * segment types 36/38/39, arithmetic GBTEMPLATE 0-3 or MMR (T.6 via
+    * [[Ccitt]]) — symbol/text-region-only streams return None here; use
+    * [[decodeEmbedded]] for full page composition. */
   def decodeFirstGenericRegion(data: Array[Byte]): Option[Region] =
-    parseSegments(data).flatMap(firstGenericRegion)
+    parseSegments(data).flatMap { segs =>
+      segs.find(s => s.segType == 36 || s.segType == 38 || s.segType == 39)
+        .flatMap(regionOfGenericSegment(_).map(_._1))
+    }
 
   /** Same, with a PDF /JBIG2Globals stream: the globals are their OWN
     * segment stream (ISO 32000 §7.4.7), so each parses separately — byte
@@ -383,40 +548,296 @@ object Jbig2 {
     for {
       gsegs <- if (globals.isEmpty) Some(Seq.empty[Segment]) else parseSegments(globals)
       segs  <- parseSegments(data)
-      r     <- firstGenericRegion(gsegs ++ segs)
+      r     <- (gsegs ++ segs)
+                 .find(s => s.segType == 36 || s.segType == 38 || s.segType == 39)
+                 .flatMap(regionOfGenericSegment(_).map(_._1))
     } yield r
 
-  private def firstGenericRegion(segs: Seq[Segment]): Option[Region] = {
-    segs.find(s => s.segType == 36 || s.segType == 38 || s.segType == 39)
-      .flatMap { seg =>
-        val d = seg.data
-        if (d.length < 18) return None
-        val w = be32(d, 0).toInt
-        val h = be32(d, 4).toInt
-        val x = be32(d, 8).toInt
-        val y = be32(d, 12).toInt
-        // d(16) = external combination operator (placement only)
-        val flags = d(17) & 0xff
-        val mmr = (flags & 1) != 0
-        val template = (flags >> 1) & 3
-        val tpgdon = (flags & 8) != 0
-        if (w <= 0 || h <= 0 || w.toLong * h > 64L * 1024 * 1024) return None
-        if (mmr) {
-          // MMR regions are T.6-coded, full-width, no AT bytes in the
-          // header (T.88 §7.4.6.2) and no typical prediction (§6.2.6)
-          if (tpgdon) return None
-          val data = java.util.Arrays.copyOfRange(d, 18, d.length)
-          Ccitt.decodeG4(data, w, h).map(Region(x, y, _))
-        } else if (template != 0) None
-        else {
-          if (d.length < 18 + 8) return None
-          val at = AtPixels(
-            (d(18), d(19)), (d(20), d(21)), (d(22), d(23)), (d(24), d(25)))
-          val mq = java.util.Arrays.copyOfRange(d, 26, d.length)
-          try Some(Region(x, y, decodeGenericRegion(mq, w, h, tpgdon, at)))
-          catch { case _: Exception => None }
+  /** Decode one generic-region segment's bitmap and its external
+    * combination operator (region info byte 16, low 3 bits). */
+  private def regionOfGenericSegment(seg: Segment): Option[(Region, Int)] = {
+    val d = seg.data
+    if (d.length < 18) return None
+    val w = be32(d, 0).toInt
+    val h = be32(d, 4).toInt
+    val x = be32(d, 8).toInt
+    val y = be32(d, 12).toInt
+    val combOp = d(16) & 7
+    val flags = d(17) & 0xff
+    val mmr = (flags & 1) != 0
+    val template = (flags >> 1) & 3
+    val tpgdon = (flags & 8) != 0
+    if (w <= 0 || h <= 0 || w.toLong * h > 64L * 1024 * 1024) return None
+    if (mmr) {
+      // MMR regions are T.6-coded, full-width, no AT bytes in the
+      // header (T.88 §7.4.6.2) and no typical prediction (§6.2.6)
+      if (tpgdon) return None
+      val data = java.util.Arrays.copyOfRange(d, 18, d.length)
+      Ccitt.decodeG4(data, w, h).map(bm => (Region(x, y, bm), combOp))
+    } else {
+      // AT pixel bytes are signed; template 0 carries four pairs,
+      // templates 1-3 a single movable A1 (§7.4.6.3)
+      val nAt = if (template == 0) 4 else 1
+      if (d.length < 18 + 2 * nAt) return None
+      val at =
+        if (template == 0)
+          AtPixels((d(18), d(19)), (d(20), d(21)), (d(22), d(23)), (d(24), d(25)))
+        else AtPixels(a1 = (d(18), d(19)))
+      val mq = java.util.Arrays.copyOfRange(d, 18 + 2 * nAt, d.length)
+      try Some((Region(x, y, decodeGenericRegion(mq, w, h, tpgdon, at, template)), combOp))
+      catch { case _: Exception => None }
+    }
+  }
+
+  // ---- Symbol dictionary (T.88 §6.5 / §7.4.3) --------------------------------
+
+  /** Decode a symbol dictionary segment payload: arithmetic, non-refinement
+    * (SDHUFF=0, SDREFAGG=0 — the form PDF scanners emit for lossless text).
+    * `inputs` are the exported symbols of the dictionaries this segment
+    * refers to, in referred order. Returns the EXPORTED symbols. */
+  private def decodeSymbolDict(data: Array[Byte],
+                               inputs: IndexedSeq[Bitmap]): Option[IndexedSeq[Bitmap]] = {
+    if (data.length < 2) return None
+    val flags = ((data(0) & 0xff) << 8) | (data(1) & 0xff)
+    val sdhuff = (flags & 1) != 0
+    val refagg = (flags & 2) != 0
+    val template = (flags >> 10) & 3
+    if (sdhuff || refagg) return None // Huffman / refinement-aggregate: out of scope
+    var p = 2
+    val nAt = if (template == 0) 4 else 1
+    if (data.length < p + 2 * nAt + 8) return None
+    val at =
+      if (template == 0)
+        AtPixels((data(p), data(p + 1)), (data(p + 2), data(p + 3)),
+          (data(p + 4), data(p + 5)), (data(p + 6), data(p + 7)))
+      else AtPixels(a1 = (data(p), data(p + 1)))
+    p += 2 * nAt
+    val numEx = be32(data, p).toInt
+    val numNew = be32(data, p + 4).toInt
+    p += 8
+    if (numNew < 0 || numNew > 100000 || numEx < 0 ||
+        numEx > inputs.length + numNew) return None
+    val dec = new MqDecoder(java.util.Arrays.copyOfRange(data, p, data.length))
+    val gb = new Contexts(1 << CtxBits(template))
+    val iadh = new Contexts(512)
+    val iadw = new Contexts(512)
+    val iaex = new Contexts(512)
+    val newSyms = new ArrayBuffer[Bitmap](numNew)
+    var hcHeight = 0
+    var area = 0L
+    try {
+      while (newSyms.length < numNew) {
+        hcHeight += decodeInt(dec, iadh).getOrElse(return None)
+        if (hcHeight <= 0 || hcHeight > 4096) return None
+        var symWidth = 0
+        var classDone = false
+        while (!classDone) {
+          decodeInt(dec, iadw) match {
+            case None => classDone = true // OOB ends the height class
+            case Some(dw) =>
+              symWidth += dw
+              if (symWidth <= 0 || symWidth > 4096 ||
+                  newSyms.length >= numNew) return None
+              area += symWidth.toLong * hcHeight
+              if (area > 64L * 1024 * 1024) return None
+              newSyms += decodeGenericInto(dec, gb, symWidth, hcHeight,
+                tpgdon = false, template, at)
+          }
         }
       }
+      // export flags (§6.5.10): alternating not-exported/exported run lengths
+      // over (inputs ++ new symbols), starting not-exported
+      val all = inputs ++ newSyms
+      val exported = new ArrayBuffer[Bitmap](numEx)
+      var i = 0
+      var curFlag = false
+      while (exported.length < numEx) {
+        val run = decodeInt(dec, iaex).getOrElse(return None)
+        if (run < 0 || i + run > all.length) return None
+        if (curFlag) exported ++= all.slice(i, i + run)
+        i += run
+        curFlag = !curFlag
+      }
+      if (exported.length != numEx) return None
+      Some(exported.toIndexedSeq)
+    } catch { case _: Exception => None }
+  }
+
+  // ---- Text region (T.88 §6.4 / §7.4.4) --------------------------------------
+
+  /** Decode a text region segment payload against the referred dictionaries'
+    * exported symbols. Arithmetic, non-refinement (SBHUFF=0, SBREFINE=0);
+    * both transposed orientations, all four reference corners, and the four
+    * symbol combination operators are honoured. */
+  private def decodeTextRegion(data: Array[Byte],
+                               syms: IndexedSeq[Bitmap]): Option[(Region, Int)] = {
+    if (data.length < 17 + 2 + 4 || syms.isEmpty) return None
+    val w = be32(data, 0).toInt
+    val h = be32(data, 4).toInt
+    val x = be32(data, 8).toInt
+    val y = be32(data, 12).toInt
+    val extCombOp = data(16) & 7
+    if (w <= 0 || h <= 0 || w.toLong * h > 64L * 1024 * 1024) return None
+    val flags = ((data(17) & 0xff) << 8) | (data(18) & 0xff)
+    val sbhuff = (flags & 1) != 0
+    val refine = (flags & 2) != 0
+    val logStrips = (flags >> 2) & 3
+    val refCorner = (flags >> 4) & 3
+    val transposed = (flags >> 6) & 1
+    val combOp = (flags >> 7) & 3
+    val defPixel = (flags >> 9) & 1
+    var dsOffset = (flags >> 10) & 0x1f
+    if (dsOffset > 15) dsOffset -= 32 // signed 5-bit
+    if (sbhuff || refine) return None
+    var p = 19
+    if (data.length < p + 4) return None
+    val numInstances = be32(data, p).toInt
+    p += 4
+    if (numInstances < 0 || numInstances > 1000000) return None
+    val strips = 1 << logStrips
+    val codeLen = symCodeLen(syms.length)
+    val dec = new MqDecoder(java.util.Arrays.copyOfRange(data, p, data.length))
+    val iadt = new Contexts(512)
+    val iafs = new Contexts(512)
+    val iads = new Contexts(512)
+    val iait = new Contexts(512)
+    val iaid = new Contexts(1 << (codeLen + 1))
+    val bm = Bitmap(w, h, new Array[Byte](w * h))
+    if (defPixel != 0) java.util.Arrays.fill(bm.bits, 1.toByte)
+    try {
+      var stripT = -decodeInt(dec, iadt).getOrElse(return None) * strips
+      var firstS = 0
+      var inst = 0
+      while (inst < numInstances) {
+        stripT += decodeInt(dec, iadt).getOrElse(return None) * strips
+        firstS += decodeInt(dec, iafs).getOrElse(return None)
+        var curS = firstS
+        var first = true
+        var stripDone = false
+        while (!stripDone && inst < numInstances) {
+          if (!first) {
+            decodeInt(dec, iads) match {
+              case None => stripDone = true
+              case Some(ids) => curS += ids + dsOffset
+            }
+          }
+          if (!stripDone) {
+            val curT = if (strips == 1) 0 else decodeInt(dec, iait).getOrElse(return None)
+            val t = stripT + curT
+            val id = decodeIaid(dec, iaid, codeLen)
+            if (id < 0 || id >= syms.length) return None
+            val sym = syms(id)
+            if (transposed == 0) {
+              // §6.4.5 3(c)(vi/x): right corners advance CURS BEFORE the
+              // draw, left corners after — either way the symbol's left
+              // column lands at the pre-draw CURS and CURS ends on its
+              // rightmost column
+              val x0 = curS
+              val y0 = if (refCorner == 0 || refCorner == 2) t - sym.height + 1 else t
+              drawOp(bm, sym, x0, y0, combOp)
+              curS += sym.width - 1
+            } else {
+              // transposed: T is the horizontal axis, S the vertical one
+              val y0 = curS
+              val x0 = if (refCorner == 2 || refCorner == 3) t - sym.width + 1 else t
+              drawOp(bm, sym, x0, y0, combOp)
+              curS += sym.height - 1
+            }
+            inst += 1
+            first = false
+          }
+        }
+      }
+      Some((Region(x, y, bm), extCombOp))
+    } catch { case _: Exception => None }
+  }
+
+  /** Draw `sym` onto `page` at (x0, y0) with a T.88 combination operator
+    * (0 OR, 1 AND, 2 XOR, 3 XNOR, else REPLACE), clipped to the page. */
+  private def drawOp(page: Bitmap, sym: Bitmap, x0: Int, y0: Int, op: Int): Unit = {
+    var yy = 0
+    while (yy < sym.height) {
+      val py = y0 + yy
+      if (py >= 0 && py < page.height) {
+        var xx = 0
+        while (xx < sym.width) {
+          val px = x0 + xx
+          if (px >= 0 && px < page.width) {
+            val s = sym.bits(yy * sym.width + xx)
+            val d = page.bits(py * page.width + px)
+            val v = op match {
+              case 0 => d | s
+              case 1 => d & s
+              case 2 => d ^ s
+              case 3 => 1 - (d ^ s)
+              case _ => s.toInt
+            }
+            page.bits(py * page.width + px) = v.toByte
+          }
+          xx += 1
+        }
+      }
+      yy += 1
+    }
+  }
+
+  // ---- Page composition (T.88 §8.2; the PDF embedded organisation) -----------
+
+  /** Decode a full embedded JBIG2 stream — page information, symbol
+    * dictionaries, text regions, and generic regions — composing every
+    * region onto the page bitmap with its external combination operator.
+    * Falls back to the lone region when no page information segment gives
+    * the page its dimensions. Any undecodable region fails the whole page
+    * (the caller labels the image undecoded, exactly like a broken JPEG). */
+  def decodeEmbedded(globals: Array[Byte], data: Array[Byte]): Option[Region] =
+    for {
+      gsegs <- if (globals.isEmpty) Some(Seq.empty[Segment]) else parseSegments(globals)
+      segs  <- parseSegments(data)
+      r     <- decodePage(gsegs ++ segs)
+    } yield r
+
+  private def decodePage(segs: Seq[Segment]): Option[Region] = {
+    val dicts = scala.collection.mutable.Map.empty[Long, IndexedSeq[Bitmap]]
+    var pageW = -1
+    var pageH = -1
+    val regions = new ArrayBuffer[(Region, Int)]()
+    for (seg <- segs) seg.segType match {
+      case 48 => // page information: width, height (0xFFFFFFFF = striped/unknown)
+        if (seg.data.length >= 8) {
+          val w = be32(seg.data, 0)
+          val h = be32(seg.data, 4)
+          if (w > 0 && w < Int.MaxValue) pageW = w.toInt
+          if (h > 0 && h < Int.MaxValue) pageH = h.toInt
+        }
+      case 0 => // symbol dictionary: inputs are its referred dicts' exports
+        val inputs = seg.refs.flatMap(dicts.get).flatten.toIndexedSeq
+        decodeSymbolDict(seg.data, inputs) match {
+          case Some(sy) => dicts(seg.number) = sy
+          case None => return None
+        }
+      case 4 | 6 | 7 => // text region (intermediate / immediate / lossless)
+        val syms = seg.refs.flatMap(dicts.get).flatten.toIndexedSeq
+        decodeTextRegion(seg.data, syms) match {
+          case Some(rc) => regions += rc
+          case None => return None
+        }
+      case 36 | 38 | 39 => // generic region
+        regionOfGenericSegment(seg) match {
+          case Some(rc) => regions += rc
+          case None => return None
+        }
+      case _ => () // tables, extensions, end-of-page/stripe: no pixels
+    }
+    if (regions.isEmpty) return None
+    if (pageW <= 0 || pageH <= 0) {
+      // no usable page geometry: a lone region IS the image; multiple
+      // regions without a page frame are unplaceable
+      return if (regions.length == 1) Some(regions.head._1) else None
+    }
+    if (pageW.toLong * pageH > 64L * 1024 * 1024) return None
+    val page = Bitmap(pageW, pageH, new Array[Byte](pageW * pageH))
+    for ((r, op) <- regions) drawOp(page, r.bitmap, r.x, r.y, op)
+    Some(Region(0, 0, page))
   }
 
   // ---- Embedded-stream writer (test corpus) ----------------------------------
@@ -426,11 +847,15 @@ object Jbig2 {
     ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
 
   private def segmentBytes(number: Long, segType: Int, page: Int,
-                           payload: Array[Byte]): Array[Byte] = {
+                           payload: Array[Byte],
+                           refs: Seq[Long] = Nil): Array[Byte] = {
+    require(refs.length <= 4 && number <= 256,
+      "writer emits the short referred-segment form only")
     val out = new ArrayBuffer[Byte]()
     out ++= be32b(number)
     out += segType.toByte // flags: short page assoc, not deferred
-    out += 0x00.toByte    // 0 referred segments, short form
+    out += (refs.length << 5).toByte // short form: count in the top 3 bits
+    refs.foreach(r => out += r.toByte) // 1-byte refs (this number <= 256)
     out += page.toByte
     out ++= be32b(payload.length.toLong)
     out ++= payload
@@ -445,16 +870,20 @@ object Jbig2 {
     * organisation ISO 32000 §7.4.7 allows). */
   def encodeSegments(bm: Bitmap, tpgdon: Boolean = false,
                      at: AtPixels = AtPixels(),
-                     mmr: Boolean = false): (Array[Byte], Array[Byte]) = {
+                     mmr: Boolean = false,
+                     template: Int = 0): (Array[Byte], Array[Byte]) = {
     // page information segment: width, height, xres, yres, flags, striping
     val pageInfo = be32b(bm.width.toLong) ++ be32b(bm.height.toLong) ++
       be32b(0) ++ be32b(0) ++ Array(0x01.toByte) ++ Array(0x00.toByte, 0x00.toByte)
-    val regionFlags = (if (mmr) 1 else 0) | (if (tpgdon && !mmr) 8 else 0)
+    val regionFlags = (if (mmr) 1 else 0) | ((template & 3) << 1) |
+      (if (tpgdon && !mmr) 8 else 0)
+    val atB =
+      if (template == 0) Array(at.a1._1, at.a1._2, at.a2._1, at.a2._2,
+        at.a3._1, at.a3._2, at.a4._1, at.a4._2).map(_.toByte)
+      else Array(at.a1._1.toByte, at.a1._2.toByte)
     val coded =
       if (mmr) Ccitt.encode(bm) // T.6, no AT bytes in the header
-      else Array(at.a1._1, at.a1._2, at.a2._1, at.a2._2,
-        at.a3._1, at.a3._2, at.a4._1, at.a4._2).map(_.toByte) ++
-        encodeGenericRegion(bm, tpgdon, at)
+      else atB ++ encodeGenericRegion(bm, tpgdon, at, template)
     val regionInfo = be32b(bm.width.toLong) ++ be32b(bm.height.toLong) ++
       be32b(0) ++ be32b(0) ++ Array(0x00.toByte) ++ // combOp OR
       Array(regionFlags.toByte) ++ coded
@@ -467,5 +896,141 @@ object Jbig2 {
                      at: AtPixels = AtPixels()): Array[Byte] = {
     val (page, region) = encodeSegments(bm, tpgdon, at)
     page ++ region
+  }
+
+  /** Encode a symbol dictionary payload (arithmetic, SDHUFF=0, SDREFAGG=0):
+    * symbols grouped into ascending height classes, each class a signed-
+    * delta width chain closed by OOB, bitmaps through ONE shared generic
+    * coder; exports everything. Returns (payload, perm) where perm(i) is
+    * the exported id of input symbol i — text-region instance ids must go
+    * through it because export order is height-class order, not input
+    * order. */
+  def encodeSymbolDictPayload(symbols: IndexedSeq[Bitmap], template: Int = 0,
+                              at: AtPixels = AtPixels()): (Array[Byte], Array[Int]) = {
+    require(symbols.nonEmpty, "symbol dictionary needs at least one symbol")
+    val order = symbols.indices.sortBy(i => (symbols(i).height, i))
+    val perm = new Array[Int](symbols.length)
+    order.zipWithIndex.foreach { case (orig, ex) => perm(orig) = ex }
+    val enc = new MqEncoder
+    val gb = new Contexts(1 << CtxBits(template))
+    val iadh = new Contexts(512)
+    val iadw = new Contexts(512)
+    val iaex = new Contexts(512)
+    var hcHeight = 0
+    var i = 0
+    while (i < order.length) {
+      val h = symbols(order(i)).height
+      encodeInt(enc, iadh, Some(h - hcHeight))
+      hcHeight = h
+      var symWidth = 0
+      while (i < order.length && symbols(order(i)).height == h) {
+        val sym = symbols(order(i))
+        encodeInt(enc, iadw, Some(sym.width - symWidth))
+        symWidth = sym.width
+        encodeGenericInto(enc, gb, sym, tpgdon = false, template, at)
+        i += 1
+      }
+      encodeInt(enc, iadw, None) // OOB closes the height class
+    }
+    encodeInt(enc, iaex, Some(0)) // zero-length not-exported run…
+    encodeInt(enc, iaex, Some(symbols.length)) // …then export every new symbol
+    val flags = (template & 3) << 10
+    val atB =
+      if (template == 0) Array(at.a1._1, at.a1._2, at.a2._1, at.a2._2,
+        at.a3._1, at.a3._2, at.a4._1, at.a4._2).map(_.toByte)
+      else Array(at.a1._1.toByte, at.a1._2.toByte)
+    val payload = Array(((flags >> 8) & 0xff).toByte, (flags & 0xff).toByte) ++
+      atB ++ be32b(symbols.length.toLong) ++ be32b(symbols.length.toLong) ++
+      enc.finish()
+    (payload, perm)
+  }
+
+  /** Encode a text region payload (arithmetic, SBHUFF=0, SBREFINE=0,
+    * SBSTRIPS=1, non-transposed). `instances` are (exported symbol id,
+    * leftmost column, strip T) — T is the symbol's TOP row for top
+    * reference corners and its BOTTOM row for bottom corners; within a
+    * strip instances must be left-to-right. `syms` is the referred
+    * dictionary's EXPORTED symbol list (widths drive the CURS chain). */
+  def encodeTextRegionPayload(w: Int, h: Int, x: Int, y: Int,
+                              syms: IndexedSeq[Bitmap],
+                              instances: Seq[(Int, Int, Int)],
+                              refCorner: Int = 1): Array[Byte] = {
+    val codeLen = symCodeLen(syms.length)
+    val enc = new MqEncoder
+    val iadt = new Contexts(512)
+    val iafs = new Contexts(512)
+    val iads = new Contexts(512)
+    val iaid = new Contexts(1 << (codeLen + 1))
+    encodeInt(enc, iadt, Some(0)) // initial STRIPT = 0
+    var stripT = 0
+    var firstS = 0
+    for ((t, insts0) <- instances.groupBy(_._3).toSeq.sortBy(_._1)) {
+      val insts = insts0.sortBy(_._2)
+      encodeInt(enc, iadt, Some(t - stripT))
+      stripT = t
+      var curS = 0
+      var first = true
+      for ((id, s, _) <- insts) {
+        if (first) {
+          encodeInt(enc, iafs, Some(s - firstS))
+          firstS = s
+          curS = s
+          first = false
+        } else {
+          encodeInt(enc, iads, Some(s - curS)) // IDS; SBDSOFFSET = 0
+          curS = s
+        }
+        encodeIaid(enc, iaid, codeLen, id)
+        curS += syms(id).width - 1 // decoder leaves CURS on the last column
+      }
+      encodeInt(enc, iads, None) // OOB closes the strip
+    }
+    val flags = (refCorner & 3) << 4 // everything else zero: arithmetic,
+    // no refinement, LOGSBSTRIPS 0, non-transposed, OR, defpixel 0,
+    // DSOFFSET 0, template 0
+    val regionInfo = be32b(w.toLong) ++ be32b(h.toLong) ++ be32b(x.toLong) ++
+      be32b(y.toLong) ++ Array(0x00.toByte) // external combOp OR
+    regionInfo ++ Array(((flags >> 8) & 0xff).toByte, (flags & 0xff).toByte) ++
+      be32b(instances.length.toLong) ++ enc.finish()
+  }
+
+  /** Segments for a symbol/text organisation of `bm` — the layout scanned-
+    * text PDFs actually use: page information, a symbol dictionary of the
+    * ≤`chunkW`-wide vertical slices of `bm` (pixel-identical slices DEDUPED
+    * so symbol reuse is exercised), and one immediate lossless text region
+    * reassembling them left-to-right. The composed page is bit-identical to
+    * `bm`. Returns (page info, symbol dict, text region) segments; the text
+    * region refers to the dictionary. */
+  def encodeTextSegments(bm: Bitmap, template: Int = 0, refCorner: Int = 1,
+                         chunkW: Int = 8,
+                         at: AtPixels = AtPixels()): (Array[Byte], Array[Byte], Array[Byte]) = {
+    val chunks = (0 until bm.width by chunkW).map { x0 =>
+      val w = math.min(chunkW, bm.width - x0)
+      val bits = new Array[Byte](w * bm.height)
+      var yy = 0
+      while (yy < bm.height) {
+        System.arraycopy(bm.bits, yy * bm.width + x0, bits, yy * w, w)
+        yy += 1
+      }
+      (x0, Bitmap(w, bm.height, bits))
+    }
+    val uniq = new ArrayBuffer[Bitmap]()
+    val placed = chunks.map { case (x0, c) =>
+      val k = uniq.indexWhere(u =>
+        u.width == c.width && java.util.Arrays.equals(u.bits, c.bits))
+      val id = if (k >= 0) k else { uniq += c; uniq.length - 1 }
+      (x0, id)
+    }
+    val (dictPayload, perm) = encodeSymbolDictPayload(uniq.toIndexedSeq, template, at)
+    val exported = uniq.indices.sortBy(perm).map(uniq) // exported order
+    val tRow = if (refCorner == 0 || refCorner == 2) bm.height - 1 else 0
+    val instances = placed.map { case (x0, id) => (perm(id), x0, tRow) }
+    val textPayload = encodeTextRegionPayload(
+      bm.width, bm.height, 0, 0, exported.toIndexedSeq, instances, refCorner)
+    val pageInfo = be32b(bm.width.toLong) ++ be32b(bm.height.toLong) ++
+      be32b(0) ++ be32b(0) ++ Array(0x01.toByte) ++ Array(0x00.toByte, 0x00.toByte)
+    (segmentBytes(0, 48, 1, pageInfo),
+      segmentBytes(1, 0, 1, dictPayload),
+      segmentBytes(2, 7, 1, textPayload, refs = Seq(1L)))
   }
 }

@@ -294,7 +294,13 @@ object Pdf {
     * exercised: odd ids split the page-info segment into a /JBIG2Globals
     * stream; id%4==2 wraps the image stream in [/FlateDecode /JBIG2Decode];
     * odd ids code with TPGDON; id%3==0 moves the A1 adaptive pixel;
-    * id%5==4 codes the region as MMR (T.6) instead of arithmetic.
+    * (id/3)%4 picks the generic-region context template (GBTEMPLATE 0-3);
+    * id%5==4 codes the region as MMR (T.6) instead of arithmetic; and
+    * id%6==3 (non-MMR) codes the page as a SYMBOL DICTIONARY + TEXT REGION
+    * — the scanned-text organisation — with the dictionary shipped in the
+    * /JBIG2Globals stream for odd ids and id%4 picking the reference
+    * corner. The raster is the same under every organisation, so one
+    * oracle covers all paths.
     */
   def syntheticJbig2Pdf(id: Long): Array[Byte] = {
     val w0 = 24 + (id % 20).toInt
@@ -312,8 +318,17 @@ object Pdf {
     val bm = Jbig2.Bitmap(w0, h0, bits)
     val tpgdon = id % 2 == 1
     val at = if (id % 3 == 0) Jbig2.AtPixels(a1 = (2, -1)) else Jbig2.AtPixels()
-    val (pageSeg, regionSeg) = Jbig2.encodeSegments(bm, tpgdon, at, mmr = id % 5 == 4)
+    val template = ((id / 3) % 4).toInt
+    val textOrg = id % 6 == 3 && id % 5 != 4
     val split = id % 2 == 1
+    val (pageSeg, regionSeg) =
+      if (textOrg) {
+        val (p, dict, text) =
+          Jbig2.encodeTextSegments(bm, template, refCorner = (id % 4).toInt, at = at)
+        // split ships page info AND the dictionary via /JBIG2Globals —
+        // the cross-stream referred-segment form Acrobat writes
+        if (split) (p ++ dict, text) else (p, dict ++ text)
+      } else Jbig2.encodeSegments(bm, tpgdon, at, mmr = id % 5 == 4, template = template)
     val flated = id % 4 == 2
     val imgStream0 = if (split) regionSeg else pageSeg ++ regionSeg
     val imgStream = if (flated) deflateBytes(imgStream0) else imgStream0

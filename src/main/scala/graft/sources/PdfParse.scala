@@ -644,7 +644,7 @@ object PdfParse {
             gobj  <- objs.get(ref)
             gdata <- decodedStream(gobj)
           } yield gdata).getOrElse(Array.emptyByteArray)
-          payload.flatMap(Jbig2.decodeFirstGenericRegion(globals, _)) match {
+          payload.flatMap(Jbig2.decodeEmbedded(globals, _)) match {
             case Some(r) =>
               PdfImage(name, "jbig2", r.bitmap.width, r.bitmap.height, darkOf(r.bitmap))
             case None => PdfImage(name, "jbig2", -1, -1)

@@ -213,4 +213,107 @@ class Jbig2Spec extends AnyFunSuite {
       onePdf("[ /ASCIIHexDecode /JBIG2Decode ]", hexed)))
     assert(chain.head.filter == "unsupported" && chain.head.width == -1)
   }
+
+  // ---- GBTEMPLATE 1-3 ---------------------------------------------------------
+
+  test("generic region round-trip: templates 1-3, nominal and moved AT") {
+    for (template <- 1 to 3; tp <- Seq(false, true)) {
+      val bm = randomBitmap(33, 21, seed = 7 * template + (if (tp) 1 else 0))
+      val nominal = if (template == 1) Jbig2.AtPixels(a1 = (3, -1))
+                    else Jbig2.AtPixels(a1 = (2, -1))
+      for (at <- Seq(nominal, Jbig2.AtPixels(a1 = (-2, -1)), Jbig2.AtPixels(a1 = (0, -2)))) {
+        val coded = Jbig2.encodeGenericRegion(bm, tp, at, template)
+        val back = Jbig2.decodeGenericRegion(coded, 33, 21, tp, at, template)
+        assert(java.util.Arrays.equals(back.bits, bm.bits),
+          s"template=$template tpgdon=$tp at=$at")
+      }
+    }
+  }
+
+  test("embedded stream round-trip: generic regions under templates 1-3") {
+    for (template <- 1 to 3) {
+      val bm = randomBitmap(26, 17, seed = 100 + template)
+      val (page, region) = Jbig2.encodeSegments(bm,
+        at = Jbig2.AtPixels(a1 = (2, -1)), template = template)
+      val r = Jbig2.decodeEmbedded(Array.emptyByteArray, page ++ region).get
+      assert(r.bitmap.width == 26 && r.bitmap.height == 17)
+      assert(java.util.Arrays.equals(r.bitmap.bits, bm.bits), s"template=$template")
+    }
+  }
+
+  // ---- Annex A integer codec --------------------------------------------------
+
+  test("arithmetic integer codec round-trips every bucket and OOB") {
+    val boundary = Seq(0, 1, 3, 4, 19, 20, 83, 84, 339, 340, 4435, 4436,
+      100000, Int.MaxValue / 2)
+    val values: Seq[Option[Int]] =
+      boundary.map(v => Some(v)) ++ boundary.filter(_ != 0).map(v => Some(-v)) ++
+        Seq(None, Some(0), None) ++ // OOB interleaved with real zeros
+        Seq.tabulate(500)(i => if (i % 17 == 0) None
+          else Some(new scala.util.Random(i).nextInt(9001) - 4500))
+    val enc = new Jbig2.MqEncoder
+    val cx = new Jbig2.Contexts(512)
+    values.foreach(v => Jbig2.encodeInt(enc, cx, v))
+    val coded = enc.finish()
+    val dec = new Jbig2.MqDecoder(coded)
+    val cx2 = new Jbig2.Contexts(512)
+    values.zipWithIndex.foreach { case (v, i) =>
+      assert(Jbig2.decodeInt(dec, cx2) == v, s"value #$i = $v")
+    }
+  }
+
+  // ---- Symbol dictionary + text region ---------------------------------------
+
+  test("symbol/text organisation round-trips: all corners x templates") {
+    for (template <- 0 to 3; corner <- 0 to 3) {
+      val bm = randomBitmap(29 + corner, 18 + template, seed = 31 * template + corner)
+      val at = if (template <= 1) Jbig2.AtPixels() else Jbig2.AtPixels(a1 = (2, -1))
+      val (page, dict, text) =
+        Jbig2.encodeTextSegments(bm, template, corner, chunkW = 7, at = at)
+      val r = Jbig2.decodeEmbedded(Array.emptyByteArray, page ++ dict ++ text).get
+      assert(r.bitmap.width == bm.width && r.bitmap.height == bm.height)
+      assert(java.util.Arrays.equals(r.bitmap.bits, bm.bits),
+        s"template=$template corner=$corner")
+    }
+  }
+
+  test("symbol reuse: periodic bitmaps dedupe slices into fewer symbols") {
+    // period-8 columns with chunkW=8 → every slice identical → ONE symbol
+    val w = 40; val h = 12
+    val bits = new Array[Byte](w * h)
+    for (y <- 0 until h; x <- 0 until w if (x % 8 + 3 * y) % 5 < 2)
+      bits(y * w + x) = 1
+    val bm = Jbig2.Bitmap(w, h, bits)
+    val (page, dict, text) = Jbig2.encodeTextSegments(bm, chunkW = 8)
+    // the dictionary payload must carry exactly one symbol (numNew at
+    // offset 2 + 8 AT bytes + 4): five instances reuse it
+    val numNew = ((dict(11 + 2 + 8 + 4) & 0xff) << 24) | ((dict(11 + 2 + 8 + 5) & 0xff) << 16) |
+      ((dict(11 + 2 + 8 + 6) & 0xff) << 8) | (dict(11 + 2 + 8 + 7) & 0xff)
+    assert(numNew == 1, s"expected 1 deduped symbol, dict header says $numNew")
+    val r = Jbig2.decodeEmbedded(Array.emptyByteArray, page ++ dict ++ text).get
+    assert(java.util.Arrays.equals(r.bitmap.bits, bm.bits))
+  }
+
+  test("split organisation: symbol dictionary in globals, text region in stream") {
+    val bm = randomBitmap(25, 14, seed = 77)
+    val (page, dict, text) = Jbig2.encodeTextSegments(bm)
+    val r = Jbig2.decodeEmbedded(page ++ dict, text).get
+    assert(java.util.Arrays.equals(r.bitmap.bits, bm.bits))
+  }
+
+  test("out-of-scope symbol/text forms fall back to None, never throw") {
+    val bm = randomBitmap(16, 10, seed = 5)
+    val (page, dict, text) = Jbig2.encodeTextSegments(bm)
+    // a text region whose dictionary is missing is undecodable
+    assert(Jbig2.decodeEmbedded(Array.emptyByteArray, page ++ text).isEmpty)
+    // flip SDHUFF on: Huffman dictionaries are out of scope
+    val huff = dict.clone()
+    huff(11 + 1) = (huff(11 + 1) | 1).toByte // payload flags low byte
+    assert(Jbig2.decodeEmbedded(Array.emptyByteArray, page ++ huff ++ text).isEmpty)
+    // flip SBHUFF on the text region
+    val thuff = text.clone()
+    // text region payload: 12-byte header (1 ref), 17 region info, flags at +17
+    thuff(12 + 17 + 1) = (thuff(12 + 17 + 1) | 1).toByte
+    assert(Jbig2.decodeEmbedded(Array.emptyByteArray, page ++ dict ++ thuff).isEmpty)
+  }
 }
