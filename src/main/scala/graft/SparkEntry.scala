@@ -635,10 +635,12 @@ object SparkEntry {
     // in-PDF JPEG 2000 decode (ITU-T T.800: EBCOT Tier-1 on the MQ coder,
     // tag-tree packet headers, reversible 5/3 wavelet) under a TRUE
     // arithmetic oracle: each synthetic PDF embeds a real LOSSLESS
-    // /JPXDecode grayscale XObject (id%3 picks the DWT depth, odd ids ship
-    // the JP2 box container) whose samples are doc-id arithmetic — dims
-    // AND the exact sample sum are recomputed per-pixel in SQL, so only a
-    // genuine wavelet + entropy decode can match
+    // /JPXDecode XObject (id%3 picks the DWT depth, odd ids ship the JP2
+    // box container, id%4==1 codes three components with id%8==1 through
+    // the reversible colour transform) whose samples are doc-id arithmetic
+    // — dims AND the exact sample sum (across ALL components) are
+    // recomputed per-pixel in SQL, so only a genuine wavelet + entropy
+    // decode can match
     "q_pdf_jpx" -> ((s, dir) => {
       import s.implicits._
       table(s, dir, "documents").where(col("doc_id") < 60)
@@ -2022,7 +2024,8 @@ $accept"""
         |  CAST(SUM(CASE WHEN (5 * x + 3 * y + 2 * doc_id) % 11 < 4 THEN 1 ELSE 0 END) AS BIGINT) AS dark_px
         |FROM px GROUP BY doc_id""".stripMargin,
     // JPEG 2000 decode: the lossless pipeline must reproduce every 8-bit
-    // sample exactly, so the oracle sums the generator's per-pixel values
+    // sample exactly, so the oracle sums the generator's per-pixel values —
+    // for the RGB variants (doc_id%4==1) across all three component planes
     "q_pdf_jpx" ->
       """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 60),
         |px AS (
@@ -2034,7 +2037,11 @@ $accept"""
         |SELECT doc_id, CAST(0 AS INTEGER) AS img_index, 'jpx' AS filter,
         |  CAST(17 + doc_id % 23 AS INTEGER) AS width,
         |  CAST(13 + (7 * doc_id) % 17 AS INTEGER) AS height,
-        |  CAST(SUM((7 * x + 11 * y + 3 * doc_id) % 256) AS BIGINT) AS sample_sum
+        |  CAST(SUM((7 * x + 11 * y + 3 * doc_id) % 256
+        |    + CASE WHEN doc_id % 4 = 1
+        |           THEN (5 * x + 13 * y + 7 * doc_id) % 256
+        |              + (11 * x + 3 * y + 5 * doc_id) % 256
+        |           ELSE 0 END) AS BIGINT) AS sample_sum
         |FROM px GROUP BY doc_id""".stripMargin,
     // curation through the embedding fuzzy path: same gates/exact chain,
     // then Md5Bow hashed-BoW vectors re-derived from md5 hex digits (the

@@ -648,52 +648,84 @@ object Jpx {
   private def u32b(v: Int) = Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
     ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
 
-  final case class Decoded(width: Int, height: Int, samples: Array[Int])
+  /** `samples` holds `comps` planes back to back (component 0 first). */
+  final case class Decoded(width: Int, height: Int, samples: Array[Int],
+                           comps: Int = 1)
 
   /** Encode an 8-bit grayscale image losslessly (raw codestream).
     * `levels` = DWT decomposition count, `cbExp` = code-block size exponent
     * (blocks are 2^cbExp square; 4 → 16×16 exercises multi-block grids and
     * tag trees even on small fixtures). */
   def encode(width: Int, height: Int, samples: Array[Int],
-             levels: Int = 2, cbExp: Int = 4): Array[Byte] = {
-    require(width > 0 && height > 0 && samples.length == width * height)
-    require(levels >= 0 && levels <= 5 && cbExp >= 2 && cbExp <= 6)
-    // DC shift + forward DWT: rows then columns per level, then COMPACT the
+             levels: Int = 2, cbExp: Int = 4): Array[Byte] =
+    encodeComps(width, height, Seq(samples), levels, cbExp, rct = false)
+
+  /** Multi-component lossless encode (1-4 planes, no subsampling). With
+    * `rct` the reversible colour transform (T.800 G.2) decorrelates the
+    * first three components — the form lossless RGB JP2s ship — raising
+    * their nominal dynamic by one bit, which the QCD exponents carry. */
+  def encodeComps(width: Int, height: Int, comps: Seq[Array[Int]],
+                  levels: Int = 2, cbExp: Int = 4,
+                  rct: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0 && comps.nonEmpty && comps.length <= 4)
+    comps.foreach(c => require(c.length == width * height))
+    require(!rct || comps.length >= 3, "RCT needs three components")
+    // DC shift, then the reversible colour transform on components 0-2:
+    // Y0 = floor((R + 2G + B)/4), Y1 = B - G, Y2 = R - G
+    val shifted = comps.map(_.map(_ - 128))
+    val planes: Seq[Array[Int]] =
+      if (rct) {
+        val r = shifted(0); val g = shifted(1); val b = shifted(2)
+        val y0 = new Array[Int](r.length)
+        val y1 = new Array[Int](r.length)
+        val y2 = new Array[Int](r.length)
+        var i = 0
+        while (i < r.length) {
+          y0(i) = (r(i) + 2 * g(i) + b(i)) >> 2 // arithmetic shift = floor
+          y1(i) = b(i) - g(i)
+          y2(i) = r(i) - g(i)
+          i += 1
+        }
+        Seq(y0, y1, y2) ++ shifted.drop(3)
+      } else shifted
+    val extra = if (rct) 1 else 0 // chroma ranges double under RCT
+    // forward DWT per plane: rows then columns per level, then COMPACT the
     // interleaved result into the Mallat layout (LL to the top-left) so the
     // next level lifts a contiguous region and subbands read out as rects
-    val a = new Array[Int](width * height)
-    var i = 0
-    while (i < a.length) { a(i) = samples(i) - 128; i += 1 }
-    var lvl = 0
-    while (lvl < levels) {
-      val (cw, ch) = llDims(width, height, lvl)
-      var y = 0
-      while (y < ch) { sd1d(a, y * width, 1, cw); y += 1 }
-      var x = 0
-      while (x < cw) { sd1d(a, x, width, ch); x += 1 }
-      // de-interleave region (cw, ch): evens→low half, odds→high half
-      val tmp = new Array[Int](cw * ch)
-      var yy = 0
-      while (yy < ch) {
-        System.arraycopy(a, yy * width, tmp, yy * cw, cw)
-        yy += 1
-      }
-      val lw = ceilDiv(cw, 2); val lh = ceilDiv(ch, 2)
-      yy = 0
-      while (yy < ch) {
-        val dy = if (yy % 2 == 0) yy / 2 else lh + yy / 2
-        var xx = 0
-        while (xx < cw) {
-          val dx = if (xx % 2 == 0) xx / 2 else lw + xx / 2
-          a(dy * width + dx) = tmp(yy * cw + xx)
-          xx += 1
+    val transformed = planes.map { plane =>
+      val a = plane.clone()
+      var lvl = 0
+      while (lvl < levels) {
+        val (cw, ch) = llDims(width, height, lvl)
+        var y = 0
+        while (y < ch) { sd1d(a, y * width, 1, cw); y += 1 }
+        var x = 0
+        while (x < cw) { sd1d(a, x, width, ch); x += 1 }
+        // de-interleave region (cw, ch): evens→low half, odds→high half
+        val tmp = new Array[Int](cw * ch)
+        var yy = 0
+        while (yy < ch) {
+          System.arraycopy(a, yy * width, tmp, yy * cw, cw)
+          yy += 1
         }
-        yy += 1
+        val lw = ceilDiv(cw, 2); val lh = ceilDiv(ch, 2)
+        yy = 0
+        while (yy < ch) {
+          val dy = if (yy % 2 == 0) yy / 2 else lh + yy / 2
+          var xx = 0
+          while (xx < cw) {
+            val dx = if (xx % 2 == 0) xx / 2 else lw + xx / 2
+            a(dy * width + dx) = tmp(yy * cw + xx)
+            xx += 1
+          }
+          yy += 1
+        }
+        lvl += 1
       }
-      lvl += 1
+      a
     }
-    /** Read subband rect from the Mallat layout. band 0 = final LL. */
-    def gather(n: Int, band: Int): Array[Int] = {
+    /** Read subband rect from a Mallat-layout plane. band 0 = final LL. */
+    def gather(a: Array[Int], n: Int, band: Int): Array[Int] = {
       val (bw0, bh0) =
         if (band == 0) llDims(width, height, levels) else bandDims(width, height, n, band)
       val (lw, lh) = llDims(width, height, n)
@@ -713,35 +745,38 @@ object Jpx {
     val out = new java.io.ByteArrayOutputStream()
     def wbytes(b: Array[Byte]): Unit = out.write(b)
     wbytes(Array(0xff.toByte, 0x4f.toByte)) // SOC
-    // SIZ
+    // SIZ: one (Ssiz, XRsiz, YRsiz) triple per component, no subsampling
     val siz = u16b(0) ++ u32b(width) ++ u32b(height) ++ u32b(0) ++ u32b(0) ++
-      u32b(width) ++ u32b(height) ++ u32b(0) ++ u32b(0) ++ u16b(1) ++
-      Array((Depth - 1).toByte, 1.toByte, 1.toByte)
+      u32b(width) ++ u32b(height) ++ u32b(0) ++ u32b(0) ++ u16b(planes.length) ++
+      planes.flatMap(_ => Seq((Depth - 1).toByte, 1.toByte, 1.toByte))
     wbytes(Array(0xff.toByte, 0x51.toByte) ++ u16b(siz.length + 2) ++ siz)
-    // COD: Scod 0, LRCP(0), layers 1, MCT 0; SPcod: NL, cb sizes, style 0, 5/3
-    val cod = Array(0.toByte) ++ Array(0.toByte) ++ u16b(1) ++ Array(0.toByte) ++
+    // COD: Scod 0, LRCP(0), layers 1, MCT per rct; SPcod: NL, cb sizes,
+    // style 0, 5/3
+    val cod = Array(0.toByte) ++ Array(0.toByte) ++ u16b(1) ++
+      Array((if (rct) 1 else 0).toByte) ++
       Array(levels.toByte, (cbExp - 2).toByte, (cbExp - 2).toByte, 0.toByte, 1.toByte)
     wbytes(Array(0xff.toByte, 0x52.toByte) ++ u16b(cod.length + 2) ++ cod)
-    // QCD: style 0 (no quantization), guard bits; one exponent per subband
+    // QCD: style 0 (no quantization), guard bits; one exponent per subband,
+    // shared by every component (the RCT bit rides on all of them)
     val nb = 3 * levels + 1
     val spqcd = new Array[Byte](nb)
-    spqcd(0) = ((Depth + bandGain(0)) << 3).toByte
+    spqcd(0) = ((Depth + extra + bandGain(0)) << 3).toByte
     for (r <- 1 to levels; b <- 1 to 3)
-      spqcd(1 + (r - 1) * 3 + (b - 1)) = ((Depth + bandGain(b)) << 3).toByte
+      spqcd(1 + (r - 1) * 3 + (b - 1)) = ((Depth + extra + bandGain(b)) << 3).toByte
     val qcd = Array(((Guard << 5) | 0).toByte) ++ spqcd
     wbytes(Array(0xff.toByte, 0x5c.toByte) ++ u16b(qcd.length + 2) ++ qcd)
-    // tile: packets LRCP — r=0..levels, one packet each
+    // tile: packets LRCP — for each resolution, one packet per component
     val body = new java.io.ByteArrayOutputStream()
-    for (r <- 0 to levels) {
+    for (r <- 0 to levels; a <- transformed) {
       val bands: Seq[(Int, Array[Int], Int, Int)] =
         if (r == 0) {
           val (w0, h0) = llDims(width, height, levels)
-          Seq((0, gather(levels, 0), w0, h0))
+          Seq((0, gather(a, levels, 0), w0, h0))
         } else {
           val n = levels - r + 1
           (1 to 3).map { b =>
             val (bw0, bh0) = bandDims(width, height, n, b)
-            (b, gather(n, b), bw0, bh0)
+            (b, gather(a, n, b), bw0, bh0)
           }
         }
       val subbandBlocks = bands.map { case (band, data, bw0, bh0) =>
@@ -759,7 +794,7 @@ object Jpx {
               yy += 1
             }
             val (bytes, numbps, passes) = t1Encode(band, w0, h0, c)
-            val mb = mbOf(band)
+            val mb = mbOf(band) + extra
             require(numbps <= mb, s"numbps $numbps exceeds Mb $mb")
             // BlockCoded.numbps carries the ZERO-BIT-PLANE count for the
             // packet header (Mb - numbps)
@@ -817,6 +852,7 @@ object Jpx {
     if (cs.length < 4 || (cs(0) & 0xff) != 0xff || (cs(1) & 0xff) != 0x4f) return None
     var i = 2
     var width = 0; var height = 0; var levels = -1; var cbExp = -1
+    var nComps = 0; var mct = 0
     var guard = Guard
     var exps: Array[Int] = null
     var sodAt = -1
@@ -838,21 +874,28 @@ object Jpx {
               val xt = u32(i + 4 + 18); val yt = u32(i + 4 + 22)
               val xto = u32(i + 4 + 26); val yto = u32(i + 4 + 30)
               val nc = u16(i + 4 + 34)
-              val ssiz = cs(i + 4 + 36) & 0xff
               if (xo != 0 || yo != 0 || xto != 0 || yto != 0 ||
                   xt < width || yt < height) return None // single whole-image tile only
-              if (nc != 1 || ssiz != Depth - 1) return None // 8-bit unsigned only
+              if (nc < 1 || nc > 4) return None
+              var c = 0
+              while (c < nc) { // 8-bit unsigned, no subsampling, per component
+                if ((cs(i + 4 + 36 + 3 * c) & 0xff) != Depth - 1 ||
+                    (cs(i + 4 + 37 + 3 * c) & 0xff) != 1 ||
+                    (cs(i + 4 + 38 + 3 * c) & 0xff) != 1) return None
+                c += 1
+              }
+              nComps = nc
             case 0x52 => // COD
               val scod = cs(i + 4) & 0xff
               val prog = cs(i + 5) & 0xff
               val layers = u16(i + 6)
-              val mct = cs(i + 8) & 0xff
+              mct = cs(i + 8) & 0xff
               levels = cs(i + 9) & 0xff
               cbExp = (cs(i + 10) & 0x0f) + 2
               val cbh = (cs(i + 11) & 0x0f) + 2
               val style = cs(i + 12) & 0xff
               val transform = cs(i + 13) & 0xff
-              if (scod != 0 || prog != 0 || layers != 1 || mct != 0 ||
+              if (scod != 0 || prog != 0 || layers != 1 || mct > 1 ||
                   cbh != cbExp || style != 0 || transform != 1) return None
             case 0x5c => // QCD: style 0 (reversible, no quantization) only;
               // Mb per subband = exponent + guard bits - 1 (E.1.1)
@@ -869,15 +912,16 @@ object Jpx {
           i += 2 + l
       }
     }
-    if (sodAt < 0 || width <= 0 || height <= 0 || levels < 0) return None
-    if (width.toLong * height > 64L * 1024 * 1024) return None
+    if (sodAt < 0 || width <= 0 || height <= 0 || levels < 0 || nComps < 1) return None
+    if (mct == 1 && nComps < 3) return None
+    if (width.toLong * height * nComps > 64L * 1024 * 1024) return None
 
-    // packets, LRCP
+    // packets, LRCP with one layer: resolution outer, component inner
     var pos = sodAt
     val cb = 1 << cbExp
-    // accumulate subband coefficient planes
-    val subbandData = new scala.collection.mutable.HashMap[(Int, Int), Array[Int]]()
-    for (r <- 0 to levels) {
+    // accumulate subband coefficient planes per (component, band, level)
+    val subbandData = new scala.collection.mutable.HashMap[(Int, Int, Int), Array[Int]]()
+    for (r <- 0 to levels; comp <- 0 until nComps) {
       val bands: Seq[(Int, Int, Int, Int)] = // (bandKind, n, w, h)
         if (r == 0) {
           val (w0, h0) = llDims(width, height, levels)
@@ -920,49 +964,72 @@ object Jpx {
           pos += len
           bi += 1
         }
-        subbandData((band, n)) = coeffs
+        subbandData((comp, band, n)) = coeffs
       }
     }
 
-    // inverse DWT: rebuild LL chain coarse→fine, interleaving + synthesis
-    var (llW, llH) = llDims(width, height, levels)
-    var ll = subbandData.getOrElse((0, levels), new Array[Int](llW * llH))
-    var n = levels
-    while (n >= 1) {
-      val (pw, ph) = llDims(width, height, n - 1)
-      val hl = subbandData((1, n)); val lh = subbandData((2, n)); val hh = subbandData((3, n))
-      val (hlW, _) = bandDims(width, height, n, 1)
-      val (lhW, _) = bandDims(width, height, n, 2)
-      val (hhW, _) = bandDims(width, height, n, 3)
-      val plane = new Array[Int](pw * ph)
-      var y = 0
-      while (y < ph) {
-        var x = 0
-        while (x < pw) {
-          val v =
-            if (y % 2 == 0 && x % 2 == 0) ll((y / 2) * llW + (x / 2))
-            else if (y % 2 == 0) { if (hlW > 0) hl((y / 2) * hlW + (x / 2)) else 0 }
-            else if (x % 2 == 0) { if (lhW > 0) lh((y / 2) * lhW + (x / 2)) else 0 }
-            else { if (hhW > 0) hh((y / 2) * hhW + (x / 2)) else 0 }
-          plane(y * pw + x) = v
-          x += 1
+    // inverse DWT per component: rebuild the LL chain coarse→fine,
+    // interleaving + synthesis
+    val planes = (0 until nComps).map { comp =>
+      var (llW, llH) = llDims(width, height, levels)
+      var ll = subbandData.getOrElse((comp, 0, levels), new Array[Int](llW * llH))
+      var n = levels
+      while (n >= 1) {
+        val (pw, ph) = llDims(width, height, n - 1)
+        val hl = subbandData((comp, 1, n)); val lh = subbandData((comp, 2, n))
+        val hh = subbandData((comp, 3, n))
+        val (hlW, _) = bandDims(width, height, n, 1)
+        val (lhW, _) = bandDims(width, height, n, 2)
+        val (hhW, _) = bandDims(width, height, n, 3)
+        val plane = new Array[Int](pw * ph)
+        var y = 0
+        while (y < ph) {
+          var x = 0
+          while (x < pw) {
+            val v =
+              if (y % 2 == 0 && x % 2 == 0) ll((y / 2) * llW + (x / 2))
+              else if (y % 2 == 0) { if (hlW > 0) hl((y / 2) * hlW + (x / 2)) else 0 }
+              else if (x % 2 == 0) { if (lhW > 0) lh((y / 2) * lhW + (x / 2)) else 0 }
+              else { if (hhW > 0) hh((y / 2) * hhW + (x / 2)) else 0 }
+            plane(y * pw + x) = v
+            x += 1
+          }
+          y += 1
         }
-        y += 1
+        // synthesis: columns first, then rows (mirror of the forward order)
+        var x = 0
+        while (x < pw) { sr1d(plane, x, pw, ph); x += 1 }
+        y = 0
+        while (y < ph) { sr1d(plane, y * pw, 1, pw); y += 1 }
+        ll = plane; llW = pw; llH = ph
+        n -= 1
       }
-      // synthesis: columns first, then rows (mirror of the forward order)
-      var x = 0
-      while (x < pw) { sr1d(plane, x, pw, ph); x += 1 }
-      y = 0
-      while (y < ph) { sr1d(plane, y * pw, 1, pw); y += 1 }
-      ll = plane; llW = pw; llH = ph
-      n -= 1
+      ll
     }
-    val out = new Array[Int](width * height)
-    var k = 0
-    while (k < out.length) {
-      out(k) = math.max(0, math.min(255, ll(k) + 128))
-      k += 1
+    // inverse RCT (T.800 G.2): G = Y0 - floor((Y1 + Y2)/4), R = Y2 + G,
+    // B = Y1 + G — exact inverse of the forward integer transform
+    if (mct == 1) {
+      val y0 = planes(0); val y1 = planes(1); val y2 = planes(2)
+      var k = 0
+      while (k < y0.length) {
+        val g = y0(k) - ((y1(k) + y2(k)) >> 2)
+        val r = y2(k) + g
+        val b = y1(k) + g
+        y0(k) = r; y1(k) = g; y2(k) = b
+        k += 1
+      }
     }
-    Some(Decoded(width, height, out))
+    val out = new Array[Int](width * height * nComps)
+    var c = 0
+    while (c < nComps) {
+      val p = planes(c)
+      var k = 0
+      while (k < p.length) {
+        out(c * width * height + k) = math.max(0, math.min(255, p(k) + 128))
+        k += 1
+      }
+      c += 1
+    }
+    Some(Decoded(width, height, out, nComps))
   }
 }

@@ -421,22 +421,34 @@ object Pdf {
     * q_pdf_jpx DuckDB oracle recomputes dims AND the exact sample sum in
     * SQL and only a genuine EBCOT + wavelet decode can match. Variants:
     * id%3 picks the DWT level count (0/1/2); odd ids ship the JP2 box
-    * container, even ids the raw codestream.
+    * container, even ids the raw codestream; id%4==1 codes THREE
+    * components (two extra doc-id planes, sample_sum spans all three) and
+    * id%8==1 runs them through the reversible colour transform.
     */
   def syntheticJpxPdf(id: Long): Array[Byte] = {
     val w0 = 17 + (id % 23).toInt
     val h0 = 13 + ((7 * id) % 17).toInt
-    val samples = new Array[Int](w0 * h0)
-    var y = 0
-    while (y < h0) {
-      var x = 0
-      while (x < w0) {
-        samples(y * w0 + x) = ((7 * x + 11 * y + 3 * id) % 256).toInt
-        x += 1
+    def plane(f: (Int, Int) => Long): Array[Int] = {
+      val p = new Array[Int](w0 * h0)
+      var y = 0
+      while (y < h0) {
+        var x = 0
+        while (x < w0) { p(y * w0 + x) = (f(x, y) % 256).toInt; x += 1 }
+        y += 1
       }
-      y += 1
+      p
     }
-    val cs = Jpx.encode(w0, h0, samples, levels = (id % 3).toInt, cbExp = 4)
+    val gray = plane((x, y) => 7 * x + 11 * y + 3 * id)
+    // id%4==1 ships THREE components (the gray formula as R plus two more
+    // doc-id planes); id%8==1 additionally decorrelates them through the
+    // reversible colour transform — the lossless-RGB form real JP2s use
+    val comps =
+      if (id % 4 == 1)
+        Seq(gray, plane((x, y) => 5 * x + 13 * y + 7 * id),
+          plane((x, y) => 11 * x + 3 * y + 5 * id))
+      else Seq(gray)
+    val cs = Jpx.encodeComps(w0, h0, comps, levels = (id % 3).toInt, cbExp = 4,
+      rct = id % 8 == 1)
     val payload =
       if (id % 2 == 1) {
         // minimal JP2 container: signature box, ftyp box, jp2c codestream box

@@ -144,6 +144,33 @@ class JpxSpec extends AnyFunSuite {
     assert(Jpx.decode(shortBox).isEmpty)
   }
 
+  test("multi-component round-trip: RGB with and without the RCT") {
+    for (rct <- Seq(false, true); levels <- Seq(0, 1, 2)) {
+      val w = 21; val h = 17
+      val r0 = pattern(w, h, (x, y) => (7 * x + 11 * y) % 256)
+      val g0 = pattern(w, h, (x, y) => (5 * x + 13 * y + 3) % 256)
+      val b0 = pattern(w, h, (x, y) => (11 * x + 3 * y + 9) % 256)
+      val cs = Jpx.encodeComps(w, h, Seq(r0, g0, b0), levels, cbExp = 4, rct = rct)
+      val d = Jpx.decode(cs).get
+      assert(d.width == w && d.height == h && d.comps == 3, s"rct=$rct levels=$levels")
+      assert(java.util.Arrays.equals(d.samples.slice(0, w * h), r0), s"R rct=$rct L=$levels")
+      assert(java.util.Arrays.equals(d.samples.slice(w * h, 2 * w * h), g0), s"G rct=$rct L=$levels")
+      assert(java.util.Arrays.equals(d.samples.slice(2 * w * h, 3 * w * h), b0), s"B rct=$rct L=$levels")
+    }
+  }
+
+  test("multi-component: random planes and a 4th pass-through component") {
+    val rnd = new scala.util.Random(11)
+    val w = 18; val h = 14
+    val planes = Seq.fill(4)(Array.fill(w * h)(rnd.nextInt(256)))
+    val cs = Jpx.encodeComps(w, h, planes, levels = 1, cbExp = 4, rct = true)
+    val d = Jpx.decode(cs).get
+    assert(d.comps == 4)
+    for (c <- 0 until 4)
+      assert(java.util.Arrays.equals(
+        d.samples.slice(c * w * h, (c + 1) * w * h), planes(c)), s"component $c")
+  }
+
   test("synthetic JPX PDFs: dims and sample sum are bitstream-authoritative") {
     for (id <- 0L until 12L) {
       val rows = Pdf.extractImages(Pdf.PdfBinary(id.toString, 0, Pdf.syntheticJpxPdf(id)))
@@ -151,8 +178,12 @@ class JpxSpec extends AnyFunSuite {
       val r = rows.head
       val w0 = 17 + (id % 23).toInt
       val h0 = 13 + ((7 * id) % 17).toInt
-      val sum = (for (y <- 0 until h0; x <- 0 until w0)
-        yield (7 * x + 11 * y + 3 * id) % 256).sum
+      val rgb = id % 4 == 1
+      val sum = (for (y <- 0 until h0; x <- 0 until w0) yield {
+        val base = (7 * x + 11 * y + 3 * id) % 256
+        if (rgb) base + (5 * x + 13 * y + 7 * id) % 256 + (11 * x + 3 * y + 5 * id) % 256
+        else base
+      }).sum
       assert(r.filter == "jpx", s"id=$id: ${r.filter}")
       // the dict's lying /Width cannot leak: SIZ dims are authoritative
       assert(r.width == w0 && r.height == h0, s"id=$id: ${r.width}x${r.height}")
