@@ -652,6 +652,27 @@ object SparkEntry {
         }
         .toDF("doc_id", "img_index", "filter", "width", "height", "sample_sum")
     }),
+    // FLAC audio decode (from-scratch Rice + fixed-predictor + stereo-
+    // decorrelation codec, sources/Flac) under a TRUE arithmetic oracle:
+    // each synthetic blob is a real FLAC stream (id%5==4 mono, odd ids
+    // mid/side, id%4 picks the predictor order, id%3 the block size) whose
+    // PCM is doc-id arithmetic — channel/sample counts AND the exact
+    // decoded sample sum are recomputed per-sample in SQL, so only a
+    // genuine lossless decode can match
+    "q_audio_flac" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "documents").where(col("doc_id") < 60)
+        .select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val blob = graft.ops.Multimodal.syntheticFlacBlob(id.toString, s"a$id", id)
+          graft.sources.Flac.decode(blob.bytes).map { d =>
+            var sum = 0L
+            d.channels.foreach(_.foreach(sum += _))
+            (id, d.channels.length, d.bitsPerSample, d.numSamples.toLong, sum)
+          }
+        }
+        .toDF("doc_id", "channels", "bits", "n_samples", "sample_sum")
+    }),
     // corpus-trained embedding, step 1 (the exact-integer surface): windowed
     // token co-occurrence — per-row pair generation, NO self-join, one
     // aggregation shuffle (ops/CorpusEmbed trains PPMI + random-projection
@@ -2043,6 +2064,26 @@ $accept"""
         |              + (11 * x + 3 * y + 5 * doc_id) % 256
         |           ELSE 0 END) AS BIGINT) AS sample_sum
         |FROM px GROUP BY doc_id""".stripMargin,
+    // FLAC decode: channel/sample counts and the exact decoded sample sum
+    // re-derived from the generator arithmetic — the oracle enumerates
+    // every PCM sample of every channel and applies the same modular
+    // formulas the encoder rasterised, so a matching sample_sum proves a
+    // true lossless Rice/predictor decode
+    "q_audio_flac" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+        |i AS (
+        |  SELECT d.doc_id, s.i
+        |  FROM d
+        |  CROSS JOIN range(0, 1400) AS s(i)
+        |  WHERE s.i < 800 + d.doc_id % 600)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 2 END AS INTEGER) AS channels,
+        |  CAST(16 AS INTEGER) AS bits,
+        |  CAST(800 + doc_id % 600 AS BIGINT) AS n_samples,
+        |  CAST(SUM((13 * i + 7 * doc_id) % 4096 - 2048
+        |    + CASE WHEN doc_id % 5 = 4 THEN 0
+        |           ELSE (11 * i + 5 * doc_id) % 4096 - 2048 END) AS BIGINT) AS sample_sum
+        |FROM i GROUP BY doc_id""".stripMargin,
     // curation through the embedding fuzzy path: same gates/exact chain,
     // then Md5Bow hashed-BoW vectors re-derived from md5 hex digits (the
     // q_cosine_filter slot/sign arithmetic), brute-force pairwise cosine

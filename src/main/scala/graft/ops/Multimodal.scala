@@ -102,6 +102,29 @@ object Multimodal {
     MediaBlob(docId, ref, "audio", bytes, Xxh64.hashBytes(bytes, 42L))
   }
 
+  /** Deterministic REAL FLAC audio blob via the from-scratch
+    * [[graft.sources.Flac]] encoder: the PCM is pure doc-id arithmetic —
+    * n = 800 + id%600 samples, L(i) = (13i + 7·id)%4096 - 2048, R(i) =
+    * (11i + 5·id)%4096 - 2048 — so the q_audio_flac DuckDB oracle
+    * recomputes the channel count, sample count, AND exact decoded sample
+    * sum in SQL; losslessness makes only a genuine Rice + predictor decode
+    * match. Variants keep every codec path exercised: id%5==4 is mono,
+    * odd ids decorrelate mid/side, id%4 picks the fixed predictor order,
+    * id%3 sizes the blocks (192/256/320) forcing multi-frame streams. */
+  def syntheticFlacBlob(docId: String, ref: String, id: Long): MediaBlob = {
+    val n = 800 + (id % 600).toInt
+    def plane(a: Long, b: Long): Array[Int] =
+      Array.tabulate(n)(i => ((a * i + b * id) % 4096).toInt - 2048)
+    val chans =
+      if (id % 5 == 4) Seq(plane(13, 7))
+      else Seq(plane(13, 7), plane(11, 5))
+    val bytes = graft.sources.Flac.encode(8000, 16, chans,
+      blockSize = 192 + 64 * (id % 3).toInt,
+      fixedOrder = (id % 4).toInt,
+      midSide = id % 2 == 1)
+    MediaBlob(docId, ref, "audio", bytes, Xxh64.hashBytes(bytes, 42L))
+  }
+
   /** Deterministic REAL animated-GIF video blob: `nFrames` full frames of
     * ref-derived pixels, each shown `frameMs` ms (GIF stores delays in
     * centiseconds, so use multiples of 10). Decodable by any GIF codec.
@@ -453,6 +476,36 @@ object Multimodal {
         if (img == null) decodeStub(b)
         else MediaFeatures(b.doc_id, b.media_ref, b.kind, b.content_hash,
           img.getWidth, img.getHeight, 0, 1, grayThumb(img, 4))
+      case "audio" if b.bytes.length >= 4 && b.bytes(0) == 'f' &&
+          b.bytes(1) == 'L' && b.bytes(2) == 'a' && b.bytes(3) == 'C' =>
+        // FLAC rides the same feature path as WAV through the from-scratch
+        // sources/Flac codec (the JDK ships no FLAC SPI); decoded PCM is
+        // rendered to 16-bit LE for the shared RMS profile
+        graft.sources.Flac.decode(b.bytes) match {
+          case None => decodeStub(b)
+          case Some(d) =>
+            val n = d.numSamples
+            val nCh = d.channels.length
+            val durationMs =
+              if (d.sampleRate > 0) (n * 1000L / d.sampleRate).toInt else 0
+            val pcm = new Array[Byte](n * nCh * 2)
+            var i = 0
+            while (i < n) {
+              var c = 0
+              while (c < nCh) {
+                val v16 =
+                  if (d.bitsPerSample >= 16) d.channels(c)(i) >> (d.bitsPerSample - 16)
+                  else d.channels(c)(i) << (16 - d.bitsPerSample)
+                val at = (i * nCh + c) * 2
+                pcm(at) = (v16 & 0xff).toByte
+                pcm(at + 1) = ((v16 >> 8) & 0xff).toByte
+                c += 1
+              }
+              i += 1
+            }
+            MediaFeatures(b.doc_id, b.media_ref, b.kind, b.content_hash,
+              0, 0, durationMs, 0, rmsProfile(pcm, 16))
+        }
       case "audio" =>
         val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(b.bytes))

@@ -1199,7 +1199,8 @@ class OpsSpec extends AnyFunSuite {
     val png2 = Multimodal.syntheticPngBlob("d2", "img://one", 320, 200) // same pixels
     val pngOther = Multimodal.syntheticPngBlob("d3", "img://two", 320, 200)
     val wav = Multimodal.syntheticWavBlob("d4", "snd://one", ms = 1500)
-    val feats = Multimodal.decode(Seq(png, png2, pngOther, wav).toDS())
+    val flac = Multimodal.syntheticFlacBlob("d6", "snd://flac", 6)
+    val feats = Multimodal.decode(Seq(png, png2, pngOther, wav, flac).toDS())
       .collect().map(f => f.media_ref -> f).toMap
     val f1 = feats("img://one")
     assert(f1.width == 320 && f1.height == 200 && f1.n_frames == 1)
@@ -1213,6 +1214,11 @@ class OpsSpec extends AnyFunSuite {
     val fa = feats("snd://one")
     assert(fa.duration_ms == 1500)
     assert(fa.feature.forall(_ > 0.1f)) // a sine has uniform RMS everywhere
+    // real FLAC through the same audio feature path (sources/Flac decode):
+    // id=6 → 806 samples at 8 kHz → 100 ms; the ramp PCM is never silent
+    val ff = feats("snd://flac")
+    assert(ff.duration_ms == 100, s"flac duration ${ff.duration_ms}")
+    assert(ff.feature.exists(_ > 0.05f))
     // real resize: aspect preserved, decodable output
     val Some((rBytes, rw, rh)) = Multimodal.resizeImage(png.bytes, maxSide = 64)
     assert(rw == 64 && rh == 40)
