@@ -673,6 +673,25 @@ object SparkEntry {
         }
         .toDF("doc_id", "channels", "bits", "n_samples", "sample_sum")
     }),
+    // MP4 container metadata (from-scratch ISO 14496-12 moov-tree parser,
+    // sources/Mp4) under a TRUE arithmetic oracle: each blob is a real MP4
+    // whose geometry/timing/codec are doc-id arithmetic, recomputed field
+    // by field in SQL — the samples are opaque by design (no JVM H.264
+    // codec; frame decode falls back, honestly labeled), so this checks
+    // exactly what a crawl pipeline filters and samples on: the metadata
+    "q_video_mp4" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "documents").where(col("doc_id") < 60)
+        .select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val blob = graft.ops.Multimodal.syntheticMp4Blob(id.toString, s"v$id", id)
+          graft.sources.Mp4.parse(blob.bytes).flatMap { m =>
+            m.tracks.find(_.handler == "vide").map(t =>
+              (id, t.codec, t.width, t.height, t.nSamples.toLong, t.durationMs))
+          }
+        }
+        .toDF("doc_id", "codec", "width", "height", "n_frames", "duration_ms")
+    }),
     // corpus-trained embedding, step 1 (the exact-integer surface): windowed
     // token co-occurrence — per-row pair generation, NO self-join, one
     // aggregation shuffle (ops/CorpusEmbed trains PPMI + random-projection
@@ -2084,6 +2103,16 @@ $accept"""
         |    + CASE WHEN doc_id % 5 = 4 THEN 0
         |           ELSE (11 * i + 5 * doc_id) % 4096 - 2048 END) AS BIGINT) AS sample_sum
         |FROM i GROUP BY doc_id""".stripMargin,
+    // MP4 metadata: every field re-derived from the generator arithmetic —
+    // only a genuine moov/trak/stbl parse produces them
+    "q_video_mp4" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'hvc1' ELSE 'avc1' END AS codec,
+        |  CAST(48 + doc_id % 40 AS INTEGER) AS width,
+        |  CAST(32 + (3 * doc_id) % 24 AS INTEGER) AS height,
+        |  CAST(10 + doc_id % 50 AS BIGINT) AS n_frames,
+        |  CAST((10 + doc_id % 50) * (20 + (doc_id % 5) * 20) AS BIGINT) AS duration_ms
+        |FROM documents WHERE doc_id < 60""".stripMargin,
     // curation through the embedding fuzzy path: same gates/exact chain,
     // then Md5Bow hashed-BoW vectors re-derived from md5 hex digits (the
     // q_cosine_filter slot/sign arithmetic), brute-force pairwise cosine

@@ -125,6 +125,24 @@ object Multimodal {
     MediaBlob(docId, ref, "audio", bytes, Xxh64.hashBytes(bytes, 42L))
   }
 
+  /** Deterministic REAL MP4 video blob via the from-scratch
+    * [[graft.sources.Mp4]] container writer: geometry and timing are pure
+    * doc-id arithmetic — w = 48 + id%40, h = 32 + (3·id)%24, frames =
+    * 10 + id%50, per-frame ms = 20 + (id%5)·20, codec avc1 (hvc1 when
+    * id%3==0) — so the q_video_mp4 DuckDB oracle recomputes every field in
+    * SQL from the moov metadata alone; the samples are opaque by design
+    * (no JVM H.264/HEVC codec) and frame decode falls back while the
+    * sampling plan stays exact. */
+  def syntheticMp4Blob(docId: String, ref: String, id: Long): MediaBlob = {
+    val bytes = graft.sources.Mp4.encodeVideo(
+      width = 48 + (id % 40).toInt,
+      height = 32 + ((3 * id) % 24).toInt,
+      nSamples = 10 + (id % 50).toInt,
+      frameMs = 20 + (id % 5).toInt * 20,
+      codec = if (id % 3 == 0) "hvc1" else "avc1")
+    MediaBlob(docId, ref, "video", bytes, Xxh64.hashBytes(bytes, 42L))
+  }
+
   /** Deterministic REAL animated-GIF video blob: `nFrames` full frames of
     * ref-derived pixels, each shown `frameMs` ms (GIF stores delays in
     * centiseconds, so use multiples of 10). Decodable by any GIF codec.
@@ -405,12 +423,29 @@ object Multimodal {
     else Some((w, h, math.max(1, usecPerFrame / 1000), fs))
   }
 
-  /** Container sniff + metadata of the two JVM-decodable video formats. */
+  /** Container sniff + metadata: the two JVM-decodable formats plus MP4,
+    * whose moov metadata (dims/duration/frame schedule) is real even though
+    * its samples stay opaque — frame DECODE for mp4 falls back like any
+    * codec the JVM lacks, but the sampling PLAN and container stats are
+    * exact. */
   def videoInfo(bytes: Array[Byte]): Option[VideoInfo] =
     try gifInfo(bytes).orElse(parseAvi(bytes).map { case (w, h, periodMs, fs) =>
       VideoInfo("avi", w, h, periodMs * fs.length, fs.length,
         Array.fill(fs.length)(periodMs))
-    }) catch { case _: Exception => None }
+    }).orElse(mp4Info(bytes)) catch { case _: Exception => None }
+
+  private def mp4Info(bytes: Array[Byte]): Option[VideoInfo] =
+    if (bytes.length < 12 || bytes(4) != 'f' || bytes(5) != 't' ||
+        bytes(6) != 'y' || bytes(7) != 'p') None
+    else graft.sources.Mp4.parse(bytes).flatMap { m =>
+      m.tracks.find(t => t.handler == "vide" && t.nSamples > 0).map { t =>
+        val delays =
+          if (t.sampleDeltasMs.length == t.nSamples) t.sampleDeltasMs
+          else Array.fill(t.nSamples)(
+            math.max(1, (t.durationMs / t.nSamples).toInt))
+        VideoInfo("mp4", t.width, t.height, t.durationMs.toInt, t.nSamples, delays)
+      }
+    }
 
   /** Decode one frame of a parsed video (re-sniffs the container; a sampling
     * kernel touches only the frames it asked for — frames are never all
