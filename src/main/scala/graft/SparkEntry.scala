@@ -407,12 +407,23 @@ object SparkEntry {
     // WARC archive sink → source roundtrip: export the documents table as
     // WARC/1.0 response records, strict-parse them back; oracle = the table
     "q_warc_roundtrip" -> ((s, dir) => {
+      // even doc_ids travel plain .warc segments; odd doc_ids travel the
+      // Common Crawl member-per-record .warc.gz layout — the union must
+      // reconstruct the corpus exactly either way
       val d = table(s, dir, "documents").select(
+        col("doc_id"),
         concat(lit("https://corpus.example/doc/"), col("doc_id")).as("uri"),
         col("text"))
       val path = s"/tmp/graft_warc_${new java.io.File(dir).getName}"
-      graft.sources.Warc.writeWarc(d, "uri", "text", path)
+      val gzPath = s"/tmp/graft_warcgz_${new java.io.File(dir).getName}"
+      graft.sources.Warc.writeWarc(
+        d.where(col("doc_id") % 2 === 0).select(col("uri"), col("text")),
+        "uri", "text", path)
+      graft.sources.Warc.writeWarcGz(
+        d.where(col("doc_id") % 2 === 1).select(col("uri"), col("text")),
+        "uri", "text", gzPath)
       graft.sources.Warc.readWarc(s, path)
+        .unionByName(graft.sources.Warc.readWarc(s, gzPath))
         .select(
           regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
           col("payload").as("text"),

@@ -66,15 +66,70 @@ object Warc {
     df.select(recordCol(col(uriCol), col(payloadCol), date).as("value"))
       .write.mode("overwrite").option("lineSep", "\r\n\r\n").text(path)
 
+  /** Write .warc.gz segments in the Common Crawl member-per-record layout:
+    * one gzip MEMBER per record (each carrying its own trailing separator),
+    * one segment file per partition, written straight through the Hadoop
+    * filesystem on the executor — a range reader can split the archive at
+    * member boundaries without decompressing the whole segment, which is
+    * the property that makes the format work at 100 TB.
+    */
+  def writeWarcGz(df: DataFrame, uriCol: String, payloadCol: String,
+                  path: String, date: String = "2026-01-01T00:00:00Z"): Unit = {
+    val spark = df.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(hconf)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path))
+    import spark.implicits._
+    df.select(recordCol(col(uriCol), col(payloadCol), date).as("value"))
+      .as[String]
+      .foreachPartition { (it: Iterator[String]) =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val p = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.warc.gz")
+          val pfs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val out = pfs.create(p, true)
+          try it.foreach { rec =>
+            val gz = new java.util.zip.GZIPOutputStream(out)
+            gz.write((rec + "\r\n\r\n").getBytes(UTF_8))
+            gz.finish() // closes the MEMBER, leaves the segment stream open
+          } finally out.close()
+        }
+      }
+  }
+
   // ---- source --------------------------------------------------------------
 
-  /** Strict sequential parse of one WARC segment: scan to each "WARC/1.0"
-    * version line, read headers to the blank line, then consume exactly
-    * Content-Length payload BYTES (multi-byte UTF-8 safe — lengths are
-    * octet counts on both sides). Anything between records (CRLF runs,
-    * trailing separators) is skipped without interpretation.
+  /** Decompress every member of a (possibly multi-member) gzip stream —
+    * Common Crawl's .warc.gz convention is ONE GZIP MEMBER PER RECORD so
+    * readers can range-split at member boundaries; the JDK inflater walks
+    * concatenated members natively, and a single-member segment (whole-file
+    * gzip) decodes through the same path. */
+  private def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** Strict sequential parse of one WARC segment: gzip segments (sniffed by
+    * magic, single- or member-per-record) decompress first — a corrupt gzip
+    * stream fails the SEGMENT closed rather than emitting partial records —
+    * then scan to each "WARC/1.0" version line, read headers to the blank
+    * line, then consume exactly Content-Length payload BYTES (multi-byte
+    * UTF-8 safe — lengths are octet counts on both sides). Anything between
+    * records (CRLF runs, trailing separators) is skipped without
+    * interpretation.
     */
-  def parseSegment(bytes: Array[Byte]): Seq[WarcRecord] = {
+  def parseSegment(raw: Array[Byte]): Seq[WarcRecord] = {
+    val bytes =
+      if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b)
+        try gunzipAll(raw) catch { case _: Exception => return Seq.empty }
+      else raw
+    parsePlain(bytes)
+  }
+
+  private def parsePlain(bytes: Array[Byte]): Seq[WarcRecord] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
     val magic = "WARC/1.0".getBytes(UTF_8)
     var i = 0

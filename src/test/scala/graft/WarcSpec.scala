@@ -62,4 +62,35 @@ class WarcSpec extends AnyFunSuite {
       .as[String].collect().sorted.toSeq
     assert(ids2 == back.map(_._4).sorted.toSeq)
   }
+
+  test("writeWarcGz → readWarc: member-per-record gzip segments roundtrip") {
+    val rows = Seq(
+      ("https://b.example/1", "gz payload one"),
+      ("https://b.example/2", "café 中文 😀 in a compressed record"),
+      ("https://b.example/3", "third\r\n\r\nwith fake separators inside"))
+      .toDF("uri", "payload")
+    val dir = java.nio.file.Files.createTempDirectory("warcgz").toString
+    Warc.writeWarcGz(rows.repartition(2), "uri", "payload", dir)
+    // the files really are .warc.gz with MULTIPLE members where a partition
+    // holds >1 record: count gzip magics (1f 8b at a member boundary)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".warc.gz"))
+    assert(files.nonEmpty)
+    val memberCount = files.map { f =>
+      val b = java.nio.file.Files.readAllBytes(f.toPath)
+      (0 until b.length - 1).count(i =>
+        (b(i) & 0xff) == 0x1f && (b(i + 1) & 0xff) == 0x8b && (b(i + 2) & 0xff) == 0x08)
+    }.sum
+    assert(memberCount == 3, s"expected 3 gzip members, saw $memberCount")
+    val back = Warc.readWarc(spark, dir)
+      .select("target_uri", "payload").as[(String, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(back == rows.collect().map(r => (r.getString(0), r.getString(1)))
+      .sortBy(_._1).toSeq)
+    // a corrupt gzip segment fails closed: flip a byte inside the first
+    // member's DEFLATE data (the fixed 10-byte member header ends at 10) —
+    // the CRC veto must yield empty, never partial records or a throw
+    val corrupt = java.nio.file.Files.readAllBytes(files.head.toPath)
+    corrupt(12) = (corrupt(12) ^ 0x55).toByte
+    assert(Warc.parseSegment(corrupt).isEmpty)
+  }
 }
