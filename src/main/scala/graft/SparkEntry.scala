@@ -703,6 +703,23 @@ object SparkEntry {
         }
         .toDF("doc_id", "codec", "width", "height", "n_frames", "duration_ms")
     }),
+    // WebM/Matroska container metadata (from-scratch EBML parser,
+    // sources/Webm) under a TRUE arithmetic oracle — the companion to
+    // q_video_mp4: codec/dims/duration and the SimpleBlock frame count are
+    // doc-id arithmetic recomputed in SQL; frame payloads opaque by design
+    "q_video_webm" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "documents").where(col("doc_id") < 60)
+        .select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val blob = graft.ops.Multimodal.syntheticWebmBlob(id.toString, s"w$id", id)
+          graft.sources.Webm.parse(blob.bytes).flatMap { m =>
+            m.tracks.find(_.trackType == 1).map(t =>
+              (id, t.codec, t.width, t.height, t.nFrames.toLong, m.durationMs))
+          }
+        }
+        .toDF("doc_id", "codec", "width", "height", "n_frames", "duration_ms")
+    }),
     // corpus-trained embedding, step 1 (the exact-integer surface): windowed
     // token co-occurrence — per-row pair generation, NO self-join, one
     // aggregation shuffle (ops/CorpusEmbed trains PPMI + random-projection
@@ -2123,6 +2140,15 @@ $accept"""
         |  CAST(32 + (3 * doc_id) % 24 AS INTEGER) AS height,
         |  CAST(10 + doc_id % 50 AS BIGINT) AS n_frames,
         |  CAST((10 + doc_id % 50) * (20 + (doc_id % 5) * 20) AS BIGINT) AS duration_ms
+        |FROM documents WHERE doc_id < 60""".stripMargin,
+    // WebM metadata: every field re-derived from the generator arithmetic
+    "q_video_webm" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'V_VP8' ELSE 'V_VP9' END AS codec,
+        |  CAST(40 + doc_id % 23 AS INTEGER) AS width,
+        |  CAST(30 + (11 * doc_id) % 19 AS INTEGER) AS height,
+        |  CAST(10 + doc_id % 40 AS BIGINT) AS n_frames,
+        |  CAST((10 + doc_id % 40) * (40 + (doc_id % 5) * 10) AS BIGINT) AS duration_ms
         |FROM documents WHERE doc_id < 60""".stripMargin,
     // curation through the embedding fuzzy path: same gates/exact chain,
     // then Md5Bow hashed-BoW vectors re-derived from md5 hex digits (the

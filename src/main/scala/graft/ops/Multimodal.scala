@@ -143,6 +143,21 @@ object Multimodal {
     MediaBlob(docId, ref, "video", bytes, Xxh64.hashBytes(bytes, 42L))
   }
 
+  /** Deterministic REAL WebM video blob via the from-scratch
+    * [[graft.sources.Webm]] EBML writer: w = 40 + id%23, h = 30 + (11·id)%19,
+    * frames = 10 + id%40, per-frame ms = 40 + (id%5)·10, codec V_VP8 when
+    * id%3==0 else V_VP9 — metadata-exact, samples opaque (no JVM VP8/VP9
+    * codec), same honest boundary as [[syntheticMp4Blob]]. */
+  def syntheticWebmBlob(docId: String, ref: String, id: Long): MediaBlob = {
+    val bytes = graft.sources.Webm.encodeVideo(
+      width = 40 + (id % 23).toInt,
+      height = 30 + ((11 * id) % 19).toInt,
+      nFrames = 10 + (id % 40).toInt,
+      frameMs = 40 + (id % 5).toInt * 10,
+      codec = if (id % 3 == 0) "V_VP8" else "V_VP9")
+    MediaBlob(docId, ref, "video", bytes, Xxh64.hashBytes(bytes, 42L))
+  }
+
   /** Deterministic REAL animated-GIF video blob: `nFrames` full frames of
     * ref-derived pixels, each shown `frameMs` ms (GIF stores delays in
     * centiseconds, so use multiples of 10). Decodable by any GIF codec.
@@ -432,7 +447,21 @@ object Multimodal {
     try gifInfo(bytes).orElse(parseAvi(bytes).map { case (w, h, periodMs, fs) =>
       VideoInfo("avi", w, h, periodMs * fs.length, fs.length,
         Array.fill(fs.length)(periodMs))
-    }).orElse(mp4Info(bytes)) catch { case _: Exception => None }
+    }).orElse(mp4Info(bytes)).orElse(webmInfo(bytes)) catch { case _: Exception => None }
+
+  private def webmInfo(bytes: Array[Byte]): Option[VideoInfo] =
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0x1A || (bytes(1) & 0xff) != 0x45 ||
+        (bytes(2) & 0xff) != 0xDF || (bytes(3) & 0xff) != 0xA3) None
+    else graft.sources.Webm.parse(bytes).flatMap { m =>
+      m.tracks.find(t => t.trackType == 1 && t.nFrames > 0).map { t =>
+        val ts = t.frameTsMs
+        val delays = Array.tabulate(t.nFrames) { i =>
+          if (i < t.nFrames - 1) math.max(1, (ts(i + 1) - ts(i)).toInt)
+          else math.max(1, (m.durationMs - ts(i)).toInt)
+        }
+        VideoInfo("webm", t.width, t.height, m.durationMs.toInt, t.nFrames, delays)
+      }
+    }
 
   private def mp4Info(bytes: Array[Byte]): Option[VideoInfo] =
     if (bytes.length < 12 || bytes(4) != 'f' || bytes(5) != 't' ||
