@@ -720,6 +720,28 @@ object SparkEntry {
         }
         .toDF("doc_id", "codec", "width", "height", "n_frames", "duration_ms")
     }),
+    // archive expansion (sources/Archive: JDK-inflater ZIP + from-scratch
+    // TAR walk + gzip unwrap) under a TRUE arithmetic oracle: each doc's
+    // archive (even ids ZIP, odd ids TAR.GZ) holds 2+id%4 members whose
+    // names and byte-exact contents are doc-id arithmetic DuckDB re-derives
+    "q_archive_members" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "documents").where(col("doc_id") < 60)
+        .select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val members = (0 until (2 + id % 4).toInt).map { k =>
+            graft.sources.Archive.Member(s"m$k.txt",
+              ("x" * (10 + ((id * 7 + 3 * k) % 50).toInt)).getBytes("UTF-8"))
+          }
+          val bytes =
+            if (id % 2 == 0) graft.sources.Archive.writeZip(members)
+            else graft.sources.Archive.gzip(graft.sources.Archive.writeTar(members))
+          val name = if (id % 2 == 0) s"a$id.zip" else s"a$id.tar.gz"
+          graft.sources.Archive.members(name, bytes).map(mm =>
+            (id, mm.path, mm.bytes.length.toLong, new String(mm.bytes, "UTF-8")))
+        }
+        .toDF("doc_id", "member_path", "n_bytes", "content_text")
+    }),
     // corpus-trained embedding, step 1 (the exact-integer surface): windowed
     // token co-occurrence — per-row pair generation, NO self-join, one
     // aggregation shuffle (ops/CorpusEmbed trains PPMI + random-projection
@@ -2150,6 +2172,20 @@ $accept"""
         |  CAST(10 + doc_id % 40 AS BIGINT) AS n_frames,
         |  CAST((10 + doc_id % 40) * (40 + (doc_id % 5) * 10) AS BIGINT) AS duration_ms
         |FROM documents WHERE doc_id < 60""".stripMargin,
+    // archive expansion: member names and byte-exact contents re-derived —
+    // only a genuine ZIP inflate / TAR header walk / gzip unwrap matches
+    "q_archive_members" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+        |m AS (
+        |  SELECT d.doc_id, k.k
+        |  FROM d
+        |  CROSS JOIN range(0, 6) AS k(k)
+        |  WHERE k.k < 2 + d.doc_id % 4)
+        |SELECT doc_id,
+        |  'm' || k || '.txt' AS member_path,
+        |  CAST(10 + (doc_id * 7 + 3 * k) % 50 AS BIGINT) AS n_bytes,
+        |  repeat('x', CAST(10 + (doc_id * 7 + 3 * k) % 50 AS INTEGER)) AS content_text
+        |FROM m""".stripMargin,
     // curation through the embedding fuzzy path: same gates/exact chain,
     // then Md5Bow hashed-BoW vectors re-derived from md5 hex digits (the
     // q_cosine_filter slot/sign arithmetic), brute-force pairwise cosine
