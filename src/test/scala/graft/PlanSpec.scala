@@ -324,4 +324,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
+
+  test("codec/container queries are shuffle-free scan-stage kernels") {
+    // every decode query is generate-in-kernel → flatMap → project: the
+    // archive/codec bytes never shuffle, and the doc_id scan is pruned to
+    // the one driving column. At 100 TB the same shape holds with the blob
+    // column read from parquet instead of synthesized — still no exchange.
+    for (q <- Seq("q_pdf_jbig2", "q_pdf_ccitt", "q_pdf_jpx", "q_audio_flac",
+        "q_video_mp4", "q_video_webm", "q_archive_members")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
+      val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+      assert(readSchema.contains("doc_id") && !readSchema.contains("text"),
+        s"$q scan not pruned: $readSchema")
+    }
+  }
 }
