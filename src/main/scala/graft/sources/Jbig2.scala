@@ -26,11 +26,14 @@ import scala.collection.mutable.ArrayBuffer
   * generic-region context templates (GBTEMPLATE 0-3, §6.2.5.3) decode and
   * encode; scanned-text streams decode through symbol dictionary segments
   * (§6.5, arithmetic non-refinement) and text region segments (§6.4) built
-  * on the Annex A arithmetic integer decoder, composed onto the page
-  * bitmap per the segment combination operators. Out of scope (returns
-  * None; the caller labels the image unsupported): Huffman-coded symbol
-  * data, refinement/aggregate coding, and halftone segments — a stream
-  * that uses them falls back rather than guessing.
+  * on the Annex A arithmetic integer decoder; halftone streams decode
+  * through pattern dictionary (§6.7) and halftone region (§6.6) segments
+  * with Annex C.5 gray-coded bitplanes and skew-capable grids — all
+  * composed onto the page bitmap per the segment combination operators.
+  * Out of scope (returns None; the caller labels the image unsupported):
+  * Huffman-coded symbol data, refinement/aggregate coding, and the
+  * halftone skip-bitmap form — a stream that uses them falls back rather
+  * than guessing.
   */
 object Jbig2 {
 
@@ -781,6 +784,104 @@ object Jbig2 {
     }
   }
 
+  // ---- Pattern dictionary + halftone region (T.88 §6.6-6.7) ------------------
+
+  /** Decode a pattern dictionary segment payload (§6.7.5 / §7.4.4): one
+    * COLLECTIVE generic-region bitmap of (GRAYMAX+1)·HDPW × HDPH pixels
+    * (A1 fixed at (-HDPW, 0) per the spec, no AT bytes on the wire; MMR
+    * collective bitmaps go through T.6), split into the patterns. */
+  private def decodePatternDict(data: Array[Byte]): Option[IndexedSeq[Bitmap]] = {
+    if (data.length < 7) return None
+    val flags = data(0) & 0xff
+    val mmr = (flags & 1) != 0
+    val template = (flags >> 1) & 3
+    val hdpw = data(1) & 0xff
+    val hdph = data(2) & 0xff
+    val grayMax = be32(data, 3).toInt
+    if (hdpw <= 0 || hdph <= 0 || grayMax < 0 || grayMax > 10000) return None
+    val cw = (grayMax + 1) * hdpw
+    if (cw.toLong * hdph > 16L * 1024 * 1024) return None
+    val coded = java.util.Arrays.copyOfRange(data, 7, data.length)
+    val collective =
+      if (mmr) Ccitt.decodeG4(coded, cw, hdph).getOrElse(return None)
+      else try decodeGenericRegion(coded, cw, hdph, tpgdon = false,
+        AtPixels(a1 = (-hdpw, 0)), template)
+      catch { case _: Exception => return None }
+    Some((0 to grayMax).map { k =>
+      val bits = new Array[Byte](hdpw * hdph)
+      var yy = 0
+      while (yy < hdph) {
+        System.arraycopy(collective.bits, yy * cw + k * hdpw, bits, yy * hdpw, hdpw)
+        yy += 1
+      }
+      Bitmap(hdpw, hdph, bits)
+    })
+  }
+
+  /** Decode a halftone region segment payload (§6.6.5 / §7.4.5) against the
+    * referred pattern dictionary: the GRAY-SCALE image decodes as Annex C.5
+    * gray-coded bitplanes (MSB first, ONE shared decoder + context set),
+    * then each grid cell stamps its pattern at the skew-capable grid
+    * position. Arithmetic coding only; HENABLESKIP and MMR planes are out
+    * of scope (None). */
+  private def decodeHalftoneRegion(data: Array[Byte],
+                                   patterns: IndexedSeq[Bitmap]): Option[(Region, Int)] = {
+    if (data.length < 38 || patterns.isEmpty) return None
+    val w = be32(data, 0).toInt
+    val h = be32(data, 4).toInt
+    val x = be32(data, 8).toInt
+    val y = be32(data, 12).toInt
+    val extCombOp = data(16) & 7
+    val flags = data(17) & 0xff
+    val mmr = (flags & 1) != 0
+    val template = (flags >> 1) & 3
+    val enableSkip = (flags & 8) != 0
+    val combOp = (flags >> 4) & 7
+    val defPixel = (flags >> 7) & 1
+    if (mmr || enableSkip) return None
+    if (w <= 0 || h <= 0 || w.toLong * h > 64L * 1024 * 1024) return None
+    val hgw = be32(data, 18).toInt
+    val hgh = be32(data, 22).toInt
+    val hgx = be32(data, 26).toInt // signed 32-bit grid origin
+    val hgy = be32(data, 30).toInt
+    val hrx = ((data(34) & 0xff) << 8) | (data(35) & 0xff)
+    val hry = ((data(36) & 0xff) << 8) | (data(37) & 0xff)
+    if (hgw <= 0 || hgh <= 0 || hgw.toLong * hgh > 16L * 1024 * 1024) return None
+    val bitsPerValue = symCodeLen(patterns.length)
+    val coded = java.util.Arrays.copyOfRange(data, 38, data.length)
+    val dec = new MqDecoder(coded)
+    val gb = new Contexts(1 << CtxBits(template))
+    val at = if (template <= 1) AtPixels(a1 = (3, -1)) else AtPixels(a1 = (2, -1))
+    try {
+      val planes = (0 until bitsPerValue).map(_ =>
+        decodeGenericInto(dec, gb, hgw, hgh, tpgdon = false, template, at))
+      val bm = Bitmap(w, h, new Array[Byte](w * h))
+      if (defPixel != 0) java.util.Arrays.fill(bm.bits, 1.toByte)
+      var mg = 0
+      while (mg < hgh) {
+        var ng = 0
+        while (ng < hgw) {
+          // gray-code: MSB plane is the value bit; lower bits XOR upward
+          var value = 0
+          var bit = 0
+          var j = 0
+          while (j < bitsPerValue) {
+            bit ^= planes(j).bits(mg * hgw + ng)
+            value = (value << 1) | bit
+            j += 1
+          }
+          val pat = patterns(math.min(value, patterns.length - 1))
+          val x0 = hgx + mg * hry + ng * hrx
+          val y0 = hgy + mg * hrx - ng * hry
+          drawOp(bm, pat, x0, y0, combOp)
+          ng += 1
+        }
+        mg += 1
+      }
+      Some((Region(x, y, bm), extCombOp))
+    } catch { case _: Exception => None }
+  }
+
   // ---- Page composition (T.88 §8.2; the PDF embedded organisation) -----------
 
   /** Decode a full embedded JBIG2 stream — page information, symbol
@@ -798,10 +899,22 @@ object Jbig2 {
 
   private def decodePage(segs: Seq[Segment]): Option[Region] = {
     val dicts = scala.collection.mutable.Map.empty[Long, IndexedSeq[Bitmap]]
+    val patDicts = scala.collection.mutable.Map.empty[Long, IndexedSeq[Bitmap]]
     var pageW = -1
     var pageH = -1
     val regions = new ArrayBuffer[(Region, Int)]()
     for (seg <- segs) seg.segType match {
+      case 16 => // pattern dictionary
+        decodePatternDict(seg.data) match {
+          case Some(ps) => patDicts(seg.number) = ps
+          case None => return None
+        }
+      case 20 | 22 | 23 => // halftone region
+        val pats = seg.refs.flatMap(patDicts.get).flatten.toIndexedSeq
+        decodeHalftoneRegion(seg.data, pats) match {
+          case Some(rc) => regions += rc
+          case None => return None
+        }
       case 48 => // page information: width, height (0xFFFFFFFF = striped/unknown)
         if (seg.data.length >= 8) {
           val w = be32(seg.data, 0)
@@ -846,9 +959,9 @@ object Jbig2 {
     ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
     ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
 
-  private def segmentBytes(number: Long, segType: Int, page: Int,
-                           payload: Array[Byte],
-                           refs: Seq[Long] = Nil): Array[Byte] = {
+  def segmentBytes(number: Long, segType: Int, page: Int,
+                   payload: Array[Byte],
+                   refs: Seq[Long] = Nil): Array[Byte] = {
     require(refs.length <= 4 && number <= 256,
       "writer emits the short referred-segment form only")
     val out = new ArrayBuffer[Byte]()
@@ -1032,5 +1145,96 @@ object Jbig2 {
     (segmentBytes(0, 48, 1, pageInfo),
       segmentBytes(1, 0, 1, dictPayload),
       segmentBytes(2, 7, 1, textPayload, refs = Seq(1L)))
+  }
+
+  /** Encode a pattern dictionary payload: patterns laid side by side into
+    * the collective bitmap, generic-coded with the spec-fixed A1. All
+    * patterns must share one geometry. */
+  def encodePatternDictPayload(patterns: IndexedSeq[Bitmap],
+                               template: Int = 0): Array[Byte] = {
+    require(patterns.nonEmpty && patterns.length <= 10000)
+    val hdpw = patterns.head.width
+    val hdph = patterns.head.height
+    require(patterns.forall(p => p.width == hdpw && p.height == hdph))
+    require(hdpw <= 255 && hdph <= 255)
+    val cw = patterns.length * hdpw
+    val collective = Bitmap(cw, hdph, new Array[Byte](cw * hdph))
+    patterns.zipWithIndex.foreach { case (p, k) =>
+      var yy = 0
+      while (yy < hdph) {
+        System.arraycopy(p.bits, yy * hdpw, collective.bits, yy * cw + k * hdpw, hdpw)
+        yy += 1
+      }
+    }
+    val coded = encodeGenericRegion(collective, tpgdon = false,
+      AtPixels(a1 = (-hdpw, 0)), template)
+    Array(((template & 3) << 1).toByte, hdpw.toByte, hdph.toByte) ++
+      be32b((patterns.length - 1).toLong) ++ coded
+  }
+
+  /** Encode a halftone region payload: the grid of pattern indices `gi`
+    * (row-major HGH×HGW) gray-coded into bitplanes (MSB first, one shared
+    * coder), grid geometry as given. */
+  def encodeHalftoneRegionPayload(w: Int, h: Int, x: Int, y: Int,
+                                  nPatterns: Int, gi: Array[Int],
+                                  hgw: Int, hgh: Int, hgx: Int, hgy: Int,
+                                  hrx: Int, hry: Int,
+                                  template: Int = 0): Array[Byte] = {
+    require(gi.length == hgw * hgh && nPatterns >= 1)
+    require(gi.forall(v => v >= 0 && v < nPatterns))
+    val bitsPerValue = symCodeLen(nPatterns)
+    val enc = new MqEncoder
+    val gb = new Contexts(1 << CtxBits(template))
+    val at = if (template <= 1) AtPixels(a1 = (3, -1)) else AtPixels(a1 = (2, -1))
+    var j = bitsPerValue - 1
+    var prevPlane: Array[Byte] = null
+    while (j >= 0) {
+      // gray-coding (Annex C.5): MSB plane = the value bit; each lower
+      // plane XORs against the bit above it
+      val plane = new Array[Byte](hgw * hgh)
+      var i = 0
+      while (i < gi.length) {
+        val bit = (gi(i) >> j) & 1
+        plane(i) = (if (prevPlane == null) bit else bit ^ prevPlane(i)).toByte
+        i += 1
+      }
+      // track the RAW value bits for the next plane's XOR, not the coded plane
+      val rawBits = new Array[Byte](hgw * hgh)
+      i = 0
+      while (i < gi.length) { rawBits(i) = ((gi(i) >> j) & 1).toByte; i += 1 }
+      encodeGenericInto(enc, gb, Bitmap(hgw, hgh, plane), tpgdon = false, template, at)
+      prevPlane = rawBits
+      j -= 1
+    }
+    val regionInfo = be32b(w.toLong) ++ be32b(h.toLong) ++ be32b(x.toLong) ++
+      be32b(y.toLong) ++ Array(0x00.toByte) // external combOp OR
+    regionInfo ++ Array(((template & 3) << 1).toByte) ++ // arithmetic, no skip, OR
+      be32b(hgw.toLong) ++ be32b(hgh.toLong) ++
+      be32b(hgx.toLong & 0xffffffffL) ++ be32b(hgy.toLong & 0xffffffffL) ++
+      Array(((hrx >> 8) & 0xff).toByte, (hrx & 0xff).toByte,
+        ((hry >> 8) & 0xff).toByte, (hry & 0xff).toByte) ++
+      enc.finish()
+  }
+
+  /** Segments for a HALFTONE organisation of `bm`: a two-pattern 1×1
+    * dictionary (white/black) and a 1:1 grid whose gray-scale image IS the
+    * bitmap — a legal T.88 halftone whose composed page is bit-identical to
+    * `bm`, so the same pixel oracle covers this path too. */
+  def encodeHalftoneSegments(bm: Bitmap,
+                             template: Int = 0): (Array[Byte], Array[Byte], Array[Byte]) = {
+    val patterns = IndexedSeq(
+      Bitmap(1, 1, Array[Byte](0)), Bitmap(1, 1, Array[Byte](1)))
+    val dictPayload = encodePatternDictPayload(patterns, template)
+    val gi = new Array[Int](bm.width * bm.height)
+    var i = 0
+    while (i < gi.length) { gi(i) = bm.bits(i); i += 1 }
+    val htPayload = encodeHalftoneRegionPayload(bm.width, bm.height, 0, 0,
+      nPatterns = 2, gi, hgw = bm.width, hgh = bm.height,
+      hgx = 0, hgy = 0, hrx = 1, hry = 0, template = template)
+    val pageInfo = be32b(bm.width.toLong) ++ be32b(bm.height.toLong) ++
+      be32b(0) ++ be32b(0) ++ Array(0x01.toByte) ++ Array(0x00.toByte, 0x00.toByte)
+    (segmentBytes(0, 48, 1, pageInfo),
+      segmentBytes(1, 16, 1, dictPayload),
+      segmentBytes(2, 23, 1, htPayload, refs = Seq(1L)))
   }
 }

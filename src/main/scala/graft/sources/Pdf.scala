@@ -299,8 +299,10 @@ object Pdf {
     * id%6==3 (non-MMR) codes the page as a SYMBOL DICTIONARY + TEXT REGION
     * — the scanned-text organisation — with the dictionary shipped in the
     * /JBIG2Globals stream for odd ids and id%4 picking the reference
-    * corner. The raster is the same under every organisation, so one
-    * oracle covers all paths.
+    * corner; id%6==5 (non-MMR) codes it as a PATTERN DICTIONARY + HALFTONE
+    * REGION (1×1 patterns, 1:1 grid — a legal halftone whose composition
+    * IS the bitmap). The raster is the same under every organisation, so
+    * one oracle covers all paths.
     */
   def syntheticJbig2Pdf(id: Long): Array[Byte] = {
     val w0 = 24 + (id % 20).toInt
@@ -320,6 +322,7 @@ object Pdf {
     val at = if (id % 3 == 0) Jbig2.AtPixels(a1 = (2, -1)) else Jbig2.AtPixels()
     val template = ((id / 3) % 4).toInt
     val textOrg = id % 6 == 3 && id % 5 != 4
+    val halftoneOrg = id % 6 == 5 && id % 5 != 4
     val split = id % 2 == 1
     val (pageSeg, regionSeg) =
       if (textOrg) {
@@ -328,6 +331,9 @@ object Pdf {
         // split ships page info AND the dictionary via /JBIG2Globals —
         // the cross-stream referred-segment form Acrobat writes
         if (split) (p ++ dict, text) else (p, dict ++ text)
+      } else if (halftoneOrg) {
+        val (p, dict, ht) = Jbig2.encodeHalftoneSegments(bm, template)
+        if (split) (p ++ dict, ht) else (p, dict ++ ht)
       } else Jbig2.encodeSegments(bm, tpgdon, at, mmr = id % 5 == 4, template = template)
     val flated = id % 4 == 2
     val imgStream0 = if (split) regionSeg else pageSeg ++ regionSeg

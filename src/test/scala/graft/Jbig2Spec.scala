@@ -301,6 +301,68 @@ class Jbig2Spec extends AnyFunSuite {
     assert(java.util.Arrays.equals(r.bitmap.bits, bm.bits))
   }
 
+  // ---- Pattern dictionary + halftone region ------------------------------------
+
+  test("halftone round-trip: multi-size patterns, gray planes, skewed grids") {
+    for (template <- 0 to 3) {
+      // 5 patterns of 3x2 → 3 gray bitplanes; grid 7x4 with a skew vector
+      val pats = (0 until 5).map { k =>
+        Jbig2.Bitmap(3, 2, Array.tabulate(6)(i => (((i + k) % (k + 2)) min 1).toByte))
+      }
+      val hgw = 7; val hgh = 4
+      val gi = Array.tabulate(hgw * hgh)(i => (i * 3 + template) % 5)
+      val w = 40; val h = 30
+      val dictP = Jbig2.encodePatternDictPayload(pats.toIndexedSeq, template)
+      val htP = Jbig2.encodeHalftoneRegionPayload(w, h, 0, 0, 5, gi,
+        hgw, hgh, hgx = 2, hgy = 1, hrx = 4, hry = 1, template = template)
+      // expected page: independent direct composition
+      val want = Jbig2.Bitmap(w, h, new Array[Byte](w * h))
+      for (mg <- 0 until hgh; ng <- 0 until hgw) {
+        val p = pats(gi(mg * hgw + ng))
+        val x0 = 2 + mg * 1 + ng * 4
+        val y0 = 1 + mg * 4 - ng * 1
+        for (yy <- 0 until p.height; xx <- 0 until p.width
+             if y0 + yy >= 0 && y0 + yy < h && x0 + xx >= 0 && x0 + xx < w)
+          want.set(x0 + xx, y0 + yy,
+            want.get(x0 + xx, y0 + yy) | p.get(xx, yy))
+      }
+      val pageInfo = Array.fill(19)(0.toByte) // parse only needs w/h at 0/4
+      System.arraycopy(Array[Byte](0, 0, 0, w.toByte), 0, pageInfo, 0, 4)
+      System.arraycopy(Array[Byte](0, 0, 0, h.toByte), 0, pageInfo, 4, 4)
+      val stream = // hand-assemble: page info 48, pattern dict 16, halftone 23
+        Jbig2.segmentBytes(0, 48, 1, pageInfo) ++
+          Jbig2.segmentBytes(1, 16, 1, dictP) ++
+          Jbig2.segmentBytes(2, 23, 1, htP, refs = Seq(1L))
+      val r = Jbig2.decodeEmbedded(Array.emptyByteArray, stream).get
+      assert(java.util.Arrays.equals(r.bitmap.bits, want.bits), s"template=$template")
+    }
+  }
+
+  test("halftone 1x1 organisation reproduces any bitmap exactly") {
+    for (template <- Seq(0, 2)) {
+      val bm = randomBitmap(31, 22, seed = 400 + template)
+      val (page, dict, ht) = Jbig2.encodeHalftoneSegments(bm, template)
+      val r = Jbig2.decodeEmbedded(Array.emptyByteArray, page ++ dict ++ ht).get
+      assert(r.bitmap.width == 31 && r.bitmap.height == 22)
+      assert(java.util.Arrays.equals(r.bitmap.bits, bm.bits), s"template=$template")
+      // split organisation: dictionary travels the globals stream
+      val r2 = Jbig2.decodeEmbedded(page ++ dict, ht).get
+      assert(java.util.Arrays.equals(r2.bitmap.bits, bm.bits))
+    }
+  }
+
+  test("out-of-scope halftone forms fall back: skip flag, missing dictionary") {
+    val bm = randomBitmap(10, 8, seed = 9)
+    val (page, dict, ht) = Jbig2.encodeHalftoneSegments(bm)
+    // halftone without its pattern dictionary is undecodable
+    assert(Jbig2.decodeEmbedded(Array.emptyByteArray, page ++ ht).isEmpty)
+    // flip HENABLESKIP: out of scope, never a guess
+    val skip = ht.clone()
+    // header: 12 bytes (1 ref), region info 17, flags at +17
+    skip(12 + 17) = (skip(12 + 17) | 8).toByte
+    assert(Jbig2.decodeEmbedded(Array.emptyByteArray, page ++ dict ++ skip).isEmpty)
+  }
+
   test("out-of-scope symbol/text forms fall back to None, never throw") {
     val bm = randomBitmap(16, 10, seed = 5)
     val (page, dict, text) = Jbig2.encodeTextSegments(bm)
