@@ -742,6 +742,36 @@ object SparkEntry {
         }
         .toDF("doc_id", "member_path", "n_bytes", "content_text")
     }),
+    // EXIF metadata extraction (sources/Exif: JPEG APP1 marker walk + TIFF
+    // IFD parse incl. the Exif sub-IFD) under a TRUE arithmetic oracle:
+    // each blob is a REAL JPEG wrapped with an APP1 whose every field is
+    // doc-id arithmetic DuckDB re-derives — orientation, camera strings,
+    // timestamps, declared pixel dims
+    "q_image_exif" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "documents").where(col("doc_id") < 60)
+        .select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val img = new java.awt.image.BufferedImage(8, 8,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", bos)
+          val meta = graft.sources.Exif.Meta(
+            orientation = 1 + (id % 8).toInt,
+            make = s"cam${id % 5}",
+            model = s"mk-${id % 7}",
+            dateTime = f"2026:01:${1 + id % 28}%02d ${id % 24}%02d:00:00",
+            dateTimeOriginal = f"2026:01:${1 + id % 28}%02d ${id % 24}%02d:00:${id % 60}%02d",
+            pixelX = 24 + (id % 40).toInt,
+            pixelY = 16 + ((3 * id) % 30).toInt)
+          graft.sources.Exif.parse(
+              graft.sources.Exif.withExif(bos.toByteArray, meta))
+            .map(m => (id, m.orientation, m.make, m.model, m.dateTime,
+              m.dateTimeOriginal, m.pixelX, m.pixelY))
+        }
+        .toDF("doc_id", "orientation", "make", "model", "date_time",
+          "dt_original", "px", "py")
+    }),
     // corpus-trained embedding, step 1 (the exact-integer surface): windowed
     // token co-occurrence — per-row pair generation, NO self-join, one
     // aggregation shuffle (ops/CorpusEmbed trains PPMI + random-projection
@@ -2186,6 +2216,20 @@ $accept"""
         |  CAST(10 + (doc_id * 7 + 3 * k) % 50 AS BIGINT) AS n_bytes,
         |  repeat('x', CAST(10 + (doc_id * 7 + 3 * k) % 50 AS INTEGER)) AS content_text
         |FROM m""".stripMargin,
+    // EXIF: every field re-derived — only a genuine APP1 + IFD walk matches
+    "q_image_exif" ->
+      """SELECT doc_id,
+        |  CAST(1 + doc_id % 8 AS INTEGER) AS orientation,
+        |  'cam' || (doc_id % 5) AS make,
+        |  'mk-' || (doc_id % 7) AS model,
+        |  '2026:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') || ' '
+        |    || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':00:00' AS date_time,
+        |  '2026:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') || ' '
+        |    || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':00:'
+        |    || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') AS dt_original,
+        |  CAST(24 + doc_id % 40 AS INTEGER) AS px,
+        |  CAST(16 + (3 * doc_id) % 30 AS INTEGER) AS py
+        |FROM documents WHERE doc_id < 60""".stripMargin,
     // curation through the embedding fuzzy path: same gates/exact chain,
     // then Md5Bow hashed-BoW vectors re-derived from md5 hex digits (the
     // q_cosine_filter slot/sign arithmetic), brute-force pairwise cosine

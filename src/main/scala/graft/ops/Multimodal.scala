@@ -584,11 +584,45 @@ object Multimodal {
       case _ => decodeStub(b)
     } catch { case _: Exception => decodeStub(b) }
 
-  /** REAL resize: longest side clamped to `maxSide`, aspect preserved,
-    * bilinear, re-encoded as PNG. Returns (bytes, width, height). */
+  /** Re-orient per the EXIF orientation tag (1 = as stored; 2-8 = the
+    * mirror/rotate family). A resize that ignores it ships sideways
+    * thumbnails — the classic image-pipeline bug. */
+  private def orient(src: java.awt.image.BufferedImage, o: Int): java.awt.image.BufferedImage = {
+    if (o <= 1 || o > 8) return src
+    val w = src.getWidth; val h = src.getHeight
+    val swap = o >= 5
+    val out = new java.awt.image.BufferedImage(
+      if (swap) h else w, if (swap) w else h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var yy = 0
+    while (yy < out.getHeight) {
+      var xx = 0
+      while (xx < out.getWidth) {
+        val (sx, sy) = o match {
+          case 2 => (w - 1 - xx, yy)           // mirror horizontal
+          case 3 => (w - 1 - xx, h - 1 - yy)   // rotate 180
+          case 4 => (xx, h - 1 - yy)           // mirror vertical
+          case 5 => (yy, xx)                   // transpose
+          case 6 => (yy, h - 1 - xx)           // rotate 90 CW
+          case 7 => (w - 1 - yy, h - 1 - xx)   // transverse
+          case _ => (w - 1 - yy, xx)           // 8: rotate 90 CCW
+        }
+        out.setRGB(xx, yy, src.getRGB(sx, sy))
+        xx += 1
+      }
+      yy += 1
+    }
+    out
+  }
+
+  /** REAL resize: EXIF-orientation-normalized first (JPEG APP1 via
+    * sources/Exif; non-JPEG or tagless inputs pass through), then longest
+    * side clamped to `maxSide`, aspect preserved, bilinear, re-encoded as
+    * PNG. Returns (bytes, width, height) in the DISPLAY orientation. */
   def resizeImage(bytes: Array[Byte], maxSide: Int): Option[(Array[Byte], Int, Int)] = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-    if (img == null) return None
+    val img0 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img0 == null) return None
+    val img = graft.sources.Exif.parse(bytes)
+      .map(m => orient(img0, m.orientation)).getOrElse(img0)
     val scale = math.min(1.0, maxSide.toDouble / math.max(img.getWidth, img.getHeight))
     val ow = math.max(1, math.ceil(img.getWidth * scale).toInt)
     val oh = math.max(1, math.ceil(img.getHeight * scale).toInt)

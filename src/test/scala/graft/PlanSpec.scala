@@ -331,7 +331,7 @@ class PlanSpec extends AnyFunSuite {
     // the one driving column. At 100 TB the same shape holds with the blob
     // column read from parquet instead of synthesized — still no exchange.
     for (q <- Seq("q_pdf_jbig2", "q_pdf_ccitt", "q_pdf_jpx", "q_audio_flac",
-        "q_video_mp4", "q_video_webm", "q_archive_members")) {
+        "q_video_mp4", "q_video_webm", "q_archive_members", "q_image_exif")) {
       val p = plan(SparkEntry.queries(q)(spark, sf))
       assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
       val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
