@@ -199,7 +199,7 @@ object Mp4 {
       be32(timescale) ++ be32(duration) ++ be16(0x55c4) ++ be16(0)) // und lang
     val hdlr = box("hdlr", Array[Byte](0, 0, 0, 0) ++ be32(0) ++
       "vide".getBytes("US-ASCII") ++ Array.fill(12)(0.toByte) ++
-      "graft ".getBytes("ISO-8859-1"))
+      "graft\u0000".getBytes("ISO-8859-1"))
     // VisualSampleEntry with an empty decoder-config suffix: the samples are
     // opaque by design, so no avcC bytes pretend to be a real config
     val entryBody = codec.getBytes("US-ASCII") ++
